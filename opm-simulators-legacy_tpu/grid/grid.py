@@ -1,0 +1,240 @@
+"""Grid topology, geometry, and derived geology (TPU-native layout).
+
+Replaces the reference's UnstructuredGrid/Dune::CpGrid accessors
+(/root/reference/opm/autodiff/GridHelpers.hpp) and DerivedGeology
+(/root/reference/opm/autodiff/GeoProps.hpp:58-270: pore volume =
+MULTPV*NTG*PORO*vol, harmonic face transmissibilities with MULT[XYZ]
+multipliers, cell depths, gravity). Instead of sparse HelperOps matrices
+(AutoDiffHelpers.hpp:44-174), connectivity is plain int32 index arrays
+(face -> (cell1, cell2)) consumed by gather/segment_sum in the models.
+
+All arrays are NumPy on host; models move them to device once per case.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+GRAVITY = 9.80665
+
+
+@dataclass
+class Grid:
+    dims: Tuple[int, int, int]
+    nc: int                       # number of active cells
+    global_cell: np.ndarray       # (nc,) active -> cartesian index
+    cart_to_active: np.ndarray    # (nx*ny*nz,) cartesian -> active or -1
+    # geometry per active cell
+    dx: np.ndarray
+    dy: np.ndarray
+    dz: np.ndarray
+    depth: np.ndarray             # cell-center depth (positive downwards)
+    volume: np.ndarray
+    poro: np.ndarray
+    ntg: np.ndarray
+    pore_volume: np.ndarray       # MULTPV*NTG*PORO*volume (GeoProps.hpp:140)
+    permx: np.ndarray
+    permy: np.ndarray
+    permz: np.ndarray
+    # interior-face topology (includes NNCs appended at the end)
+    face_cells: np.ndarray        # (nf, 2) int32 active-cell indices
+    trans: np.ndarray             # (nf,) face transmissibility (SI)
+    face_dir: np.ndarray          # (nf,) 0=x,1=y,2=z,3=nnc
+    gravity: float = GRAVITY
+    satnum: Optional[np.ndarray] = None  # (nc,) 0-based saturation region
+    pvtnum: Optional[np.ndarray] = None
+    eqlnum: Optional[np.ndarray] = None
+    fipnum: Optional[np.ndarray] = None
+
+    @property
+    def nf(self) -> int:
+        return self.face_cells.shape[0]
+
+    def ijk(self, active_idx):
+        nx, ny, _ = self.dims
+        g = self.global_cell[active_idx]
+        return g % nx, (g // nx) % ny, g // (nx * ny)
+
+    def active_index(self, i, j, k) -> int:
+        nx, ny, _ = self.dims
+        return int(self.cart_to_active[(k * ny + j) * nx + i])
+
+
+def _expand_v(vec, nx, ny, nz, axis):
+    """DXV/DYV/DZV (per-slab spacing) -> full nx*ny*nz array."""
+    out = np.empty((nz, ny, nx))
+    if axis == 0:
+        out[:] = np.asarray(vec)[None, None, :]
+    elif axis == 1:
+        out[:] = np.asarray(vec)[None, :, None]
+    else:
+        out[:] = np.asarray(vec)[:, None, None]
+    return out.ravel()
+
+
+def build_grid(case) -> Grid:
+    """Build an active-cell grid + derived geology from an EclipseCase."""
+    nx, ny, nz = case.runspec.dims
+    ncg = nx * ny * nz
+    ga = case.grid_arrays
+
+    def full(name, default=None):
+        if name in ga:
+            return np.asarray(ga[name], dtype=np.float64)
+        if default is None:
+            raise KeyError(f"grid array {name} missing from deck")
+        return np.full(ncg, default)
+
+    if "DX" in ga:
+        dx, dy, dz = full("DX"), full("DY"), full("DZ")
+    else:
+        dx = _expand_v(ga["DXV"], nx, ny, nz, 0)
+        dy = _expand_v(ga["DYV"], nx, ny, nz, 1)
+        dz = _expand_v(ga["DZV"], nx, ny, nz, 2)
+
+    # cell-top depths: stack dz below TOPS of layer 0 (column-wise)
+    tops = np.zeros(ncg)
+    if "TOPS" in ga:
+        t = np.asarray(ga["TOPS"], dtype=np.float64)
+        tops3 = tops.reshape(nz, ny, nx)
+        nlayers_given = min(len(t) // (nx * ny), nz)
+        for k in range(nlayers_given):
+            tops3[k] = t[k * nx * ny:(k + 1) * nx * ny].reshape(ny, nx)
+        dz3 = dz.reshape(nz, ny, nx)
+        for k in range(max(1, nlayers_given), nz):
+            tops3[k] = tops3[k - 1] + dz3[k - 1]
+        tops = tops3.ravel()
+    depth = tops + 0.5 * dz
+
+    volume = dx * dy * dz
+    poro = full("PORO", 0.0)
+    ntg = full("NTG", 1.0)
+    multpv = full("MULTPV", 1.0)
+    pv_all = multpv * ntg * poro * volume
+
+    actnum = np.asarray(ga.get("ACTNUM", np.ones(ncg)), dtype=np.int64).copy()
+    minpv = getattr(case, "minpv", 0.0)
+    actnum[pv_all < max(minpv, 1e-30)] = 0  # MINPV deactivation (GeoProps.hpp:412)
+
+    active_mask = actnum > 0
+    global_cell = np.nonzero(active_mask)[0].astype(np.int32)
+    nc = len(global_cell)
+    cart_to_active = np.full(ncg, -1, dtype=np.int32)
+    cart_to_active[global_cell] = np.arange(nc, dtype=np.int32)
+
+    permx = full("PERMX")
+    permy = full("PERMY", None) if "PERMY" in ga else permx
+    permz = full("PERMZ", None) if "PERMZ" in ga else permx
+    multx = full("MULTX", 1.0)
+    multy = full("MULTY", 1.0)
+    multz = full("MULTZ", 1.0)
+
+    # interior faces between cartesian neighbors (both active)
+    fc, tr, fdir = [], [], []
+    idx3 = np.arange(ncg).reshape(nz, ny, nx)
+    geom = dict(dx=dx, dy=dy, dz=dz, ntg=ntg)
+
+    def add_faces(c1, c2, axis):
+        a1 = cart_to_active[c1]
+        a2 = cart_to_active[c2]
+        ok = (a1 >= 0) & (a2 >= 0)
+        c1, c2, a1, a2 = c1[ok], c2[ok], a1[ok], a2[ok]
+        if axis == 0:
+            area1 = dy[c1] * dz[c1] * ntg[c1]
+            area2 = dy[c2] * dz[c2] * ntg[c2]
+            h1 = permx[c1] * area1 / (0.5 * dx[c1])
+            h2 = permx[c2] * area2 / (0.5 * dx[c2])
+            mult = multx[c1]
+        elif axis == 1:
+            area1 = dx[c1] * dz[c1] * ntg[c1]
+            area2 = dx[c2] * dz[c2] * ntg[c2]
+            h1 = permy[c1] * area1 / (0.5 * dy[c1])
+            h2 = permy[c2] * area2 / (0.5 * dy[c2])
+            mult = multy[c1]
+        else:
+            area1 = dx[c1] * dy[c1]
+            area2 = dx[c2] * dy[c2]
+            h1 = permz[c1] * area1 / (0.5 * dz[c1])
+            h2 = permz[c2] * area2 / (0.5 * dz[c2])
+            mult = multz[c1]
+        with np.errstate(divide="ignore"):
+            t = mult / (1.0 / np.maximum(h1, 1e-300) +
+                        1.0 / np.maximum(h2, 1e-300))
+        t = np.where((h1 <= 0) | (h2 <= 0), 0.0, t)
+        fc.append(np.stack([a1, a2], axis=1))
+        tr.append(t)
+        fdir.append(np.full(len(t), axis, dtype=np.int8))
+
+    if nx > 1:
+        add_faces(idx3[:, :, :-1].ravel(), idx3[:, :, 1:].ravel(), 0)
+    if ny > 1:
+        add_faces(idx3[:, :-1, :].ravel(), idx3[:, 1:, :].ravel(), 1)
+    if nz > 1:
+        add_faces(idx3[:-1, :, :].ravel(), idx3[1:, :, :].ravel(), 2)
+
+    if fc:
+        face_cells = np.concatenate(fc).astype(np.int32)
+        trans = np.concatenate(tr)
+        face_dir = np.concatenate(fdir)
+    else:
+        face_cells = np.zeros((0, 2), dtype=np.int32)
+        trans = np.zeros(0)
+        face_dir = np.zeros(0, dtype=np.int8)
+
+    regions = getattr(case, "regions", {})
+
+    def reg(name):
+        arr = regions.get(name)
+        return (arr[global_cell] - 1).astype(np.int32) if arr is not None else \
+            np.zeros(nc, dtype=np.int32)
+
+    return Grid(
+        dims=(nx, ny, nz), nc=nc, global_cell=global_cell,
+        cart_to_active=cart_to_active,
+        dx=dx[global_cell], dy=dy[global_cell], dz=dz[global_cell],
+        depth=depth[global_cell], volume=volume[global_cell],
+        poro=poro[global_cell], ntg=ntg[global_cell],
+        pore_volume=pv_all[global_cell],
+        permx=permx[global_cell], permy=permy[global_cell],
+        permz=permz[global_cell],
+        face_cells=face_cells, trans=trans, face_dir=face_dir,
+        satnum=reg("SATNUM"), pvtnum=reg("PVTNUM"),
+        eqlnum=reg("EQLNUM"), fipnum=reg("FIPNUM"),
+    )
+
+
+def cartesian_grid(dims, physdims=None, *, poro=0.3, perm=100e-15 * 0.9869233,
+                   depth_top=0.0) -> Grid:
+    """Synthetic uniform cartesian grid (test helper; analogous to
+    opm-core's GridManager used across the reference's tests/)."""
+    nx, ny, nz = dims
+    if physdims is None:
+        physdims = (float(nx), float(ny), float(nz))
+    ncg = nx * ny * nz
+    dxv = np.full(ncg, physdims[0] / nx)
+    dyv = np.full(ncg, physdims[1] / ny)
+    dzv = np.full(ncg, physdims[2] / nz)
+
+    class _FakeCase:
+        pass
+
+    case = _FakeCase()
+    case.runspec = type("R", (), {"dims": dims})()
+    tops3 = np.zeros((nz, ny, nx))
+    for k in range(1, nz):
+        tops3[k] = tops3[k - 1] + (physdims[2] / nz)
+    case.grid_arrays = {
+        "DX": dxv, "DY": dyv, "DZ": dzv,
+        "TOPS": (tops3 + depth_top).ravel(),
+        "PORO": np.full(ncg, poro),
+        "PERMX": np.full(ncg, perm),
+        "NTG": np.ones(ncg), "MULTPV": np.ones(ncg),
+        "MULTX": np.ones(ncg), "MULTY": np.ones(ncg), "MULTZ": np.ones(ncg),
+        "ACTNUM": np.ones(ncg, dtype=np.int64),
+    }
+    case.minpv = 0.0
+    case.regions = {}
+    return build_grid(case)

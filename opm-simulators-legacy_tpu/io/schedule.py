@@ -1,0 +1,284 @@
+"""Schedule: report steps and per-step well configuration snapshots.
+
+Re-implements the role of opm-common's Schedule + the per-report-step
+WellsManager rebuild in the reference driver
+(/root/reference/opm/autodiff/SimulatorBase_impl.hpp:161). The SCHEDULE
+section is processed sequentially; every TSTEP/DATES boundary emits a report
+step, and each report step carries a full snapshot of the well set
+(completions + active controls) valid over that step.
+"""
+
+from __future__ import annotations
+
+import datetime
+import fnmatch
+from dataclasses import dataclass, field, replace
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from opm_tpu.io.deck import DEFAULT, Deck
+from opm_tpu.io.eclstate import EclipseCase, _parse_date, _val
+from opm_tpu.utils.units import UnitSystem
+
+# control modes (match reference semantics of WellControls,
+# /root/reference/opm/autodiff/StandardWells_impl.hpp:838 addWellControlEq)
+BHP, THP, ORAT, WRAT, GRAT, LRAT, RESV, SURFACE_RATE, RESERVOIR_RATE, GRUP = (
+    "BHP", "THP", "ORAT", "WRAT", "GRAT", "LRAT", "RESV", "RATE", "RESV_INJ",
+    "GRUP")
+
+PRODUCER, INJECTOR = "PRODUCER", "INJECTOR"
+
+
+@dataclass
+class Completion:
+    i: int  # 0-based
+    j: int
+    k: int
+    cf: Optional[float]  # connection transmissibility factor (SI); None = compute
+    diameter: float = 0.3048 * 0.5  # well bore diameter (default 1 ft? ECL: 1 ft)
+    kh: Optional[float] = None
+    skin: float = 0.0
+    direction: str = "Z"
+    sat_table: int = 0
+    status: str = "OPEN"
+
+
+@dataclass
+class WellConfig:
+    name: str
+    group: str = "FIELD"
+    i: int = 0   # heel, 0-based
+    j: int = 0
+    ref_depth: Optional[float] = None
+    preferred_phase: str = "OIL"
+    type: str = PRODUCER
+    injector_fluid: str = "WATER"
+    status: str = "OPEN"
+    control: str = BHP
+    # targets/limits (SI); NaN = unset
+    orat: float = np.nan
+    wrat: float = np.nan
+    grat: float = np.nan
+    lrat: float = np.nan
+    resv: float = np.nan
+    bhp_limit: float = np.nan
+    thp_limit: float = np.nan
+    vfp_table: int = 0
+    alq: float = 0.0
+    surf_inj_rate: float = np.nan
+    resv_inj_rate: float = np.nan
+    polymer_conc: float = 0.0
+    completions: List[Completion] = field(default_factory=list)
+
+    def copy(self):
+        w = replace(self)
+        w.completions = [replace(c) for c in self.completions]
+        return w
+
+
+@dataclass
+class ReportStep:
+    index: int
+    start_time: float  # seconds since simulation start
+    end_time: float
+    wells: List[WellConfig] = field(default_factory=list)
+    events: List[str] = field(default_factory=list)  # e.g. WELL_CHANGE
+
+
+@dataclass
+class Schedule:
+    start_date: datetime.datetime
+    report_steps: List[ReportStep] = field(default_factory=list)
+    tuning: Optional[dict] = None
+
+    @property
+    def total_time(self):
+        return self.report_steps[-1].end_time if self.report_steps else 0.0
+
+
+def build_schedule(case: EclipseCase) -> Schedule:
+    deck = case.deck
+    u = case.units
+    sched = Schedule(start_date=case.runspec.start_date)
+    wells: Dict[str, WellConfig] = {}
+    t = 0.0
+    cur_date = case.runspec.start_date
+    step_idx = 0
+    pending_events: List[str] = []
+
+    p_f = u.factor("Pressure")
+    liq_f = u.factor("LiquidSurfaceVolume/Time")
+    gas_f = u.factor("GasSurfaceVolume/Time")
+    res_f = u.factor("ReservoirVolume/Time")
+    len_f = u.factor("Length")
+    trans_f = u.factor("Transmissibility")
+    kh_f = u.factor("Permeability*Length")
+    day = u.factor("Time")
+
+    in_schedule = False
+    for kw in deck:
+        name = kw.name
+        if name == "SCHEDULE":
+            in_schedule = True
+            continue
+        if not in_schedule:
+            continue
+        if name == "WELSPECS":
+            for r in kw.records:
+                wname = str(r[0])
+                w = wells.get(wname) or WellConfig(name=wname)
+                w.group = str(_val(r, 1, "FIELD"))
+                w.i = int(_val(r, 2, 1)) - 1
+                w.j = int(_val(r, 3, 1)) - 1
+                rd = _val(r, 4, None)
+                w.ref_depth = rd * len_f if rd is not None else None
+                w.preferred_phase = str(_val(r, 5, "OIL"))
+                wells[wname] = w
+                pending_events.append("WELL_CHANGE")
+        elif name == "COMPDAT":
+            for r in kw.records:
+                pat = str(r[0])
+                for w in _match_wells(wells, pat):
+                    i = int(_val(r, 1, w.i + 1)) - 1
+                    j = int(_val(r, 2, w.j + 1)) - 1
+                    k1 = int(_val(r, 3, 1)) - 1
+                    k2 = int(_val(r, 4, k1 + 1)) - 1
+                    status = str(_val(r, 5, "OPEN"))
+                    sat_tab = int(_val(r, 6, 0))
+                    cf = _val(r, 7, None)
+                    diam = _val(r, 8, None)
+                    kh = _val(r, 9, None)
+                    skin = float(_val(r, 10, 0.0))
+                    direction = str(_val(r, 12, "Z"))
+                    for k in range(k1, k2 + 1):
+                        comp = Completion(
+                            i=i, j=j, k=k,
+                            cf=cf * trans_f if cf is not None else None,
+                            diameter=(diam * len_f) if diam is not None
+                            else 0.3048,
+                            kh=kh * kh_f if kh is not None else None,
+                            skin=skin, direction=direction,
+                            sat_table=sat_tab, status=status)
+                        _upsert_completion(w, comp)
+                    pending_events.append("WELL_CHANGE")
+        elif name == "WCONPROD":
+            for r in kw.records:
+                for w in _match_wells(wells, str(r[0])):
+                    w.type = PRODUCER
+                    w.status = str(_val(r, 1, "OPEN"))
+                    w.control = str(_val(r, 2, "ORAT")).upper()
+                    w.orat = _sival(r, 3, liq_f)
+                    w.wrat = _sival(r, 4, liq_f)
+                    w.grat = _sival(r, 5, gas_f)
+                    w.lrat = _sival(r, 6, liq_f)
+                    w.resv = _sival(r, 7, res_f)
+                    w.bhp_limit = _sival(r, 8, p_f, default=101325.0)
+                    w.thp_limit = _sival(r, 9, p_f)
+                    w.vfp_table = int(_val(r, 10, 0))
+                    w.alq = float(_val(r, 11, 0.0))
+                    pending_events.append("WELL_CHANGE")
+        elif name in ("WCONINJE", "WCONINJ"):
+            for r in kw.records:
+                for w in _match_wells(wells, str(r[0])):
+                    w.type = INJECTOR
+                    w.injector_fluid = str(_val(r, 1, "WATER")).upper()
+                    w.status = str(_val(r, 2, "OPEN"))
+                    w.control = {"RATE": SURFACE_RATE, "RESV": RESERVOIR_RATE,
+                                 "BHP": BHP, "THP": THP, "GRUP": GRUP}.get(
+                                     str(_val(r, 3, "RATE")).upper(), SURFACE_RATE)
+                    rate_f = gas_f if w.injector_fluid == "GAS" else liq_f
+                    w.surf_inj_rate = _sival(r, 4, rate_f)
+                    w.resv_inj_rate = _sival(r, 5, res_f)
+                    w.bhp_limit = _sival(r, 6, p_f, default=6.895e8)
+                    w.thp_limit = _sival(r, 7, p_f)
+                    w.vfp_table = int(_val(r, 8, 0))
+                    pending_events.append("WELL_CHANGE")
+        elif name == "WELTARG":
+            for r in kw.records:
+                for w in _match_wells(wells, str(r[0])):
+                    ctl = str(_val(r, 1, "ORAT")).upper()
+                    v = float(_val(r, 2, 0.0))
+                    if ctl == "ORAT":
+                        w.orat = v * liq_f
+                    elif ctl == "WRAT":
+                        w.wrat = v * liq_f
+                    elif ctl == "GRAT":
+                        w.grat = v * gas_f
+                    elif ctl == "LRAT":
+                        w.lrat = v * liq_f
+                    elif ctl == "RESV":
+                        w.resv = v * res_f
+                    elif ctl == "BHP":
+                        w.bhp_limit = v * p_f
+                    elif ctl == "THP":
+                        w.thp_limit = v * p_f
+                    pending_events.append("WELL_CHANGE")
+        elif name == "WELOPEN":
+            for r in kw.records:
+                for w in _match_wells(wells, str(r[0])):
+                    w.status = str(_val(r, 1, "OPEN"))
+                    pending_events.append("WELL_CHANGE")
+        elif name == "WPOLYMER":
+            for r in kw.records:
+                for w in _match_wells(wells, str(r[0])):
+                    w.polymer_conc = float(_val(r, 1, 0.0)) * u.factor(
+                        "PolymerDensity")
+                    pending_events.append("WELL_CHANGE")
+        elif name == "TUNING":
+            r0 = kw.records[0] if kw.records else []
+            sched.tuning = dict(
+                tsinit=_val(r0, 0, 1.0) * day,
+                tsmaxz=_val(r0, 1, 365.0) * day,
+                tsminz=_val(r0, 2, 0.1) * day,
+                tfdiff=_val(r0, 4, 1.25),
+            )
+        elif name == "TSTEP":
+            for dt in kw.array:
+                dt_si = float(dt) * day
+                sched.report_steps.append(ReportStep(
+                    index=step_idx, start_time=t, end_time=t + dt_si,
+                    wells=[w.copy() for w in wells.values()],
+                    events=pending_events))
+                pending_events = []
+                t += dt_si
+                step_idx += 1
+            cur_date = case.runspec.start_date + datetime.timedelta(
+                seconds=t)
+        elif name == "DATES":
+            for r in kw.records:
+                date = _parse_date(r)
+                dt_si = (date - cur_date).total_seconds()
+                if dt_si <= 0:
+                    continue
+                sched.report_steps.append(ReportStep(
+                    index=step_idx, start_time=t, end_time=t + dt_si,
+                    wells=[w.copy() for w in wells.values()],
+                    events=pending_events))
+                pending_events = []
+                t += dt_si
+                cur_date = date
+                step_idx += 1
+    return sched
+
+
+def _match_wells(wells: Dict[str, WellConfig], pattern: str):
+    pattern = pattern.strip()
+    if any(ch in pattern for ch in "*?["):
+        return [w for n, w in wells.items() if fnmatch.fnmatch(n, pattern)]
+    if pattern not in wells:
+        wells[pattern] = WellConfig(name=pattern)
+    return [wells[pattern]]
+
+
+def _upsert_completion(w: WellConfig, comp: Completion):
+    for idx, c in enumerate(w.completions):
+        if (c.i, c.j, c.k) == (comp.i, comp.j, comp.k):
+            w.completions[idx] = comp
+            return
+    w.completions.append(comp)
+
+
+def _sival(rec, i, factor, default=np.nan):
+    v = _val(rec, i, None)
+    return float(v) * factor if v is not None else default

@@ -1,0 +1,291 @@
+"""Fully-implicit black-oil model: residual assembly.
+
+TPU-native re-design of BlackoilModelBase
+(/root/reference/opm/autodiff/BlackoilModelBase_impl.hpp):
+  * computeAccum (:711-751)            -> accumulation()
+  * assembleMassBalanceEq + computeMassFlux (:847-913, :1486-1512)
+                                       -> residual() flux section
+  * well source terms (:833-837)       -> wells/standard.py
+  * getConvergence (:1722-1857)        -> convergence()
+
+Where the reference builds sparse AutoDiffBlock Jacobians through HelperOps
+grad/div matrices and UpwindSelector (AutoDiffHelpers.hpp:44-259), this model
+evaluates a pure residual over cell arrays: face differences are gathers over
+``face_cells`` index pairs, divergence is a signed ``segment_sum``, and
+phase-potential upwinding is ``jnp.where`` on the face potential drop.
+Jacobians come from jax AD over this function (dense jacfwd for small cases;
+the sparse/Krylov path assembles block-CSR from the same local functions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opm_tpu.models.state import (GAS, HC_GASOIL, HC_GASONLY, HC_OILONLY, OIL,
+                                  WATER, BlackoilState, rs_rv, saturations)
+from opm_tpu.wells import standard as stdwells
+from opm_tpu.wells.wells import CTRL_BHP, WellSet
+
+
+@dataclass
+class ModelParams:
+    """Nonlinear/model tolerances; defaults from
+    /root/reference/opm/autodiff/BlackoilModelParameters.cpp:76-103."""
+
+    dp_max_rel: float = 0.3
+    ds_max: float = 0.2
+    dr_max_rel: float = 1e9
+    max_residual_allowed: float = 1e7
+    tolerance_mb: float = 1e-5
+    tolerance_cnv: float = 1e-2
+    tolerance_wells: float = 1e-4
+    max_iter: int = 15
+    min_iter: int = 1
+    max_welleq_iter: int = 15
+    solve_welleq_initially: bool = True
+    update_equations_scaling: bool = False
+    use_multisegment_well: bool = False
+    relax_max: float = 0.5
+    allow_crossflow: bool = True
+
+
+class CellQuantities(NamedTuple):
+    pw: jnp.ndarray
+    po: jnp.ndarray
+    pg: jnp.ndarray
+    b: jnp.ndarray        # (nc, 3)
+    mob: jnp.ndarray      # (nc, 3)
+    rho: jnp.ndarray      # (nc, 3)
+    rs: jnp.ndarray
+    rv: jnp.ndarray
+    sat: jnp.ndarray      # (nc, 3)
+    pv_mult: jnp.ndarray
+
+
+class Residual(NamedTuple):
+    cell: jnp.ndarray       # (nc, 3) surface-volume rate residuals
+    well_flux: jnp.ndarray  # (nw, 3)
+    well_ctrl: jnp.ndarray  # (nw,)
+    b: jnp.ndarray          # (nc, 3) inverse FVFs (for convergence norms)
+
+
+class BlackoilModel:
+    """Holds device-resident static data and provides pure functions over
+    states. Constant across the whole simulation; well data flows in as a
+    padded pytree argument so report-step changes don't retrace."""
+
+    def __init__(self, grid, props, params: Optional[ModelParams] = None):
+        self.grid = grid
+        self.props = props
+        self.params = params or ModelParams()
+        self.nc = grid.nc
+        f = jnp.asarray
+        self.face_cells = f(grid.face_cells)
+        self.trans = f(grid.trans)
+        self.pv = f(grid.pore_volume)
+        self.depth = f(grid.depth)
+        self.pvtnum = f(grid.pvtnum)
+        self.satnum = f(grid.satnum)
+        self.gravity = grid.gravity
+
+    # ------------------------------------------------------------------
+    def cell_quantities(self, state: BlackoilState) -> CellQuantities:
+        props = self.props
+        p = state.pressure
+        sw, so, sg = saturations(state)
+        rs, rv = rs_rv(state, props, self.pvtnum)
+        pcow, pcgo = props.capillary(sw, sg, self.satnum)
+        pw = p - pcow
+        pg = p + pcgo
+        bw = props.b_water(pw, self.pvtnum)
+        bo = props.b_oil(p, rs, self.pvtnum)
+        bg = props.b_gas(pg, rv, self.pvtnum)
+        muw = props.mu_water(pw, self.pvtnum)
+        muo = props.mu_oil(p, rs, self.pvtnum)
+        mug = props.mu_gas(pg, rv, self.pvtnum)
+        krw, kro, krg = props.relperm(sw, so, sg, self.satnum)
+        mob = jnp.stack([krw / muw, kro / muo, krg / mug], axis=-1)
+        sd = props.surface_density[self.pvtnum]  # (nc, 3)
+        rho = jnp.stack([
+            sd[:, WATER] * bw,
+            (sd[:, OIL] + rs * sd[:, GAS]) * bo,
+            (sd[:, GAS] + rv * sd[:, OIL]) * bg,
+        ], axis=-1)
+        b = jnp.stack([bw, bo, bg], axis=-1)
+        sat = jnp.stack([sw, so, sg], axis=-1)
+        pvm = props.pv_mult(p, self.pvtnum)
+        return CellQuantities(pw=pw, po=p, pg=pg, b=b, mob=mob, rho=rho,
+                              rs=rs, rv=rv, sat=sat, pv_mult=pvm)
+
+    # ------------------------------------------------------------------
+    def accumulation(self, state: BlackoilState) -> jnp.ndarray:
+        """Surface volumes per pore volume, (nc, 3) (computeAccum)."""
+        q = self.cell_quantities(state)
+        return self._accumulation_from_q(q)
+
+    @staticmethod
+    def _accumulation_from_q(q: CellQuantities) -> jnp.ndarray:
+        bw, bo, bg = q.b[:, WATER], q.b[:, OIL], q.b[:, GAS]
+        sw, so, sg = q.sat[:, WATER], q.sat[:, OIL], q.sat[:, GAS]
+        acc_w = bw * sw
+        acc_o = bo * so + q.rv * bg * sg
+        acc_g = bg * sg + q.rs * bo * so
+        return q.pv_mult[:, None] * jnp.stack([acc_w, acc_o, acc_g], axis=-1)
+
+    # ------------------------------------------------------------------
+    def face_fluxes(self, q: CellQuantities, threshold_dp=None):
+        """Per-face surface-volume fluxes (nf, 3), positive c1 -> c2, plus
+        the rs/rv cross-terms folded into oil/gas (computeMassFlux)."""
+        c1 = self.face_cells[:, 0]
+        c2 = self.face_cells[:, 1]
+        dz = self.depth[c1] - self.depth[c2]
+        g = self.gravity
+        p_ph = (q.pw, q.po, q.pg)
+        bmob = q.b * q.mob  # (nc, 3)
+
+        fluxes = []
+        vol_flux = []
+        ups = []
+        for ph in range(3):
+            pph = p_ph[ph]
+            rho_face = 0.5 * (q.rho[c1, ph] + q.rho[c2, ph])
+            dphi = (pph[c1] - pph[c2]) - rho_face * g * dz
+            if threshold_dp is not None:
+                # THPRES clipping (BlackoilModelBase_impl.hpp:1520-1545)
+                dphi = jnp.sign(dphi) * jnp.maximum(
+                    jnp.abs(dphi) - threshold_dp, 0.0)
+            up = dphi >= 0.0
+            bm = jnp.where(up, bmob[c1, ph], bmob[c2, ph])
+            vf = self.trans * dphi  # trans * potential drop
+            fluxes.append(bm * vf)
+            vol_flux.append(vf)
+            ups.append(up)
+
+        rs_up = jnp.where(ups[OIL], q.rs[c1], q.rs[c2])
+        rv_up = jnp.where(ups[GAS], q.rv[c1], q.rv[c2])
+        bmo_up = jnp.where(ups[OIL], bmob[c1, OIL], bmob[c2, OIL])
+        bmg_up = jnp.where(ups[GAS], bmob[c1, GAS], bmob[c2, GAS])
+        flux_w = fluxes[WATER]
+        flux_o = fluxes[OIL] + rv_up * bmg_up * vol_flux[GAS]
+        flux_g = fluxes[GAS] + rs_up * bmo_up * vol_flux[OIL]
+        return jnp.stack([flux_w, flux_o, flux_g], axis=-1)
+
+    # ------------------------------------------------------------------
+    def divergence(self, face_flux):
+        """Signed scatter-add of face fluxes to cells: div(F)."""
+        c1 = self.face_cells[:, 0]
+        c2 = self.face_cells[:, 1]
+        out = jnp.zeros((self.nc, face_flux.shape[-1]),
+                        dtype=face_flux.dtype)
+        out = out.at[c1].add(face_flux)
+        out = out.at[c2].add(-face_flux)
+        return out
+
+    # ------------------------------------------------------------------
+    def well_cell_quantities(self, q: CellQuantities):
+        sd = self.props.surface_density[self.pvtnum]
+        rho_avg = jnp.sum(q.sat * q.rho, axis=-1)
+        return dict(p_oil=q.po, mob=q.mob, b=q.b, rs=q.rs, rv=q.rv,
+                    rho_avg=rho_avg, surface_density=sd)
+
+    # ------------------------------------------------------------------
+    def residual(self, state: BlackoilState, acc0, dt, wd, cdp,
+                 threshold_dp=None) -> Residual:
+        """Full nonlinear residual (assemble,
+        BlackoilModelBase_impl.hpp:759-913)."""
+        q = self.cell_quantities(state)
+        acc = self._accumulation_from_q(q)
+        pvdt = self.pv / dt
+        cell_res = pvdt[:, None] * (acc - acc0)
+        cell_res = cell_res + self.divergence(
+            self.face_fluxes(q, threshold_dp))
+        cq_s = stdwells.perforation_fluxes(
+            wd, self.well_cell_quantities(q), state.bhp, state.qs, cdp,
+            allow_crossflow=self.params.allow_crossflow)
+        # scatter well sources: cq_s > 0 injects into the cell
+        flat_cells = wd["perf_cell"].reshape(-1)
+        flat_cq = cq_s.reshape(-1, 3)
+        cell_res = cell_res.at[flat_cells].add(-flat_cq)
+        well_flux, well_ctrl = stdwells.well_residuals(
+            wd, state.qs, state.bhp, cq_s, state.control, state.target,
+            resv_coef=wd.get("resv_coef"))
+        return Residual(cell=cell_res, well_flux=well_flux,
+                        well_ctrl=well_ctrl, b=q.b)
+
+    # ------------------------------------------------------------------
+    def convergence(self, res: Residual, dt, state: BlackoilState):
+        """MB/CNV norms (getConvergence:1722-1857). Returns dict of arrays."""
+        pv = self.pv
+        pv_sum = jnp.sum(pv)
+        B = 1.0 / jnp.maximum(res.b, 1e-300)        # (nc, 3)
+        R = res.cell
+        cnv = dt * jnp.max(jnp.abs(R) * B / pv[:, None], axis=0)
+        b_avg = jnp.mean(B, axis=0)
+        mb = dt * jnp.abs(jnp.sum(R, axis=0)) * b_avg / pv_sum
+        # well norms: flux residual relative to a rate scale; control
+        # residual split pressure (Pa) vs rate (relative)
+        qs_scale = jnp.maximum(jnp.max(jnp.abs(state.qs)), 1e-8)
+        well_flux_norm = jnp.max(jnp.abs(res.well_flux)) / qs_scale \
+            if res.well_flux.size else jnp.asarray(0.0)
+        is_bhp = state.control == CTRL_BHP
+        ctrl_p = jnp.where(is_bhp, jnp.abs(res.well_ctrl), 0.0)
+        tgt_scale = jnp.maximum(jnp.abs(state.target), 1e-8)
+        ctrl_r = jnp.where(is_bhp, 0.0, jnp.abs(res.well_ctrl) / tgt_scale)
+        well_ctrl_norm = (jnp.max(ctrl_p) / 1e5 + jnp.max(ctrl_r)) \
+            if res.well_ctrl.size else jnp.asarray(0.0)
+        p = self.params
+        converged = (jnp.all(mb < p.tolerance_mb)
+                     & jnp.all(cnv < p.tolerance_cnv)
+                     & (well_flux_norm < p.tolerance_wells)
+                     & (well_ctrl_norm < 1e-3))
+        finite = (jnp.all(jnp.isfinite(mb)) & jnp.all(jnp.isfinite(cnv))
+                  & jnp.isfinite(well_flux_norm)
+                  & jnp.all(mb < p.max_residual_allowed)
+                  & jnp.all(cnv < p.max_residual_allowed))
+        return dict(mb=mb, cnv=cnv, well_flux=well_flux_norm,
+                    well_ctrl=well_ctrl_norm, converged=converged,
+                    finite=finite)
+
+    # ------------------------------------------------------------------
+    # flat vector <-> state (for dense-Jacobian Newton)
+    def flatten(self, state: BlackoilState):
+        return jnp.concatenate([
+            state.pressure, state.sw, state.x, state.bhp,
+            state.qs.reshape(-1)])
+
+    def unflatten(self, u, template: BlackoilState) -> BlackoilState:
+        nc = self.nc
+        nw = template.bhp.shape[0]
+        return template._replace(
+            pressure=u[:nc], sw=u[nc:2 * nc], x=u[2 * nc:3 * nc],
+            bhp=u[3 * nc:3 * nc + nw],
+            qs=u[3 * nc + nw:3 * nc + nw + 3 * nw].reshape(nw, 3))
+
+    def residual_vector(self, res: Residual):
+        return jnp.concatenate([
+            res.cell.reshape(-1), res.well_flux.reshape(-1), res.well_ctrl])
+
+
+def make_well_device_arrays(ws: WellSet, gravity: float) -> dict:
+    """WellSet -> padded jnp pytree consumed by the residual (the analogue of
+    WellOps + the control arrays in StandardWells_impl.hpp:36-68)."""
+    f64 = jnp.asarray
+    return dict(
+        perf_cell=jnp.asarray(ws.perf_cell, dtype=jnp.int32),
+        perf_mask=f64(ws.perf_mask.astype(np.float64)),
+        perf_wi=f64(ws.perf_wi),
+        perf_depth=f64(ws.perf_depth),
+        is_injector=jnp.asarray(ws.is_injector),
+        comp_frac=f64(ws.comp_frac),
+        bhp_limit=f64(ws.bhp_limit),
+        ref_depth=f64(ws.ref_depth),
+        open=f64(ws.open_mask.astype(np.float64)),
+        primary_control=jnp.asarray(ws.control, dtype=jnp.int32),
+        primary_target=f64(ws.target),
+        gravity=jnp.asarray(gravity),
+    )

@@ -1,0 +1,261 @@
+"""SimulatorFullyImplicitBlackoil: the report-step driver.
+
+Counterpart of /root/reference/opm/autodiff/SimulatorBase_impl.hpp:89-324:
+report-step loop, per-step well rebuild (WellsManager analogue), adaptive
+sub-stepping, FIP reporting, summary collection, and timing
+(SimulatorReport). Also FlowMain's setup pipeline condensed
+(/root/reference/opm/autodiff/FlowMain.hpp:131-180): grid+props from deck,
+state init, simulator run.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from opm_tpu.grid import build_grid
+from opm_tpu.io.eclstate import EclipseCase, load_case
+from opm_tpu.io.schedule import Schedule, build_schedule
+from opm_tpu.models.blackoil import (BlackoilModel, ModelParams,
+                                     make_well_device_arrays)
+from opm_tpu.models.state import GAS, OIL, WATER, BlackoilState, saturations
+from opm_tpu.props.blackoil import BlackoilProps
+from opm_tpu.sim.init import initial_state
+from opm_tpu.solver.newton import NonlinearSolver, SolverReport
+from opm_tpu.solver.timestepping import (AdaptiveTimeStepping, SubStepReport,
+                                         TimeStepControlParams)
+from opm_tpu.wells.wells import (CTRL_BHP, CTRL_GRAT, CTRL_LRAT, CTRL_ORAT,
+                                 CTRL_SURFACE_RATE, CTRL_WRAT, WellSet,
+                                 build_well_set)
+
+DAY = 86400.0
+
+
+@dataclass
+class SimulatorReportTotals:
+    """Aggregated timing/iteration report (SimulatorReport analogue)."""
+    total_time: float = 0.0
+    assemble_time: float = 0.0
+    linear_solve_time: float = 0.0
+    substeps: int = 0
+    failed_substeps: int = 0
+    newton_iterations: int = 0
+    linear_iterations: int = 0
+
+
+class SummaryCollector:
+    """Accumulates well/field time series (the BlackoilOutputWriter summary
+    role, SimulatorFullyImplicitBlackoilOutput.hpp:206)."""
+
+    def __init__(self, well_names: List[str]):
+        self.well_names = well_names
+        self.rows: List[dict] = []
+
+    def record(self, t, state: BlackoilState, model, extra=None):
+        qs = np.asarray(state.qs)
+        bhp = np.asarray(state.bhp)
+        sw, so, sg = saturations(state)
+        pv = np.asarray(model.pv)
+        p = np.asarray(state.pressure)
+        row = dict(time=t / DAY)
+        row["FPR"] = float((p * pv).sum() / pv.sum())
+        # field rates: production reported positive (OPM sign convention:
+        # qs negative for producers)
+        prod = np.clip(-qs, 0.0, None)
+        inj = np.clip(qs, 0.0, None)
+        row["FOPR"] = prod[:, OIL].sum()
+        row["FWPR"] = prod[:, WATER].sum()
+        row["FGPR"] = prod[:, GAS].sum()
+        row["FOIR"] = inj[:, OIL].sum()
+        row["FWIR"] = inj[:, WATER].sum()
+        row["FGIR"] = inj[:, GAS].sum()
+        fopr = row["FOPR"]
+        row["FGOR"] = row["FGPR"] / fopr if fopr > 1e-12 else 0.0
+        row["FWCT"] = (row["FWPR"] / (row["FWPR"] + fopr)
+                       if row["FWPR"] + fopr > 1e-12 else 0.0)
+        for iw, name in enumerate(self.well_names):
+            row[f"WBHP:{name}"] = bhp[iw]
+            row[f"WOPR:{name}"] = prod[iw, OIL]
+            row[f"WWPR:{name}"] = prod[iw, WATER]
+            row[f"WGPR:{name}"] = prod[iw, GAS]
+            row[f"WGIR:{name}"] = inj[iw, GAS]
+            row[f"WWIR:{name}"] = inj[iw, WATER]
+            gor = prod[iw, GAS] / prod[iw, OIL] if prod[iw, OIL] > 1e-12 \
+                else 0.0
+            row[f"WGOR:{name}"] = gor
+        if extra:
+            row.update(extra)
+        self.rows.append(row)
+
+    def series(self, key):
+        return np.array([r.get(key, np.nan) for r in self.rows])
+
+    def to_csv(self, path):
+        keys = sorted({k for r in self.rows for k in r},
+                      key=lambda k: (k != "time", k))
+        with open(path, "w") as f:
+            f.write(",".join(keys) + "\n")
+            for r in self.rows:
+                f.write(",".join(f"{r.get(k, float('nan')):.10g}"
+                                 for k in keys) + "\n")
+
+
+def fluid_in_place(model, state: BlackoilState):
+    """Surface-volume FIP per phase (computeFluidInPlace,
+    BlackoilModelBase_impl.hpp:2459)."""
+    acc = np.asarray(model.accumulation(state))
+    pv = np.asarray(model.pv)
+    return (acc * pv[:, None]).sum(axis=0)  # (3,) w,o,g surface volumes
+
+
+class SimulatorFullyImplicitBlackoil:
+    def __init__(self, case: EclipseCase, *,
+                 params: Optional[ModelParams] = None,
+                 ts_params: Optional[TimeStepControlParams] = None,
+                 output_dir: Optional[str] = None):
+        self.case = case
+        self.grid = build_grid(case)
+        self.props = BlackoilProps.from_case(case)
+        self.model = BlackoilModel(self.grid, self.props, params)
+        self.schedule = build_schedule(case)
+        self.output_dir = output_dir
+        # global well superset: fixed shapes across the whole schedule
+        names = []
+        max_perf = 1
+        for step in self.schedule.report_steps:
+            for w in step.wells:
+                if w.name not in names:
+                    names.append(w.name)
+                max_perf = max(max_perf, len(w.completions))
+        self.well_names = names
+        self.max_perf = max_perf
+        self.ts = AdaptiveTimeStepping(ts_params, tuning=self.schedule.tuning)
+        self.solver = NonlinearSolver(self.model)
+        self.summary = SummaryCollector(names)
+        self.report = SimulatorReportTotals()
+
+    # ------------------------------------------------------------------
+    def _well_set_for(self, step) -> WellSet:
+        return build_well_set(step.wells, self.grid, max_perf=self.max_perf,
+                              name_order=self.well_names)
+
+    def _pad_well_set(self, ws: WellSet) -> WellSet:
+        """Extend arrays to the global well count (missing wells shut)."""
+        nw = len(self.well_names)
+        if ws.nw == nw and ws.names == self.well_names:
+            return ws
+        idx = {n: i for i, n in enumerate(ws.names)}
+
+        def pad2(a, fill=0.0):
+            out = np.full((nw,) + a.shape[1:], fill, dtype=a.dtype)
+            for i, n in enumerate(self.well_names):
+                if n in idx:
+                    out[i] = a[idx[n]]
+            return out
+
+        return WellSet(
+            names=list(self.well_names), nw=nw, max_perf=ws.max_perf,
+            perf_cell=pad2(ws.perf_cell), perf_mask=pad2(ws.perf_mask, False),
+            perf_wi=pad2(ws.perf_wi), perf_depth=pad2(ws.perf_depth),
+            is_injector=pad2(ws.is_injector, False),
+            comp_frac=pad2(ws.comp_frac), control=pad2(ws.control),
+            target=pad2(ws.target), bhp_limit=pad2(ws.bhp_limit, 1e5),
+            thp_limit=pad2(ws.thp_limit, np.nan),
+            ref_depth=pad2(ws.ref_depth), open_mask=pad2(ws.open_mask, False),
+            rate_targets=pad2(ws.rate_targets, np.nan),
+            inj_rate_target=pad2(ws.inj_rate_target, np.nan),
+            inj_resv_target=pad2(ws.inj_resv_target, np.nan),
+            polymer_conc=pad2(ws.polymer_conc))
+
+    def _init_well_state(self, state: BlackoilState, ws: WellSet,
+                         first: bool) -> BlackoilState:
+        """Reset controls to the schedule and give fresh wells a sane guess
+        (WellStateFullyImplicitBlackoil::init semantics)."""
+        nw = ws.nw
+        control = jnp.asarray(ws.control, dtype=jnp.int32)
+        target = jnp.asarray(ws.target)
+        bhp = np.asarray(state.bhp).copy()
+        qs = np.asarray(state.qs).copy()
+        p = np.asarray(state.pressure)
+        for iw in range(nw):
+            if not ws.open_mask[iw]:
+                continue
+            c0 = ws.perf_cell[iw][ws.perf_mask[iw]]
+            p_ref = p[c0[0]] if len(c0) else 1e7
+            if ws.control[iw] == CTRL_BHP:
+                bhp[iw] = ws.target[iw]
+            elif first or bhp[iw] == 0.0:
+                bhp[iw] = p_ref * (1.05 if ws.is_injector[iw] else 0.95)
+            if first or not np.any(qs[iw]):
+                t = ws.target[iw]
+                if ws.is_injector[iw]:
+                    qs[iw] = ws.comp_frac[iw] * (
+                        t if ws.control[iw] == CTRL_SURFACE_RATE else 0.0)
+                else:
+                    sgn = {CTRL_ORAT: OIL, CTRL_WRAT: WATER,
+                           CTRL_GRAT: GAS, CTRL_LRAT: OIL}.get(
+                               int(ws.control[iw]))
+                    if sgn is not None:
+                        qs[iw, sgn] = -t
+        return state._replace(bhp=jnp.asarray(bhp), qs=jnp.asarray(qs),
+                              control=control, target=target)
+
+    # ------------------------------------------------------------------
+    def run(self, state: Optional[BlackoilState] = None, *,
+            report_step_limit: Optional[int] = None, verbose: bool = False):
+        t_start = time.perf_counter()
+        nw = len(self.well_names)
+        if state is None:
+            state = initial_state(self.grid, self.props, self.case, nw)
+        steps = self.schedule.report_steps
+        if report_step_limit is not None:
+            steps = steps[:report_step_limit]
+        first = True
+        for step in steps:
+            ws = self._pad_well_set(self._well_set_for(step))
+            wd = make_well_device_arrays(ws, self.grid.gravity)
+            state = self._init_well_state(state, ws, first)
+            first = False
+
+            def solve_fn(s, dt):
+                rep = SolverReport()
+                s2, rep = self.solver.step(s, dt, wd, report=rep)
+                self.report.assemble_time += rep.assemble_time
+                self.report.linear_solve_time += rep.linear_solve_time
+                return s2, rep
+
+            had_event = bool(step.events)
+            state, subrep = self.ts.step(
+                solve_fn, state, step.end_time - step.start_time,
+                had_event=had_event)
+            self.report.substeps += subrep.substeps
+            self.report.failed_substeps += subrep.failed_substeps
+            self.report.newton_iterations += subrep.total_newton
+            self.summary.record(step.end_time, state, self.model)
+            if verbose:
+                r = self.summary.rows[-1]
+                print(f"step {step.index:4d} t={step.end_time / DAY:9.1f} d "
+                      f"newton={subrep.total_newton:3d} "
+                      f"FPR={r['FPR'] / 1e5:8.2f} bar "
+                      f"FOPR={r['FOPR'] * DAY:10.1f} FGOR={r['FGOR']:8.2f}")
+        self.report.total_time = time.perf_counter() - t_start
+        if self.output_dir:
+            import os
+            os.makedirs(self.output_dir, exist_ok=True)
+            self.summary.to_csv(
+                os.path.join(self.output_dir, "summary.csv"))
+        return state
+
+
+def run_deck(path: str, **kw):
+    """flow_legacy-style entry: load deck, build, run
+    (examples/flow_legacy.cpp:36-44)."""
+    case = load_case(path)
+    sim = SimulatorFullyImplicitBlackoil(case, **{k: v for k, v in kw.items()
+                                                  if k != "verbose"})
+    state = sim.run(verbose=kw.get("verbose", False))
+    return sim, state

@@ -1,0 +1,222 @@
+"""Initial-state computation: EQUIL equilibration and explicit deck init.
+
+Re-implements the reference's initStateEquil
+(/root/reference/opm/core/simulator/initStateEquil.hpp:233
+InitialStateComputer + EquilibrationHelpers.hpp:178-700): per-EQLNUM-region
+integration of hydrostatic phase-pressure columns from the datum (here a
+fixed-step ``lax.scan`` march instead of the reference's RK4 ODE solver),
+RSVD/PBVD dissolved-gas columns, capillary-pressure inversion for the
+saturation profile (satFromPc), and sharp contacts when the capillary curves
+are degenerate. Also initStateBasic-style explicit init from PRESSURE/SWAT/
+SGAS/RS arrays (/root/reference/opm/core/simulator/initState.hpp:76-218).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opm_tpu.models.state import (HC_GASOIL, BlackoilState, init_hcstate)
+from opm_tpu.utils.tables import interp
+from opm_tpu.wells.wells import CTRL_BHP
+
+_NZ = 2000  # column resolution
+
+
+def _integrate_column(z_grid, z0, p0, rho_fn):
+    """March p along z_grid (ascending depth) from anchor (z0, p0):
+    dp/dz = rho(p, z) * g, midpoint rule, both directions."""
+    n = z_grid.shape[0]
+    i0 = jnp.clip(jnp.searchsorted(z_grid, z0), 0, n - 1)
+    # pressure at the nearest grid point below/above the anchor
+    p_at = p0 + rho_fn(p0, z0) * (z_grid[i0] - z0)
+
+    def down_step(p, i):
+        dz = z_grid[i] - z_grid[i - 1]
+        p_mid = p + rho_fn(p, z_grid[i - 1]) * 0.5 * dz
+        p_new = p + rho_fn(p_mid, z_grid[i - 1] + 0.5 * dz) * dz
+        take = i > i0
+        p = jnp.where(take, p_new, p)
+        return p, p
+
+    def up_step(p, i):
+        dz = z_grid[i + 1] - z_grid[i]
+        p_mid = p - rho_fn(p, z_grid[i + 1]) * 0.5 * dz
+        p_new = p - rho_fn(p_mid, z_grid[i + 1] - 0.5 * dz) * dz
+        take = i < i0
+        p = jnp.where(take, p_new, p)
+        return p, p
+
+    _, p_down = jax.lax.scan(down_step, p_at, jnp.arange(1, n))
+    _, p_up = jax.lax.scan(up_step, p_at, jnp.arange(0, n - 1),
+                           reverse=True)
+    p = jnp.concatenate([p_up, jnp.array([p_at])])
+    p = p.at[1:].set(jnp.where(jnp.arange(1, n) > i0, p_down, p[1:]))
+    p = p.at[i0].set(p_at)
+    return p
+
+
+def equilibrate_region(grid, props, rec, cells, rsvd=None, rvvd=None,
+                       pbvd=None):
+    """Phase pressures + saturations + rs/rv for the active cells of one
+    equilibration region. Returns numpy arrays over `cells`."""
+    g = grid.gravity
+    depth = grid.depth[cells]
+    reg_pvt = grid.pvtnum[cells]
+    reg_sat = grid.satnum[cells]
+    pvt0 = int(np.bincount(reg_pvt).argmax()) if len(reg_pvt) else 0
+
+    zmin = min(depth.min(), rec.datum_depth, rec.woc_depth, rec.goc_depth) - 1.0
+    zmax = max(depth.max(), rec.datum_depth, rec.woc_depth, rec.goc_depth) + 1.0
+    z = jnp.linspace(zmin, zmax, _NZ)
+
+    # dissolved-gas column: RSVD table or saturated at current p
+    if rsvd is not None:
+        rs_of_z = lambda zz: interp(jnp.asarray(rsvd[:, 0]),
+                                    jnp.asarray(rsvd[:, 1]), zz,
+                                    extrap="clamp")
+    else:
+        rs_of_z = None
+    if pbvd is not None:
+        pb_of_z = lambda zz: interp(jnp.asarray(pbvd[:, 0]),
+                                    jnp.asarray(pbvd[:, 1]), zz,
+                                    extrap="clamp")
+    else:
+        pb_of_z = None
+
+    def rho_o(p, zz):
+        if not props.disgas:
+            return props.rho_oil(p, jnp.zeros_like(p), pvt0) * g
+        if rs_of_z is not None:
+            rs = jnp.minimum(rs_of_z(zz), props.rs_sat(p, pvt0))
+        elif pb_of_z is not None:
+            rs = props.rs_sat(jnp.minimum(pb_of_z(zz), p), pvt0)
+        else:
+            rs = props.rs_sat(p, pvt0)
+        return props.rho_oil(p, rs, pvt0) * g
+
+    def rho_w(p, zz):
+        return props.rho_water(p, pvt0) * g
+
+    def rho_g(p, zz):
+        rv = props.rv_sat(p, pvt0) if props.vapoil else jnp.zeros_like(p)
+        return props.rho_gas(p, rv, pvt0) * g
+
+    po = _integrate_column(z, rec.datum_depth, rec.datum_pressure, rho_o)
+    # anchor water at WOC, gas at GOC (EquilibrationHelpers PhasePressure)
+    po_woc = interp(z, po, jnp.asarray(rec.woc_depth))
+    pw = _integrate_column(z, rec.woc_depth, po_woc - rec.woc_pc, rho_w)
+    po_goc = interp(z, po, jnp.asarray(rec.goc_depth))
+    pg = _integrate_column(z, rec.goc_depth, po_goc + rec.goc_pc, rho_g)
+
+    zc = jnp.asarray(depth)
+    po_c = interp(z, po, zc)
+    pw_c = interp(z, pw, zc)
+    pg_c = interp(z, pg, zc)
+
+    # saturations from capillary inversion / sharp contacts
+    sf = props.satfunc
+    swco = np.asarray(sf.swco)[np.asarray(reg_sat)] if sf is not None else \
+        np.zeros(len(depth))
+    pcow_range = float(jnp.max(jnp.abs(sf.pcow))) if sf is not None else 0.0
+    pcgo_range = float(jnp.max(jnp.abs(sf.pcgo))) if sf is not None else 0.0
+
+    if sf is not None and pcow_range > 1e-9:
+        sw = np.asarray(sf.pcow_inverse(po_c - pw_c, jnp.asarray(reg_sat)))
+    else:
+        sw = np.where(np.asarray(zc) > rec.woc_depth, 1.0, swco)
+    if sf is not None and pcgo_range > 1e-9:
+        # invert pcgo(sg) = pg - po (increasing in sg)
+        pc = pg_c - po_c
+        sg = np.asarray(_invert_increasing(sf.sg, sf.pcgo,
+                                           jnp.asarray(pc),
+                                           jnp.asarray(reg_sat)))
+        sg = np.where(np.asarray(zc) < rec.goc_depth, sg, 0.0)
+    else:
+        sg = np.where(np.asarray(zc) < rec.goc_depth, 1.0 - swco, 0.0)
+    sg = np.clip(sg, 0.0, 1.0 - sw)
+
+    # rs / rv per cell
+    rssat_c = np.asarray(props.rs_sat(po_c, jnp.asarray(reg_pvt)))
+    if props.disgas:
+        if rsvd is not None:
+            rs_c = np.minimum(np.interp(np.asarray(zc), rsvd[:, 0],
+                                        rsvd[:, 1]), rssat_c)
+        elif pbvd is not None:
+            pb = np.interp(np.asarray(zc), pbvd[:, 0], pbvd[:, 1])
+            rs_c = np.asarray(props.rs_sat(
+                jnp.minimum(jnp.asarray(pb), po_c), jnp.asarray(reg_pvt)))
+        else:
+            rs_c = rssat_c
+    else:
+        rs_c = np.zeros(len(depth))
+    rvsat_c = np.asarray(props.rv_sat(pg_c, jnp.asarray(reg_pvt)))
+    if props.vapoil:
+        if rvvd is not None:
+            rv_c = np.minimum(np.interp(np.asarray(zc), rvvd[:, 0],
+                                        rvvd[:, 1]), rvsat_c)
+        else:
+            rv_c = rvsat_c
+    else:
+        rv_c = np.zeros(len(depth))
+
+    return (np.asarray(po_c), sw, sg, rs_c, rv_c)
+
+
+def _invert_increasing(s_tab, pc_tab, pc, reg):
+    from opm_tpu.props.satfunc import _interp_reg
+    return _interp_reg(pc_tab, s_tab, pc, reg)
+
+
+def initial_state(grid, props, case, nw: int) -> BlackoilState:
+    """Full initial BlackoilState from the deck SOLUTION section
+    (FlowMain.hpp:594-694 setupState)."""
+    nc = grid.nc
+    sol = case.solution
+    if sol.pressure is not None:
+        p = np.asarray(sol.pressure)[grid.global_cell]
+        sw = np.asarray(sol.swat)[grid.global_cell] if sol.swat is not None \
+            else np.zeros(nc)
+        sg = np.asarray(sol.sgas)[grid.global_cell] if sol.sgas is not None \
+            else np.zeros(nc)
+        rs = np.asarray(sol.rs)[grid.global_cell] if sol.rs is not None \
+            else np.asarray(props.rs_sat(jnp.asarray(p), grid.pvtnum))
+        rv = np.asarray(sol.rv)[grid.global_cell] if sol.rv is not None \
+            else np.zeros(nc)
+    elif sol.equil:
+        p = np.zeros(nc)
+        sw = np.zeros(nc)
+        sg = np.zeros(nc)
+        rs = np.zeros(nc)
+        rv = np.zeros(nc)
+        eql = grid.eqlnum
+        for ireg, rec in enumerate(sol.equil):
+            cells = np.nonzero(np.asarray(eql) == ireg)[0]
+            if len(cells) == 0:
+                continue
+            rsvd = sol.rsvd[ireg] if ireg < len(sol.rsvd) else None
+            rvvd = sol.rvvd[ireg] if ireg < len(sol.rvvd) else None
+            pbvd = sol.pbvd[ireg] if ireg < len(sol.pbvd) else None
+            po_c, sw_c, sg_c, rs_c, rv_c = equilibrate_region(
+                grid, props, rec, cells, rsvd, rvvd, pbvd)
+            p[cells] = po_c
+            sw[cells] = sw_c
+            sg[cells] = sg_c
+            rs[cells] = rs_c
+            rv[cells] = rv_c
+    else:
+        raise ValueError("deck has neither EQUIL nor explicit initial state")
+
+    hc = init_hcstate(jnp.asarray(sw), jnp.asarray(sg),
+                      disgas=props.disgas, vapoil=props.vapoil)
+    is_rs = hc == 1
+    is_rv = hc == 2
+    x = jnp.where(is_rs, jnp.asarray(rs),
+                  jnp.where(is_rv, jnp.asarray(rv), jnp.asarray(sg)))
+    return BlackoilState(
+        pressure=jnp.asarray(p), sw=jnp.asarray(sw), x=x,
+        hcstate=hc,
+        bhp=jnp.zeros(nw), qs=jnp.zeros((nw, 3)),
+        control=jnp.zeros(nw, dtype=jnp.int32),
+        target=jnp.zeros(nw))

@@ -1,0 +1,184 @@
+"""NonlinearSolver: the Newton driver.
+
+Counterpart of /root/reference/opm/autodiff/NonlinearSolver_impl.hpp:119-189
+(step loop, min/max iterations, oscillation detection + relaxation
+:223-297) and BlackoilModelBase::nonlinearIteration (assemble -> convergence
+-> linear solve -> updateState, BlackoilModelBase_impl.hpp:241-340).
+
+Device work is split into two jitted kernels over fixed shapes:
+  * _assemble:  residual + convergence norms (cheap, every iteration)
+  * _solve:     Jacobian + Newton increment + chopped update
+The linear solve is pluggable: a dense jacfwd/solve path for small cases
+(exactness reference) and the block-sparse Krylov path in opm_tpu.linalg for
+large ones.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opm_tpu.models.blackoil import BlackoilModel
+from opm_tpu.models.state import BlackoilState
+from opm_tpu.solver.update import update_state
+from opm_tpu.wells import standard as stdwells
+
+
+def dense_solve(J, r, dtype=None):
+    """Dense LU solve with symmetric row/column equilibration.
+
+    TPU has no f64 LU (XLA LuDecomposition is F32/C64 only), so on TPU the
+    equilibrated system is solved in f32 — the analogue of the reference's
+    single-precision linear-solve path (LinearisedBlackoilResidual
+    singlePrecision, BlackoilModelParameters maxSinglePrecisionDays). The
+    equilibration (D_r J D_c with D = 1/max|row or col|) tames the mixed
+    Pa/saturation/rate unit scales so f32 factorization stays accurate."""
+    dr = 1.0 / jnp.maximum(jnp.max(jnp.abs(J), axis=1), 1e-300)
+    Js = J * dr[:, None]
+    dc = 1.0 / jnp.maximum(jnp.max(jnp.abs(Js), axis=0), 1e-300)
+    Js = Js * dc[None, :]
+    rs = r * dr
+    if dtype is not None and dtype != Js.dtype:
+        du_s = jnp.linalg.solve(Js.astype(dtype), rs.astype(dtype))
+        # one step of iterative refinement in f64
+        resid = rs - Js @ du_s.astype(Js.dtype)
+        corr = jnp.linalg.solve(Js.astype(dtype), resid.astype(dtype))
+        du_s = du_s.astype(Js.dtype) + corr.astype(Js.dtype)
+    else:
+        du_s = jnp.linalg.solve(Js, rs)
+    return du_s * dc
+
+
+class NumericalIssue(Exception):
+    """Raised on non-finite or exploding residuals (the reference throws
+    Opm::NumericalIssue at BlackoilModelBase_impl.hpp:1562-1586); caught by
+    adaptive timestepping to chop dt."""
+
+
+class TooManyIterations(Exception):
+    pass
+
+
+@dataclass
+class SolverReport:
+    iterations: int = 0
+    converged: bool = False
+    assemble_time: float = 0.0
+    linear_solve_time: float = 0.0
+    update_time: float = 0.0
+    linear_iterations: int = 0
+
+
+class NonlinearSolver:
+    def __init__(self, model: BlackoilModel, linear_solver=None,
+                 max_iter: Optional[int] = None, min_iter: int = 1,
+                 relax_max: float = 0.5, relax_increment: float = 0.1,
+                 relax_rel_tol: float = 0.2):
+        self.model = model
+        self.linear_solver = linear_solver
+        self.max_iter = max_iter or model.params.max_iter
+        self.min_iter = min_iter
+        self.relax_max = relax_max
+        self.relax_increment = relax_increment
+        self.relax_rel_tol = relax_rel_tol
+        # TPU: no f64 LU in XLA -> equilibrated f32 solve + refinement
+        self.solve_dtype = (jnp.float32 if jax.default_backend()
+                            not in ("cpu",) else None)
+        self._assemble_jit = jax.jit(self._assemble)
+        self._solve_jit = jax.jit(self._solve_dense)
+        self._cdp_jit = jax.jit(self._cdp)
+
+    # -- jitted kernels --------------------------------------------------
+    def _cdp(self, state, wd):
+        q = self.model.cell_quantities(state)
+        return stdwells.connection_pressure_offsets(
+            wd, self.model.well_cell_quantities(q), state.qs)
+
+    def _assemble(self, state, acc0, dt, wd, cdp):
+        res = self.model.residual(state, acc0, dt, wd, cdp)
+        conv = self.model.convergence(res, dt, state)
+        ctrl, tgt = stdwells.update_controls(
+            wd, state.bhp, state.qs, state.control, state.target)
+        return res, conv, ctrl, tgt
+
+    def _solve_dense(self, state, acc0, dt, wd, cdp, omega):
+        model = self.model
+
+        def rfun(u):
+            s = model.unflatten(u, state)
+            res = model.residual(s, acc0, dt, wd, cdp)
+            return model.residual_vector(res)
+
+        u = model.flatten(state)
+        r = rfun(u)
+        J = jax.jacfwd(rfun)(u)
+        du = dense_solve(J, r, self.solve_dtype)
+        du = omega * du
+        return update_state(model, state, du)
+
+    # -- host loop ---------------------------------------------------------
+    def step(self, state0: BlackoilState, dt: float, wd,
+             report: Optional[SolverReport] = None):
+        """One (sub)timestep: Newton to convergence. Returns (state, report).
+        Raises NumericalIssue / TooManyIterations for the dt-chop retry loop
+        (AdaptiveTimeStepping_impl.hpp:235-373)."""
+        model = self.model
+        rep = report or SolverReport()
+        state = state0
+        acc0 = model.accumulation(state0)
+        dt = jnp.asarray(dt, dtype=jnp.float64)
+        # explicit wellbore pressure profile, frozen after initial assembly
+        # (computeWellConnectionPressures at BlackoilModelBase_impl.hpp:804)
+        cdp = self._cdp_jit(state, wd)
+        omega = 1.0
+        mb_history = []
+        for it in range(self.max_iter + 1):
+            t0 = time.perf_counter()
+            res, conv, ctrl, tgt = self._assemble_jit(state, acc0, dt, wd,
+                                                      cdp)
+            finite = bool(conv["finite"])
+            converged = bool(conv["converged"])
+            rep.assemble_time += time.perf_counter() - t0
+            if not finite:
+                raise NumericalIssue(
+                    f"non-finite residual at iteration {it}: "
+                    f"mb={np.asarray(conv['mb'])} cnv={np.asarray(conv['cnv'])}")
+            if converged and it >= self.min_iter:
+                rep.converged = True
+                rep.iterations = it
+                return state, rep
+            if it == self.max_iter:
+                break
+            state = state._replace(control=ctrl, target=tgt)
+            mb_history.append(np.asarray(conv["mb"]))
+            if self._oscillating(mb_history):
+                omega = max(self.relax_max, omega - self.relax_increment)
+            t0 = time.perf_counter()
+            state = self._solve_jit(state, acc0, dt, wd, cdp,
+                                    jnp.asarray(omega))
+            jax.block_until_ready(state.pressure)
+            rep.linear_solve_time += time.perf_counter() - t0
+            rep.iterations = it + 1
+        raise TooManyIterations(
+            f"Newton failed to converge in {self.max_iter} iterations "
+            f"(mb={np.asarray(conv['mb'])}, cnv={np.asarray(conv['cnv'])})")
+
+    def _oscillating(self, history, num_phases=3):
+        """Oscillation detection on the MB-residual history
+        (NonlinearSolver_impl.hpp:223-255): two phases with alternating
+        residual changes larger than relax_rel_tol."""
+        if len(history) < 3:
+            return False
+        f0, f1, f2 = history[-3], history[-2], history[-1]
+        osc = 0
+        for ph in range(num_phases):
+            d1 = (f2[ph] - f1[ph]) / max(abs(f1[ph]), 1e-300)
+            d2 = (f1[ph] - f0[ph]) / max(abs(f1[ph]), 1e-300)
+            if d1 * d2 < 0 and min(abs(d1), abs(d2)) > self.relax_rel_tol:
+                osc += 1
+        return osc >= 2

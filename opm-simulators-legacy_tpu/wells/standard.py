@@ -1,0 +1,198 @@
+"""StandardWells: device-side well model.
+
+Re-implements the semantics of the reference's StandardWells
+(/root/reference/opm/autodiff/StandardWells_impl.hpp):
+  * computeWellFlux (:398-571) — drawdown-signed perforation fluxes;
+    producing perfs give surface rates b*mob*WI*drawdown with rs/rv
+    transfers; injecting perfs distribute a total-mobility volume rate by the
+    wellbore surface mixture over the volume ratio (d = 1 - rs*rv).
+  * addWellFluxEq (:809) — q_s - sum(perf fluxes) = 0.
+  * addWellControlEq (:838-997) — BHP / rate-distribution control residual.
+  * updateWellControls (:613-703 area) — constraint switching.
+  * WellDensitySegmented (../WellDensitySegmented.cpp) — explicit wellbore
+    mixture density -> connection pressure offsets cdp.
+
+All functions are pure jnp over padded (nw, max_perf) arrays; everything
+vmap-free (plain broadcasting) so it fuses into the residual kernel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from opm_tpu.wells.wells import (CTRL_BHP, CTRL_GRAT, CTRL_GRUP, CTRL_LRAT,
+                                 CTRL_ORAT, CTRL_RESERVOIR_RATE, CTRL_RESV,
+                                 CTRL_SURFACE_RATE, CTRL_THP, CTRL_WRAT)
+
+WATER, OIL, GAS = 0, 1, 2
+_EPS = 1e-14
+
+
+def wellbore_mixture(qs, comp_frac):
+    """Surface-volume fractions of the wellbore mixture
+    (StandardWells::wellSurfaceVolumeFraction): current well rates when
+    flowing, injection/preferred composition otherwise."""
+    total = jnp.sum(qs, axis=-1, keepdims=True)
+    flowing = jnp.abs(total) > _EPS
+    frac = qs / jnp.where(flowing, total, 1.0)
+    return jnp.where(flowing, frac, comp_frac)
+
+
+def perforation_fluxes(wd, cellq, bhp, qs, cdp, *, allow_crossflow=True):
+    """Per-perforation surface-volume source rates cq_s (nw, mp, 3);
+    positive = injection into the reservoir cell.
+
+    wd: dict of padded well arrays (perf_cell, perf_wi, perf_mask, comp_frac,
+        is_injector, open).
+    cellq: dict of per-cell arrays (p_oil, mob (nc,3), b (nc,3), rs, rv).
+    """
+    c = wd["perf_cell"]                      # (nw, mp)
+    mask = wd["perf_mask"] * wd["open"][:, None]
+    p_cell = cellq["p_oil"][c]
+    ddn = p_cell - (bhp[:, None] + cdp)      # drawdown (computeWellFlux:421)
+    mob = cellq["mob"][c]                    # (nw, mp, 3)
+    b = cellq["b"][c]
+    rs = cellq["rs"][c]
+    rv = cellq["rv"][c]
+    wi = wd["perf_wi"]
+
+    # --- producing perforations (drawdown > 0) --------------------------
+    cq_r = -wi[..., None] * mob * ddn[..., None]   # reservoir-volume rates
+    base = b * cq_r
+    prod = jnp.stack([
+        base[..., WATER],
+        base[..., OIL] + rv * base[..., GAS],
+        base[..., GAS] + rs * base[..., OIL],
+    ], axis=-1)
+
+    # --- injecting perforations (drawdown <= 0) --------------------------
+    totmob = jnp.sum(mob, axis=-1)
+    cqt_r = -wi * totmob * ddn                      # > 0 for injection
+    cmix = wellbore_mixture(qs, wd["comp_frac"])    # (nw, 3)
+    cw = cmix[:, None, WATER]
+    co = cmix[:, None, OIL]
+    cg = cmix[:, None, GAS]
+    d = jnp.maximum(1.0 - rs * rv, _EPS)
+    volrat = (cw / jnp.maximum(b[..., WATER], _EPS)
+              + (co - rv * cg) / d / jnp.maximum(b[..., OIL], _EPS)
+              + (cg - rs * co) / d / jnp.maximum(b[..., GAS], _EPS))
+    cqt_s = cqt_r / jnp.maximum(volrat, _EPS)
+    inj = cmix[:, None, :] * cqt_s[..., None]
+
+    producing = ddn > 0.0
+    cq_s = jnp.where(producing[..., None], prod, inj)
+    if not allow_crossflow:
+        # suppress producer-injection / injector-production perfs
+        is_inj = wd["is_injector"][:, None]
+        keep = jnp.where(is_inj, ~producing, producing)
+        cq_s = jnp.where(keep[..., None], cq_s, 0.0)
+    return cq_s * mask[..., None]
+
+
+def control_distribution(control, comp_frac):
+    """Rate-distribution vector g such that the rate-control residual is
+    g.qs - target (addWellControlEq:838-997). Production rates are negative
+    in qs, targets positive, hence negative entries for producers."""
+    nw = control.shape[0]
+    g = jnp.zeros((nw, 3))
+    g = jnp.where((control == CTRL_ORAT)[:, None],
+                  jnp.array([0.0, -1.0, 0.0]), g)
+    g = jnp.where((control == CTRL_WRAT)[:, None],
+                  jnp.array([-1.0, 0.0, 0.0]), g)
+    g = jnp.where((control == CTRL_GRAT)[:, None],
+                  jnp.array([0.0, 0.0, -1.0]), g)
+    g = jnp.where((control == CTRL_LRAT)[:, None],
+                  jnp.array([-1.0, -1.0, 0.0]), g)
+    g = jnp.where((control == CTRL_SURFACE_RATE)[:, None], comp_frac, g)
+    return g
+
+
+def well_residuals(wd, qs, bhp, cq_s, control, target, *, resv_coef=None):
+    """(flux_res (nw,3), ctrl_res (nw,)).
+
+    flux_res: q_s - sum_perf cq_s (addWellFluxEq).
+    ctrl_res: bhp - target (pressure controls) or g.qs - target (rate
+    controls); RESV uses voidage-conversion coefficients.
+    """
+    flux_res = qs - jnp.sum(cq_s, axis=1)
+    g = control_distribution(control, wd["comp_frac"])
+    if resv_coef is not None:
+        is_resv = ((control == CTRL_RESV) |
+                   (control == CTRL_RESERVOIR_RATE))[:, None]
+        sign = jnp.where(wd["is_injector"], 1.0, -1.0)[:, None]
+        g = jnp.where(is_resv, sign * resv_coef, g)
+    is_bhp = (control == CTRL_BHP) | (control == CTRL_THP)
+    rate_res = jnp.einsum("wp,wp->w", g, qs) - target
+    ctrl_res = jnp.where(is_bhp, bhp - target, rate_res)
+    # closed wells: pin rates to zero and bhp to the limit
+    closed = ~wd["open"].astype(bool)
+    flux_res = jnp.where(closed[:, None], qs, flux_res)
+    ctrl_res = jnp.where(closed, bhp - wd["bhp_limit"], ctrl_res)
+    return flux_res, ctrl_res
+
+
+def connection_pressure_offsets(wd, cellq, qs):
+    """Explicit wellbore hydrostatic pressure offsets cdp (nw, mp).
+
+    WellDensitySegmented semantics: mixture density from surface rates
+    partitioned with rs/rv into in-situ volumes; hydrostatic integration
+    from the well reference depth down the (depth-sorted) perforation list.
+    Uses well-level rates as the mixture (perforation-level rates refine
+    this in a later milestone)."""
+    c = wd["perf_cell"]
+    mask = wd["perf_mask"].astype(jnp.float64)
+    b = cellq["b"][c]
+    rs = cellq["rs"][c]
+    rv = cellq["rv"][c]
+    rho_cell = cellq["rho_avg"][c]          # saturation-weighted fallback
+    sd = cellq["surface_density"][c]        # (nw, mp, 3) (w,o,g)
+
+    mix = wellbore_mixture(qs, wd["comp_frac"])     # (nw, 3) surface fracs
+    qw = mix[:, None, WATER]
+    qo = mix[:, None, OIL]
+    qg = mix[:, None, GAS]
+    d = jnp.maximum(1.0 - rs * rv, _EPS)
+    vol_w = qw / jnp.maximum(b[..., WATER], _EPS)
+    vol_o = (qo - rv * qg) / d / jnp.maximum(b[..., OIL], _EPS)
+    vol_g = (qg - rs * qo) / d / jnp.maximum(b[..., GAS], _EPS)
+    vol = vol_w + vol_o + vol_g
+    mass = (qw * sd[..., WATER] + qo * sd[..., OIL] + qg * sd[..., GAS])
+    rho_mix = jnp.where(vol > _EPS, mass / jnp.maximum(vol, _EPS), rho_cell)
+
+    z = wd["perf_depth"]
+    zprev = jnp.concatenate([wd["ref_depth"][:, None], z[:, :-1]], axis=1)
+    rho_prev = jnp.concatenate([rho_mix[:, :1], rho_mix[:, :-1]], axis=1)
+    rho_seg = 0.5 * (rho_mix + rho_prev)
+    dz = (z - zprev) * mask
+    dp = wd["gravity"] * rho_seg * dz
+    return jnp.cumsum(dp, axis=1)
+
+
+def update_controls(wd, bhp, qs, control, target):
+    """Constraint switching (updateWellControls): move to BHP control when
+    the pressure limit is violated; move back to the schedule's primary
+    control when, under BHP control, the primary rate target is exceeded."""
+    is_inj = wd["is_injector"].astype(bool)
+    primary = wd["primary_control"]
+    primary_target = wd["primary_target"]
+
+    # pressure-limit violation
+    viol_bhp = jnp.where(is_inj, bhp > wd["bhp_limit"],
+                         bhp < wd["bhp_limit"])
+    not_bhp = control != CTRL_BHP
+    new_control = jnp.where(viol_bhp & not_bhp,
+                            jnp.full_like(control, CTRL_BHP), control)
+    new_target = jnp.where(viol_bhp & not_bhp, wd["bhp_limit"], target)
+
+    # rate-target violation while on BHP: current rate in primary-control
+    # direction exceeds the primary target
+    g = control_distribution(primary, wd["comp_frac"])
+    cur_rate = jnp.einsum("wp,wp->w", g, qs)
+    on_bhp = (control == CTRL_BHP) & (primary != CTRL_BHP)
+    viol_rate = cur_rate > primary_target * (1.0 + 1e-10)
+    new_control = jnp.where(on_bhp & viol_rate, primary, new_control)
+    new_target = jnp.where(on_bhp & viol_rate, primary_target, new_target)
+    closed = ~wd["open"].astype(bool)
+    new_control = jnp.where(closed, control, new_control)
+    new_target = jnp.where(closed, target, new_target)
+    return new_control, new_target

@@ -1,0 +1,30 @@
+"""opm_tpu — TPU-native reservoir-simulation framework.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of
+OPM/opm-simulators-legacy (fully-implicit three-phase black-oil simulation,
+sequential-implicit and reordering transport, incompressible two-phase,
+polymer flooding, and flow diagnostics).
+
+The implementation lives in the sibling directory ``opm-simulators-legacy_tpu/``
+(the project-mandated name, which is not a valid Python identifier); this
+package binds that directory to the importable name ``opm_tpu`` by pointing
+``__path__`` at it.
+"""
+
+import os as _os
+
+_here = _os.path.dirname(_os.path.abspath(__file__))
+_impl = _os.path.join(_os.path.dirname(_here), "opm-simulators-legacy_tpu")
+if not _os.path.isdir(_impl):  # installed layout: impl dir nested inside
+    _impl = _os.path.join(_here, "opm-simulators-legacy_tpu")
+__path__ = [_impl]
+
+# Default to float64 numerics (reservoir pressures ~1e7 Pa need it; the
+# reference is double-precision throughout, with an optional single-precision
+# linear-solve path that we mirror in linalg/). Opt out with OPM_TPU_X64=0.
+if _os.environ.get("OPM_TPU_X64", "1") != "0":
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

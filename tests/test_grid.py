@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+from opm_tpu.grid import build_grid, cartesian_grid
+from opm_tpu.io.eclstate import load_case
+import os
+
+SPE1 = os.path.join(os.path.dirname(__file__), "..", "data", "SPE1CASE2.DATA")
+MD = 9.869232667160130e-16
+FT = 0.3048
+
+
+def test_cartesian_grid_basic():
+    g = cartesian_grid((3, 2, 2), (30.0, 20.0, 4.0), poro=0.25, perm=1e-13)
+    assert g.nc == 12
+    assert np.allclose(g.volume, 10 * 10 * 2)
+    assert np.allclose(g.pore_volume, 0.25 * 200)
+    # faces: x: 2*2*2=8, y: 3*2=6? (nx-1)*ny*nz=8, nx*(ny-1)*nz=6, nx*ny*(nz-1)=6
+    assert g.nf == 8 + 6 + 6
+    # x-face trans: harmonic mean of k*A/(dx/2): k=1e-13, A=10*2, d=5
+    t_exp = 1.0 / (2 * 5 / (1e-13 * 20))
+    assert np.allclose(g.trans[g.face_dir == 0], t_exp)
+
+
+def test_cartesian_depth_stacking():
+    g = cartesian_grid((1, 1, 3), (1.0, 1.0, 30.0), depth_top=1000.0)
+    assert np.allclose(g.depth, [1005.0, 1015.0, 1025.0])
+
+
+def test_spe1_grid():
+    case = load_case(SPE1)
+    g = build_grid(case)
+    assert g.nc == 300
+    assert g.nf == 9 * 10 * 3 + 10 * 9 * 3 + 10 * 10 * 2
+    # pore volume: sum = 0.3 * 1000^2 ft2 * (20+30+50) ft * 100 columns
+    pv_exp = 0.3 * (1000 * FT) ** 2 * (100 * FT) * 100
+    assert g.pore_volume.sum() == pytest.approx(pv_exp, rel=1e-10)
+    # layer-1 x-trans: k=500 mD, A=1000ft*20ft, d=500ft (harmonic of equals)
+    k = 500 * MD
+    A = (1000 * FT) * (20 * FT)
+    t_exp = k * A / (1000 * FT)
+    ix = (g.face_dir == 0) & (g.depth[g.face_cells[:, 0]] < 8350 * FT)
+    assert np.allclose(g.trans[ix], t_exp)
+    # depths
+    assert g.depth.min() == pytest.approx(8335 * FT)
+    assert g.depth.max() == pytest.approx(8400 * FT)
+
+
+def test_actnum_removes_faces():
+    from opm_tpu.io.eclstate import load_case_string
+    case = load_case_string("""
+RUNSPEC
+DIMENS
+ 3 1 1 /
+GRID
+DX
+ 3*10 /
+DY
+ 3*10 /
+DZ
+ 3*10 /
+TOPS
+ 3*1000 /
+PORO
+ 3*0.2 /
+PERMX
+ 3*100 /
+ACTNUM
+ 1 0 1 /
+""")
+    g = build_grid(case)
+    assert g.nc == 2
+    assert g.nf == 0  # middle cell inactive disconnects the grid

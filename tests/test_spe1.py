@@ -1,0 +1,103 @@
+"""End-to-end fully-implicit black-oil on SPE1 (the regression-test analogue
+of /root/reference/compareECLFiles.cmake SPE1 cases). Without ECL reference
+files, correctness is asserted through conservation (FIP balance vs injected/
+produced volumes), control targets, equilibration values, and the qualitative
+SPE1 solution features (published in Odeh 1981)."""
+import os
+
+import numpy as np
+import pytest
+
+from opm_tpu.io.eclstate import load_case
+from opm_tpu.sim.blackoil import (SimulatorFullyImplicitBlackoil,
+                                  fluid_in_place)
+from opm_tpu.sim.init import initial_state
+
+SPE1 = os.path.join(os.path.dirname(__file__), "..", "data", "SPE1CASE2.DATA")
+PSI = 6894.757293168361
+DAY = 86400.0
+
+
+@pytest.fixture(scope="module")
+def sim_short():
+    case = load_case(SPE1)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state0 = initial_state(sim.grid, sim.props, case, len(sim.well_names))
+    fip0 = fluid_in_place(sim.model, state0)
+    state = sim.run(report_step_limit=6)
+    return sim, state, fip0
+
+
+def test_equilibration():
+    case = load_case(SPE1)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    st = initial_state(sim.grid, sim.props, case, 2)
+    p = np.asarray(st.pressure) / PSI
+    # datum 4800 psia at 8400 ft = bottom-layer centre; column within ~25 psi
+    assert abs(p.max() - 4800.0) < 1.0
+    assert 4770 < p.min() < 4800
+    assert np.allclose(np.asarray(st.sw), 0.12)
+    assert np.all(np.asarray(st.hcstate) == 1)  # undersaturated oil
+    rs = np.asarray(st.x)
+    assert np.allclose(rs, 1.27 * 28.316846592 / 0.158987294928, rtol=1e-6)
+
+
+def test_rates_on_target(sim_short):
+    sim, state, _ = sim_short
+    r = sim.summary.rows[-1]
+    # producer holds 20000 stb/d ORAT; injector 100000 Mscf/d
+    assert r["FOPR"] * DAY / 0.158987294928 == pytest.approx(20000, rel=1e-6)
+    assert r["FGIR"] * DAY / 28.316846592 == pytest.approx(100000, rel=1e-4)
+
+
+def test_mass_conservation(sim_short):
+    """Surface-volume balance: FIP(t) - FIP(0) = integrated well sources."""
+    sim, state, fip0 = sim_short
+    fip1 = fluid_in_place(sim.model, state)
+    # integrate rates over report steps (rates are per-step snapshots of the
+    # converged end state; steps are converged to tol_mb=1e-5 each substep)
+    rows = sim.summary.rows
+    times = [0.0] + [r["time"] * DAY for r in rows]
+    inj = np.zeros(3)
+    prod = np.zeros(3)
+    for i, r in enumerate(rows):
+        dt = times[i + 1] - times[i]
+        inj += dt * np.array([r["FWIR"], r["FOIR"], r["FGIR"]])
+        prod += dt * np.array([r["FWPR"], r["FOPR"], r["FGPR"]])
+    # tolerance: MB tolerance accumulates per substep; stay generous
+    dfip = fip1 - fip0
+    net = inj - prod
+    for ph in range(3):
+        scale = max(abs(fip0[ph]), abs(net[ph]), 1.0)
+        assert abs(dfip[ph] - net[ph]) / scale < 5e-3, (ph, dfip, net)
+
+
+def test_pressure_rises_under_injection(sim_short):
+    sim, state, _ = sim_short
+    fpr = sim.summary.series("FPR") / PSI
+    assert fpr[-1] > 4850  # net voidage negative -> pressure builds
+
+
+def test_producer_gor_near_rs(sim_short):
+    sim, state, _ = sim_short
+    gor = sim.summary.rows[-1]["FGOR"] * 0.158987294928 / 28.316846592
+    # before breakthrough: GOR ~ rs(p_cell) in Mscf/stb, near 1.27
+    assert 1.0 < gor < 1.5
+
+
+@pytest.mark.slow
+def test_spe1_full_run():
+    case = load_case(SPE1)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = sim.run()
+    assert sim.report.failed_substeps == 0
+    gor = sim.summary.series("FGOR") * 0.158987294928 / 28.316846592
+    fpr = sim.summary.series("FPR") / PSI
+    bhp = sim.summary.series("WBHP:PROD") / PSI
+    # Odeh-published qualitative features:
+    assert fpr.max() > 6500 and fpr.max() < 7500   # pressure peak yr ~3
+    assert gor[-1] > 10.0                           # strong gas breakthrough
+    assert abs(bhp[-1] / 1000.0 - 1.0) < 1e-3       # ends on BHP limit
+    fopr = sim.summary.series("FOPR") * DAY / 0.158987294928
+    assert fopr[0] == pytest.approx(20000, rel=1e-6)
+    assert fopr[-1] < 5000                          # late-time decline
