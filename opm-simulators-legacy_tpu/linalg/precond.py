@@ -1,0 +1,133 @@
+"""Preconditioners for the block system: block-Jacobi and two-stage CPR.
+
+Re-designs the reference's solver stack for TPU:
+  * NewtonIterationBlackoilInterleaved's BCRS + ParallelOverlappingILU0
+    (/root/reference/opm/autodiff/NewtonIterationBlackoilInterleaved.cpp,
+    ISTLSolver.hpp:195-235) -> batched block-Jacobi (3x3 / 4x4 closed-form
+    inverses). ILU's sequential triangular solves don't map to the MXU/VPU;
+    block-Jacobi + a strong CPR pressure stage recovers the iteration counts.
+  * NewtonIterationBlackoilCPR's two-stage preconditioner
+    (NewtonIterationBlackoilCPR.cpp:80-185, formEllipticSystem in
+    NewtonIterationUtilities.cpp:197-287) -> quasi-IMPES weighted pressure
+    system solved with one aggregation-AMG V-cycle (linalg/amg.py), followed
+    by block-Jacobi smoothing of the full system.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from opm_tpu.models import linearize
+
+
+def inv3x3(m):
+    """Batched closed-form 3x3 inverse (f64-safe on TPU: no LU needed)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-1),
+        jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+def inv4x4(m):
+    """Batched 4x4 inverse via 2x2 block elimination with 2x2 closed forms
+    (avoids LU; partition [[A,B],[C,D]] with Schur complement)."""
+    A = m[..., :2, :2]
+    B = m[..., :2, 2:]
+    C = m[..., 2:, :2]
+    D = m[..., 2:, 2:]
+
+    def inv2(x):
+        a, b = x[..., 0, 0], x[..., 0, 1]
+        c, d = x[..., 1, 0], x[..., 1, 1]
+        det = a * d - b * c
+        det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+        return jnp.stack([
+            jnp.stack([d, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1)], axis=-2) / det[..., None, None]
+
+    Ai = inv2(A)
+    S = D - C @ Ai @ B          # Schur complement
+    Si = inv2(S)
+    TL = Ai + Ai @ B @ Si @ C @ Ai
+    TR = -Ai @ B @ Si
+    BL = -Si @ C @ Ai
+    BR = Si
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, BR], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def block_jacobi(sys: linearize.BlockSystem):
+    """v -> (Dinv_cell r_cell, Dinv_well r_well)."""
+    dinv = inv3x3(sys.diag)
+    winv = inv4x4(sys.wd_diag)
+
+    def apply(v):
+        rc, rw = v
+        return (jnp.einsum("nij,nj->ni", dinv, rc),
+                jnp.einsum("nij,nj->ni", winv, rw))
+
+    return apply
+
+
+def quasi_impes_weights(diag):
+    """Per-cell weights w with w^T D = e_p^T: decouple local saturation
+    derivatives from the pressure equation (the CPR weighting; plays the
+    role of formEllipticSystem's row combinations)."""
+    dinv_t = inv3x3(jnp.swapaxes(diag, -1, -2))
+    e_p = jnp.zeros(diag.shape[:-2] + (3,)).at[..., 0].set(1.0)
+    return jnp.einsum("nij,nj->ni", dinv_t, e_p)
+
+
+def cpr_pressure_system(sys: linearize.BlockSystem, w):
+    """Weighted pressure matrix entries: diag (nc,), off values aligned with
+    the AMG level-0 directed entry list [rows=c1|c2, cols=c2|c1]."""
+    c1 = sys.face_cells[:, 0]
+    c2 = sys.face_cells[:, 1]
+    diag_p = jnp.einsum("ne,ne->n", w, sys.diag[:, :, 0])
+    a_LR = jnp.einsum("fe,fe->f", w[c1], sys.face_R[:, :, 0])
+    a_RL = -jnp.einsum("fe,fe->f", w[c2], sys.face_L[:, :, 0])
+    off = jnp.concatenate([a_LR, a_RL])
+    return diag_p, off
+
+
+def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=1):
+    """Two-stage CPR preconditioner closure.
+
+    stage 1: restrict residual with quasi-IMPES weights, one AMG V-cycle on
+             the pressure system, prolong into the pressure slots;
+    stage 2: block-Jacobi smoothing of the full (cells+wells) system on the
+             corrected residual.
+    """
+    w = quasi_impes_weights(sys.diag)
+    diag_p, off_p = cpr_pressure_system(sys, w)
+    vals = amg.coarsen_values(diag_p, off_p)
+    bj = block_jacobi(sys)
+
+    def apply(v):
+        rc, rw = v
+        # stage 1: pressure correction
+        rp = jnp.einsum("ne,ne->n", w, rc)
+        dp = amg.vcycle(vals, rp)
+        xc = jnp.zeros_like(rc).at[:, 0].set(dp)
+        xw = jnp.zeros_like(rw)
+        # stage 2: block-Jacobi on the updated residual
+        for _ in range(smoother_steps):
+            ac, aw = linearize.matvec(sys, xc, xw)
+            sc, sw_ = bj((rc - ac, rw - aw))
+            xc = xc + sc
+            xw = xw + sw_
+        return (xc, xw)
+
+    return apply

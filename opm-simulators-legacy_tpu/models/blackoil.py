@@ -74,6 +74,94 @@ class Residual(NamedTuple):
     b: jnp.ndarray          # (nc, 3) inverse FVFs (for convergence norms)
 
 
+def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
+                            satnum) -> CellQuantities:
+    """Shape-polymorphic secondary-variable evaluation: works for scalars
+    (single-cell linearization, models/linearize.py) and (nc,) arrays alike.
+    This is the rebuild's SolutionState construction
+    (variableStateExtractVars, BlackoilModelBase_impl.hpp:616-703)."""
+    is_sg = hcstate == HC_GASOIL
+    is_rs = hcstate == HC_OILONLY
+    is_rv = hcstate == HC_GASONLY
+    sg = jnp.where(is_sg, x, jnp.where(is_rv, 1.0 - sw, 0.0))
+    so = 1.0 - sw - sg
+    rssat = props.rs_sat(p, pvtnum)
+    rvsat = props.rv_sat(p, pvtnum)
+    rs = jnp.where(is_rs, x, rssat)
+    rv = jnp.where(is_rv, x, rvsat)
+    pcow, pcgo = props.capillary(sw, sg, satnum)
+    pw = p - pcow
+    pg = p + pcgo
+    bw = props.b_water(pw, pvtnum)
+    bo = props.b_oil(p, rs, pvtnum)
+    bg = props.b_gas(pg, rv, pvtnum)
+    muw = props.mu_water(pw, pvtnum)
+    muo = props.mu_oil(p, rs, pvtnum)
+    mug = props.mu_gas(pg, rv, pvtnum)
+    krw, kro, krg = props.relperm(sw, so, sg, satnum)
+    mob = jnp.stack([krw / muw, kro / muo, krg / mug], axis=-1)
+    sd = props.surface_density[pvtnum]  # (..., 3)
+    rho = jnp.stack([
+        sd[..., WATER] * bw,
+        (sd[..., OIL] + rs * sd[..., GAS]) * bo,
+        (sd[..., GAS] + rv * sd[..., OIL]) * bg,
+    ], axis=-1)
+    b = jnp.stack([bw, bo, bg], axis=-1)
+    sat = jnp.stack([sw, so, sg], axis=-1)
+    pvm = props.pv_mult(p, pvtnum)
+    return CellQuantities(pw=pw, po=p, pg=pg, b=b, mob=mob, rho=rho,
+                          rs=rs, rv=rv, sat=sat, pv_mult=pvm)
+
+
+def accumulation_from_q(q: CellQuantities) -> jnp.ndarray:
+    """Surface volume per pore volume (computeAccum :711-751); shape-generic."""
+    bw, bo, bg = q.b[..., WATER], q.b[..., OIL], q.b[..., GAS]
+    sw, so, sg = q.sat[..., WATER], q.sat[..., OIL], q.sat[..., GAS]
+    acc_w = bw * sw
+    acc_o = bo * so + q.rv * bg * sg
+    acc_g = bg * sg + q.rs * bo * so
+    return q.pv_mult[..., None] * jnp.stack([acc_w, acc_o, acc_g], axis=-1)
+
+
+def face_flux_from_q(qL: CellQuantities, qR: CellQuantities, trans, dz,
+                     gravity, threshold_dp=None):
+    """TPFA phase fluxes from the two cells' secondary quantities
+    (computeMassFlux, BlackoilModelBase_impl.hpp:1486-1512). Shape-generic:
+    scalars (single-face linearization) or (nf,)-gathered arrays.
+
+    dphi_a = (p_a,L - p_a,R) - rho_face * g * dz; PPU upwinding on dphi;
+    F_a = up(b_a mob_a) * T * dphi; oil/gas get rv/rs cross terms."""
+    g = gravity
+    bmobL = qL.b * qL.mob
+    bmobR = qR.b * qR.mob
+    p_ph_L = (qL.pw, qL.po, qL.pg)
+    p_ph_R = (qR.pw, qR.po, qR.pg)
+
+    fluxes, vol_flux, ups = [], [], []
+    for ph in range(3):
+        rho_face = 0.5 * (qL.rho[..., ph] + qR.rho[..., ph])
+        dphi = (p_ph_L[ph] - p_ph_R[ph]) - rho_face * g * dz
+        if threshold_dp is not None:
+            # THPRES clipping (BlackoilModelBase_impl.hpp:1520-1545)
+            dphi = jnp.sign(dphi) * jnp.maximum(
+                jnp.abs(dphi) - threshold_dp, 0.0)
+        up = dphi >= 0.0
+        bm = jnp.where(up, bmobL[..., ph], bmobR[..., ph])
+        vf = trans * dphi
+        fluxes.append(bm * vf)
+        vol_flux.append(vf)
+        ups.append(up)
+
+    rs_up = jnp.where(ups[OIL], qL.rs, qR.rs)
+    rv_up = jnp.where(ups[GAS], qL.rv, qR.rv)
+    bmo_up = jnp.where(ups[OIL], bmobL[..., OIL], bmobR[..., OIL])
+    bmg_up = jnp.where(ups[GAS], bmobL[..., GAS], bmobR[..., GAS])
+    flux_w = fluxes[WATER]
+    flux_o = fluxes[OIL] + rv_up * bmg_up * vol_flux[GAS]
+    flux_g = fluxes[GAS] + rs_up * bmo_up * vol_flux[OIL]
+    return jnp.stack([flux_w, flux_o, flux_g], axis=-1)
+
+
 class BlackoilModel:
     """Holds device-resident static data and provides pure functions over
     states. Constant across the whole simulation; well data flows in as a
@@ -95,32 +183,9 @@ class BlackoilModel:
 
     # ------------------------------------------------------------------
     def cell_quantities(self, state: BlackoilState) -> CellQuantities:
-        props = self.props
-        p = state.pressure
-        sw, so, sg = saturations(state)
-        rs, rv = rs_rv(state, props, self.pvtnum)
-        pcow, pcgo = props.capillary(sw, sg, self.satnum)
-        pw = p - pcow
-        pg = p + pcgo
-        bw = props.b_water(pw, self.pvtnum)
-        bo = props.b_oil(p, rs, self.pvtnum)
-        bg = props.b_gas(pg, rv, self.pvtnum)
-        muw = props.mu_water(pw, self.pvtnum)
-        muo = props.mu_oil(p, rs, self.pvtnum)
-        mug = props.mu_gas(pg, rv, self.pvtnum)
-        krw, kro, krg = props.relperm(sw, so, sg, self.satnum)
-        mob = jnp.stack([krw / muw, kro / muo, krg / mug], axis=-1)
-        sd = props.surface_density[self.pvtnum]  # (nc, 3)
-        rho = jnp.stack([
-            sd[:, WATER] * bw,
-            (sd[:, OIL] + rs * sd[:, GAS]) * bo,
-            (sd[:, GAS] + rv * sd[:, OIL]) * bg,
-        ], axis=-1)
-        b = jnp.stack([bw, bo, bg], axis=-1)
-        sat = jnp.stack([sw, so, sg], axis=-1)
-        pvm = props.pv_mult(p, self.pvtnum)
-        return CellQuantities(pw=pw, po=p, pg=pg, b=b, mob=mob, rho=rho,
-                              rs=rs, rv=rv, sat=sat, pv_mult=pvm)
+        return compute_cell_quantities(
+            self.props, state.pressure, state.sw, state.x, state.hcstate,
+            self.pvtnum, self.satnum)
 
     # ------------------------------------------------------------------
     def accumulation(self, state: BlackoilState) -> jnp.ndarray:
@@ -130,12 +195,7 @@ class BlackoilModel:
 
     @staticmethod
     def _accumulation_from_q(q: CellQuantities) -> jnp.ndarray:
-        bw, bo, bg = q.b[:, WATER], q.b[:, OIL], q.b[:, GAS]
-        sw, so, sg = q.sat[:, WATER], q.sat[:, OIL], q.sat[:, GAS]
-        acc_w = bw * sw
-        acc_o = bo * so + q.rv * bg * sg
-        acc_g = bg * sg + q.rs * bo * so
-        return q.pv_mult[:, None] * jnp.stack([acc_w, acc_o, acc_g], axis=-1)
+        return accumulation_from_q(q)
 
     # ------------------------------------------------------------------
     def face_fluxes(self, q: CellQuantities, threshold_dp=None):
@@ -144,36 +204,10 @@ class BlackoilModel:
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
         dz = self.depth[c1] - self.depth[c2]
-        g = self.gravity
-        p_ph = (q.pw, q.po, q.pg)
-        bmob = q.b * q.mob  # (nc, 3)
-
-        fluxes = []
-        vol_flux = []
-        ups = []
-        for ph in range(3):
-            pph = p_ph[ph]
-            rho_face = 0.5 * (q.rho[c1, ph] + q.rho[c2, ph])
-            dphi = (pph[c1] - pph[c2]) - rho_face * g * dz
-            if threshold_dp is not None:
-                # THPRES clipping (BlackoilModelBase_impl.hpp:1520-1545)
-                dphi = jnp.sign(dphi) * jnp.maximum(
-                    jnp.abs(dphi) - threshold_dp, 0.0)
-            up = dphi >= 0.0
-            bm = jnp.where(up, bmob[c1, ph], bmob[c2, ph])
-            vf = self.trans * dphi  # trans * potential drop
-            fluxes.append(bm * vf)
-            vol_flux.append(vf)
-            ups.append(up)
-
-        rs_up = jnp.where(ups[OIL], q.rs[c1], q.rs[c2])
-        rv_up = jnp.where(ups[GAS], q.rv[c1], q.rv[c2])
-        bmo_up = jnp.where(ups[OIL], bmob[c1, OIL], bmob[c2, OIL])
-        bmg_up = jnp.where(ups[GAS], bmob[c1, GAS], bmob[c2, GAS])
-        flux_w = fluxes[WATER]
-        flux_o = fluxes[OIL] + rv_up * bmg_up * vol_flux[GAS]
-        flux_g = fluxes[GAS] + rs_up * bmo_up * vol_flux[OIL]
-        return jnp.stack([flux_w, flux_o, flux_g], axis=-1)
+        qL = jax.tree.map(lambda a: a[c1], q)
+        qR = jax.tree.map(lambda a: a[c2], q)
+        return face_flux_from_q(qL, qR, self.trans, dz, self.gravity,
+                                threshold_dp)
 
     # ------------------------------------------------------------------
     def divergence(self, face_flux):

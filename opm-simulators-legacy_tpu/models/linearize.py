@@ -1,0 +1,217 @@
+"""Exact block-sparse Jacobian assembly from local functions.
+
+The TPU-native replacement for the reference's AutoDiffBlock sparse-Jacobian
+machinery (/root/reference/opm/autodiff/AutoDiffBlock.hpp,
+AutoDiffMatrix.hpp, fastSparseOperations.hpp): instead of carrying sparse
+Jacobians through every expression, the residual's fixed TPFA stencil is
+exploited directly — the Jacobian is exactly
+
+    J = blockdiag(acc + own-flux + own-perf terms)                (nc,3,3)
+      + per-face off-diagonal pairs (L,R)/(R,L)                   (nf,3,3)x2
+      + well coupling blocks (cell rows x well vars, well rows x cell vars)
+      + well diagonal                                             (nw,4,4)
+
+Each block family comes from a vmapped jax.jacfwd of a *local* function of
+one cell's / one face's / one perforation's primary variables, sharing the
+exact same formula code as the residual (models/blackoil.py
+face_flux_from_q, wells/standard.py perf_flux_formula) so assembly and
+residual can never drift apart. This mirrors the reference's Interleaved
+block-CSR design (NewtonIterationBlackoilInterleaved.cpp:108-193) but is
+assembled with gathers/segment-sums instead of Eigen sparse products.
+
+Well variable ordering per well: [q_w, q_o, q_g, bhp] (np surface rates +
+bhp, like the reference's xw ordering at BlackoilModelBase_impl.hpp:616).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from opm_tpu.models.blackoil import (accumulation_from_q,
+                                     compute_cell_quantities,
+                                     face_flux_from_q)
+from opm_tpu.wells import standard as stdwells
+from opm_tpu.wells.wells import (CTRL_BHP, CTRL_RESERVOIR_RATE, CTRL_RESV,
+                                 CTRL_THP)
+
+
+class BlockSystem(NamedTuple):
+    """Assembled block-sparse Jacobian + residual."""
+
+    # residual
+    r_cell: jnp.ndarray    # (nc, 3)
+    r_well: jnp.ndarray    # (nw, 4)  [flux eqs (3), control eq]
+    # Jacobian blocks
+    diag: jnp.ndarray      # (nc, 3, 3) true block diagonal
+    face_L: jnp.ndarray    # (nf, 3, 3) dF/du_L
+    face_R: jnp.ndarray    # (nf, 3, 3) dF/du_R
+    # wells
+    cw: jnp.ndarray        # (nw, mp, 3, 4) cell rows x well vars (-dcq/dwv)
+    wc: jnp.ndarray        # (nw, mp, 3, 3) well flux rows x cell vars
+    wd_diag: jnp.ndarray   # (nw, 4, 4) well rows x well vars
+    # topology (copied for the operator)
+    face_cells: jnp.ndarray
+    perf_cell: jnp.ndarray  # (nw, mp)
+    perf_mask: jnp.ndarray  # (nw, mp) float
+
+    @property
+    def nc(self):
+        return self.diag.shape[0]
+
+    @property
+    def nw(self):
+        return self.wd_diag.shape[0]
+
+
+def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
+    """Assemble residual + exact Jacobian blocks at `state`."""
+    props = model.props
+    nc = model.nc
+    c1 = model.face_cells[:, 0]
+    c2 = model.face_cells[:, 1]
+
+    u = jnp.stack([state.pressure, state.sw, state.x], axis=-1)  # (nc, 3)
+    hc = state.hcstate
+    pvt = model.pvtnum
+    sat = model.satnum
+
+    # ---- accumulation: value + diagonal blocks --------------------------
+    def acc_local(ui, hci, pvti, sati):
+        q = compute_cell_quantities(props, ui[0], ui[1], ui[2], hci, pvti,
+                                    sati)
+        return accumulation_from_q(q)
+
+    acc_val = jax.vmap(acc_local)(u, hc, pvt, sat)
+    acc_jac = jax.vmap(jax.jacfwd(acc_local))(u, hc, pvt, sat)  # (nc,3,3)
+    pvdt = model.pv / dt
+    r_cell = pvdt[:, None] * (acc_val - acc0)
+    diag = pvdt[:, None, None] * acc_jac
+
+    # ---- faces: value + L/R blocks ---------------------------------------
+    dz = model.depth[c1] - model.depth[c2]
+
+    def flux_local(uL, uR, auxL, auxR, t, dzf):
+        qL = compute_cell_quantities(props, uL[0], uL[1], uL[2], *auxL)
+        qR = compute_cell_quantities(props, uR[0], uR[1], uR[2], *auxR)
+        return face_flux_from_q(qL, qR, t, dzf, model.gravity)
+
+    auxL = (hc[c1], pvt[c1], sat[c1])
+    auxR = (hc[c2], pvt[c2], sat[c2])
+    flux_val = jax.vmap(flux_local)(u[c1], u[c2], auxL, auxR, model.trans,
+                                    dz)
+    face_L, face_R = jax.vmap(jax.jacfwd(flux_local, argnums=(0, 1)))(
+        u[c1], u[c2], auxL, auxR, model.trans, dz)
+    r_cell = r_cell.at[c1].add(flux_val).at[c2].add(-flux_val)
+    diag = diag.at[c1].add(face_L).at[c2].add(-face_R)
+
+    # ---- wells -----------------------------------------------------------
+    nw, mp = wd["perf_cell"].shape
+    pc = wd["perf_cell"]
+    mask = wd["perf_mask"] * wd["open"][:, None]           # (nw, mp)
+    wv = jnp.concatenate([state.qs, state.bhp[:, None]], axis=1)  # (nw, 4)
+    allow_xflow = model.params.allow_crossflow
+
+    def perf_local(u_c, wvars, auxc, wi, cdp_p, comp_frac, is_inj):
+        q = compute_cell_quantities(props, u_c[0], u_c[1], u_c[2], *auxc)
+        qs_w = wvars[:3]
+        bhp_w = wvars[3]
+        cmix = stdwells.wellbore_mixture(qs_w, comp_frac)
+        return stdwells.perf_flux_formula(
+            q.po, q.b, q.mob, q.rs, q.rv, wi, bhp_w + cdp_p, cmix, is_inj,
+            allow_crossflow=allow_xflow)
+
+    # flatten (nw, mp) -> (nw*mp,)
+    pc_f = pc.reshape(-1)
+    u_pf = u[pc_f]
+    aux_pf = (hc[pc_f], pvt[pc_f], sat[pc_f])
+    wv_f = jnp.repeat(wv, mp, axis=0)
+    cf_f = jnp.repeat(wd["comp_frac"], mp, axis=0)
+    ii_f = jnp.repeat(wd["is_injector"], mp)
+    wi_f = wd["perf_wi"].reshape(-1)
+    cdp_f = cdp.reshape(-1)
+
+    cq_val = jax.vmap(perf_local)(u_pf, wv_f, aux_pf, wi_f, cdp_f, cf_f,
+                                  ii_f)
+    jac_u, jac_wv = jax.vmap(jax.jacfwd(perf_local, argnums=(0, 1)))(
+        u_pf, wv_f, aux_pf, wi_f, cdp_f, cf_f, ii_f)
+    m_f = mask.reshape(-1)
+    cq_val = cq_val * m_f[:, None]
+    jac_u = jac_u * m_f[:, None, None]
+    jac_wv = jac_wv * m_f[:, None, None]
+
+    # cell equations: r -= cq; diag -= dcq/du_c at perf cells
+    r_cell = r_cell.at[pc_f].add(-cq_val)
+    diag = diag.at[pc_f].add(-jac_u)
+    cw = (-jac_wv).reshape(nw, mp, 3, 4)
+    wc = (-jac_u).reshape(nw, mp, 3, 3)   # well flux rows: d(q - sum cq)/du
+
+    # well equations: flux rows = qs - sum_p cq; control row
+    cq_sum = cq_val.reshape(nw, mp, 3).sum(axis=1)
+    flux_res = state.qs - cq_sum
+    g = stdwells.control_distribution(state.control, wd["comp_frac"])
+    resv_coef = wd.get("resv_coef")
+    if resv_coef is not None:
+        is_resv = ((state.control == CTRL_RESV) |
+                   (state.control == CTRL_RESERVOIR_RATE))[:, None]
+        sign = jnp.where(wd["is_injector"], 1.0, -1.0)[:, None]
+        g = jnp.where(is_resv, sign * resv_coef, g)
+    is_bhp = (state.control == CTRL_BHP) | (state.control == CTRL_THP)
+    ctrl_res = jnp.where(is_bhp,
+                         state.bhp - state.target,
+                         jnp.einsum("wp,wp->w", g, state.qs) - state.target)
+    closed = wd["open"] < 0.5
+    flux_res = jnp.where(closed[:, None], state.qs, flux_res)
+    ctrl_res = jnp.where(closed, state.bhp - wd["bhp_limit"], ctrl_res)
+    r_well = jnp.concatenate([flux_res, ctrl_res[:, None]], axis=1)
+
+    # well diagonal blocks
+    eye34 = jnp.zeros((3, 4)).at[:, :3].set(jnp.eye(3))
+    dwv_sum = jac_wv.reshape(nw, mp, 3, 4).sum(axis=1)   # d(sum cq)/dwv
+    flux_rows = eye34[None] - dwv_sum                    # (nw, 3, 4)
+    flux_rows = jnp.where(closed[:, None, None], eye34[None], flux_rows)
+    ctrl_row_rate = jnp.concatenate([g, jnp.zeros((nw, 1))], axis=1)
+    ctrl_row_bhp = jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0]),
+                                    (nw, 4))
+    ctrl_row = jnp.where((is_bhp | closed)[:, None], ctrl_row_bhp,
+                         ctrl_row_rate)
+    wd_diag = jnp.concatenate([flux_rows, ctrl_row[:, None, :]], axis=1)
+    # closed wells: no cell coupling
+    cw = cw * wd["open"][:, None, None, None]
+    wc = wc * wd["open"][:, None, None, None]
+
+    return BlockSystem(
+        r_cell=r_cell, r_well=r_well, diag=diag, face_L=face_L,
+        face_R=face_R, cw=cw, wc=wc, wd_diag=wd_diag,
+        face_cells=model.face_cells, perf_cell=pc,
+        perf_mask=mask)
+
+
+def matvec(sys: BlockSystem, v_cell, v_well):
+    """J @ [v_cell (nc,3); v_well (nw,4)] -> (out_cell, out_well)."""
+    c1 = sys.face_cells[:, 0]
+    c2 = sys.face_cells[:, 1]
+    out_c = jnp.einsum("nij,nj->ni", sys.diag, v_cell)
+    # off-diagonal face pairs: row L gets +dF/du_R * v_R; row R gets
+    # -dF/du_L * v_L (diagonal parts already folded into diag)
+    out_c = out_c.at[c1].add(jnp.einsum("fij,fj->fi", sys.face_R, v_cell[c2]))
+    out_c = out_c.at[c2].add(-jnp.einsum("fij,fj->fi", sys.face_L,
+                                         v_cell[c1]))
+    nw, mp = sys.perf_cell.shape
+    pc_f = sys.perf_cell.reshape(-1)
+    # cell rows x well vars
+    vw_rep = jnp.repeat(v_well, mp, axis=0)               # (nw*mp, 4)
+    out_c = out_c.at[pc_f].add(
+        jnp.einsum("pij,pj->pi", sys.cw.reshape(-1, 3, 4), vw_rep))
+    # well rows
+    out_w = jnp.einsum("wij,wj->wi", sys.wd_diag, v_well)
+    vc_perf = v_cell[pc_f]                                # (nw*mp, 3)
+    wf = jnp.einsum("pij,pj->pi", sys.wc.reshape(-1, 3, 3), vc_perf)
+    out_w = out_w.at[:, :3].add(wf.reshape(nw, mp, 3).sum(axis=1))
+    return out_c, out_w
+
+
+def residual_norms(sys: BlockSystem):
+    return (jnp.max(jnp.abs(sys.r_cell)), jnp.max(jnp.abs(sys.r_well)))

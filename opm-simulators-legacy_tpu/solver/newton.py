@@ -75,23 +75,43 @@ class SolverReport:
 
 
 class NonlinearSolver:
-    def __init__(self, model: BlackoilModel, linear_solver=None,
+    """linear_solver: 'dense' (small cases; exactness reference),
+    'cpr' (block-sparse BiCGStab + CPR-AMG; the scalable TPU path — the
+    analogue of NewtonIterationBlackoilCPR/Interleaved), or 'auto'."""
+
+    DENSE_LIMIT = 2000  # cells; above this 'auto' switches to CPR
+
+    def __init__(self, model: BlackoilModel, linear_solver: str = "auto",
                  max_iter: Optional[int] = None, min_iter: int = 1,
                  relax_max: float = 0.5, relax_increment: float = 0.1,
-                 relax_rel_tol: float = 0.2):
+                 relax_rel_tol: float = 0.2,
+                 linear_tol: float = 1e-2, linear_maxiter: int = 50):
         self.model = model
+        if linear_solver == "auto":
+            linear_solver = "dense" if model.nc <= self.DENSE_LIMIT else "cpr"
         self.linear_solver = linear_solver
         self.max_iter = max_iter or model.params.max_iter
         self.min_iter = min_iter
         self.relax_max = relax_max
         self.relax_increment = relax_increment
         self.relax_rel_tol = relax_rel_tol
+        self.linear_tol = linear_tol
+        self.linear_maxiter = linear_maxiter
         # TPU: no f64 LU in XLA -> equilibrated f32 solve + refinement
         self.solve_dtype = (jnp.float32 if jax.default_backend()
                             not in ("cpu",) else None)
+        if linear_solver == "cpr":
+            from opm_tpu.linalg.amg import build_hierarchy
+
+            self.amg = build_hierarchy(
+                model.nc, model.grid.face_cells, model.grid.trans).device()
+            self._solve_jit = jax.jit(self._solve_cpr)
+        else:
+            self.amg = None
+            self._solve_jit = jax.jit(self._solve_dense)
         self._assemble_jit = jax.jit(self._assemble)
-        self._solve_jit = jax.jit(self._solve_dense)
         self._cdp_jit = jax.jit(self._cdp)
+        self.last_linear_iterations = 0
 
     # -- jitted kernels --------------------------------------------------
     def _cdp(self, state, wd):
@@ -119,7 +139,29 @@ class NonlinearSolver:
         J = jax.jacfwd(rfun)(u)
         du = dense_solve(J, r, self.solve_dtype)
         du = omega * du
-        return update_state(model, state, du)
+        return update_state(model, state, du), jnp.asarray(1)
+
+    def _solve_cpr(self, state, acc0, dt, wd, cdp, omega):
+        """Block-sparse assembly + BiCGStab/CPR-AMG Newton increment
+        (computeNewtonIncrement analogue,
+        NewtonIterationBlackoilCPR.cpp:80-185)."""
+        from opm_tpu.linalg.krylov import bicgstab
+        from opm_tpu.linalg.precond import make_cpr
+        from opm_tpu.models import linearize
+
+        model = self.model
+        sys = linearize.assemble(model, state, acc0, dt, wd, cdp)
+        M = make_cpr(sys, self.amg)
+        res = bicgstab(lambda v: linearize.matvec(sys, *v),
+                       (sys.r_cell, sys.r_well), precond=M,
+                       tol=self.linear_tol, maxiter=self.linear_maxiter)
+        du_c, du_w = res.x
+        nc = model.nc
+        du = jnp.concatenate([
+            du_c[:, 0], du_c[:, 1], du_c[:, 2],
+            du_w[:, 3], du_w[:, :3].reshape(-1)])
+        du = omega * du
+        return update_state(model, state, du), res.iterations
 
     # -- host loop ---------------------------------------------------------
     def step(self, state0: BlackoilState, dt: float, wd,
@@ -159,10 +201,11 @@ class NonlinearSolver:
             if self._oscillating(mb_history):
                 omega = max(self.relax_max, omega - self.relax_increment)
             t0 = time.perf_counter()
-            state = self._solve_jit(state, acc0, dt, wd, cdp,
-                                    jnp.asarray(omega))
+            state, lin_iters = self._solve_jit(state, acc0, dt, wd, cdp,
+                                               jnp.asarray(omega))
             jax.block_until_ready(state.pressure)
             rep.linear_solve_time += time.perf_counter() - t0
+            rep.linear_iterations += int(lin_iters)
             rep.iterations = it + 1
         raise TooManyIterations(
             f"Newton failed to converge in {self.max_iter} iterations "

@@ -38,23 +38,15 @@ def wellbore_mixture(qs, comp_frac):
     return jnp.where(flowing, frac, comp_frac)
 
 
-def perforation_fluxes(wd, cellq, bhp, qs, cdp, *, allow_crossflow=True):
-    """Per-perforation surface-volume source rates cq_s (nw, mp, 3);
-    positive = injection into the reservoir cell.
+def perf_flux_formula(p_cell, b, mob, rs, rv, wi, bhp_plus_cdp, cmix,
+                      is_injector, *, allow_crossflow=True):
+    """Shape-generic perforation flux (computeWellFlux:398-571): cq_s
+    (..., 3), positive = injection into the reservoir cell.
 
-    wd: dict of padded well arrays (perf_cell, perf_wi, perf_mask, comp_frac,
-        is_injector, open).
-    cellq: dict of per-cell arrays (p_oil, mob (nc,3), b (nc,3), rs, rv).
-    """
-    c = wd["perf_cell"]                      # (nw, mp)
-    mask = wd["perf_mask"] * wd["open"][:, None]
-    p_cell = cellq["p_oil"][c]
-    ddn = p_cell - (bhp[:, None] + cdp)      # drawdown (computeWellFlux:421)
-    mob = cellq["mob"][c]                    # (nw, mp, 3)
-    b = cellq["b"][c]
-    rs = cellq["rs"][c]
-    rv = cellq["rv"][c]
-    wi = wd["perf_wi"]
+    p_cell, rs, rv, wi, bhp_plus_cdp, is_injector: (...); b, mob, cmix:
+    (..., 3). Works for padded (nw, mp) arrays and for scalars (single-perf
+    linearization in models/linearize.py)."""
+    ddn = p_cell - bhp_plus_cdp              # drawdown (:421)
 
     # --- producing perforations (drawdown > 0) --------------------------
     cq_r = -wi[..., None] * mob * ddn[..., None]   # reservoir-volume rates
@@ -68,24 +60,41 @@ def perforation_fluxes(wd, cellq, bhp, qs, cdp, *, allow_crossflow=True):
     # --- injecting perforations (drawdown <= 0) --------------------------
     totmob = jnp.sum(mob, axis=-1)
     cqt_r = -wi * totmob * ddn                      # > 0 for injection
-    cmix = wellbore_mixture(qs, wd["comp_frac"])    # (nw, 3)
-    cw = cmix[:, None, WATER]
-    co = cmix[:, None, OIL]
-    cg = cmix[:, None, GAS]
+    cw = cmix[..., WATER]
+    co = cmix[..., OIL]
+    cg = cmix[..., GAS]
     d = jnp.maximum(1.0 - rs * rv, _EPS)
     volrat = (cw / jnp.maximum(b[..., WATER], _EPS)
               + (co - rv * cg) / d / jnp.maximum(b[..., OIL], _EPS)
               + (cg - rs * co) / d / jnp.maximum(b[..., GAS], _EPS))
     cqt_s = cqt_r / jnp.maximum(volrat, _EPS)
-    inj = cmix[:, None, :] * cqt_s[..., None]
+    inj = cmix * cqt_s[..., None]
 
     producing = ddn > 0.0
     cq_s = jnp.where(producing[..., None], prod, inj)
     if not allow_crossflow:
         # suppress producer-injection / injector-production perfs
-        is_inj = wd["is_injector"][:, None]
-        keep = jnp.where(is_inj, ~producing, producing)
+        keep = jnp.where(is_injector, ~producing, producing)
         cq_s = jnp.where(keep[..., None], cq_s, 0.0)
+    return cq_s
+
+
+def perforation_fluxes(wd, cellq, bhp, qs, cdp, *, allow_crossflow=True):
+    """Padded-array perforation fluxes cq_s (nw, mp, 3).
+
+    wd: dict of padded well arrays (perf_cell, perf_wi, perf_mask, comp_frac,
+        is_injector, open).
+    cellq: dict of per-cell arrays (p_oil, mob (nc,3), b (nc,3), rs, rv).
+    """
+    c = wd["perf_cell"]                      # (nw, mp)
+    mask = wd["perf_mask"] * wd["open"][:, None]
+    cmix = wellbore_mixture(qs, wd["comp_frac"])    # (nw, 3)
+    cq_s = perf_flux_formula(
+        cellq["p_oil"][c], cellq["b"][c], cellq["mob"][c], cellq["rs"][c],
+        cellq["rv"][c], wd["perf_wi"], bhp[:, None] + cdp,
+        jnp.broadcast_to(cmix[:, None, :], c.shape + (3,)),
+        jnp.broadcast_to(wd["is_injector"][:, None], c.shape),
+        allow_crossflow=allow_crossflow)
     return cq_s * mask[..., None]
 
 
