@@ -69,18 +69,25 @@ def bicgstab(matvec: Callable, b, precond: Callable = None, *,
     def body(carry):
         (x, r, p, v, rho, alpha, omega, it, rnorm) = carry
         rho1 = _dot(rhat, r)
-        beta = (rho1 / jnp.where(rho == 0, _EPS, rho)) * \
-            (alpha / jnp.where(omega == 0, _EPS, omega))
+        # breakdown-safe coefficients: on exact convergence mid-iteration
+        # (s == 0 -> t == 0) or rho/omega collapse, zero the step instead of
+        # dividing by ~0 (the residual check then terminates the loop)
+        ok_beta = (jnp.abs(rho) > _EPS) & (jnp.abs(omega) > _EPS)
+        beta = jnp.where(ok_beta, (rho1 / jnp.where(ok_beta, rho, 1.0)) *
+                         (alpha / jnp.where(ok_beta, omega, 1.0)), 0.0)
         p = _add(r, _scale(beta, _add(p, _scale(-omega, v))))
         phat = precond(p)
         v = matvec(phat)
         denom = _dot(rhat, v)
-        alpha = rho1 / jnp.where(denom == 0, _EPS, denom)
+        alpha = jnp.where(jnp.abs(denom) > _EPS,
+                          rho1 / jnp.where(jnp.abs(denom) > _EPS, denom,
+                                           1.0), 0.0)
         s = _axpy(-alpha, v, r)
         shat = precond(s)
         t = matvec(shat)
         tt = _dot(t, t)
-        omega = _dot(t, s) / jnp.where(tt == 0, _EPS, tt)
+        omega = jnp.where(tt > _EPS,
+                          _dot(t, s) / jnp.where(tt > _EPS, tt, 1.0), 0.0)
         x = _add(x, _scale(alpha, phat), _scale(omega, shat))
         r = _axpy(-omega, t, s)
         rnorm = jnp.sqrt(jnp.real(_dot(r, r)))
