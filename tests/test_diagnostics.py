@@ -1,0 +1,134 @@
+"""Flow diagnostics + reordering tests (roles of the reference's
+test_flowdiagnostics.cpp, test_anisotropiceikonal.cpp,
+test_singlecellsolves.cpp)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opm_tpu.diagnostics.eikonal import anisotropic_eikonal_2d
+from opm_tpu.diagnostics.fphi import (compute_f_phi, compute_lorenz,
+                                      compute_sweep, compute_well_pairs)
+from opm_tpu.diagnostics.tof import solve_tof, solve_tof_tracer
+from opm_tpu.grid import cartesian_grid
+from opm_tpu.models.reorder import ReorderTwophaseTransport
+from opm_tpu.native.graph import upwind_levels
+from opm_tpu.props.incomp import IncompProps
+
+DAY = 86400.0
+
+
+def _line_drive(nx=20, q=1e-5):
+    g = cartesian_grid((nx, 1, 1), (float(nx), 1.0, 1.0), poro=0.25)
+    src = np.zeros(g.nc)
+    src[0] = q
+    src[-1] = -q
+    flux = np.full(g.nf, q)  # uniform 1-D flux (x-faces in order)
+    return g, src, flux
+
+
+def test_tof_line_drive():
+    """1-D uniform flow: tof grows linearly, cell i: (i + 1) * pv / q."""
+    g, src, flux = _line_drive()
+    tof = np.asarray(solve_tof(g.face_cells, flux, g.pore_volume, src))
+    pv = g.pore_volume[0]
+    q = src[0]
+    expected = (np.arange(g.nc) + 1) * pv / q
+    assert np.allclose(tof, expected, rtol=1e-12)
+
+
+def test_tof_tracer():
+    g, src, flux = _line_drive()
+    tof, conc = solve_tof_tracer(g.face_cells, flux, g.pore_volume, src,
+                                 tracer_heads=[np.array([0])])
+    assert np.allclose(np.asarray(conc[0]), 1.0)
+
+
+def test_fphi_homogeneous():
+    """Uniform residence time -> F = Phi, Lorenz = 0."""
+    pv = np.ones(50)
+    ftof = np.linspace(0.1, 1.0, 50)
+    btof = ftof[::-1]  # ftof + btof = const
+    F, phi = compute_f_phi(pv, ftof, btof)
+    assert np.allclose(F, phi, atol=1e-12)
+    assert compute_lorenz(F, phi) == pytest.approx(0.0, abs=1e-12)
+    Ev, tD = compute_sweep(F, phi)
+    assert np.all(Ev <= 1.0 + 1e-9)
+
+
+def test_fphi_heterogeneous_lorenz_positive():
+    rng = np.random.RandomState(0)
+    pv = np.ones(100)
+    tr = rng.lognormal(0, 1.5, size=100)
+    F, phi = compute_f_phi(pv, tr, np.zeros(100))
+    lc = compute_lorenz(F, phi)
+    assert 0.2 < lc < 1.0
+
+
+def test_well_pairs():
+    pv = np.array([1.0, 2.0, 3.0])
+    ci = np.array([[1.0, 0.5, 0.0]])
+    cp = np.array([[1.0, 0.5, 0.0], [0.0, 0.5, 1.0]])
+    vol = compute_well_pairs(pv, ci, cp)
+    assert vol.shape == (1, 2)
+    assert vol[0, 0] == pytest.approx(1 * 1 + 2 * 0.25)
+    assert vol[0, 1] == pytest.approx(2 * 0.25)
+
+
+def test_eikonal_isotropic():
+    """Isotropic metric: T = euclidean distance from the corner."""
+    nx = ny = 21
+    metric = np.tile([1.0, 0.0, 1.0], (nx * ny, 1))
+    T = np.asarray(anisotropic_eikonal_2d((nx, ny), (21.0, 21.0), metric,
+                                          [0]))
+    ii = np.arange(nx * ny) % nx
+    jj = np.arange(nx * ny) // nx
+    d = np.sqrt(ii.astype(float) ** 2 + jj.astype(float) ** 2)
+    # 8-neighbor graph distance overestimates euclidean by <= ~8%
+    ok = d > 0
+    ratio = T[ok] / d[ok]
+    assert ratio.min() > 0.999
+    assert ratio.max() < 1.09
+
+
+def test_eikonal_anisotropic():
+    """Strongly anisotropic metric: travel much faster along x than y."""
+    nx = ny = 15
+    metric = np.tile([1.0, 0.0, 100.0], (nx * ny, 1))  # y is 10x "longer"
+    T = np.asarray(anisotropic_eikonal_2d((nx, ny), (15.0, 15.0), metric,
+                                          [0]))
+    t_x = T[nx - 1]            # far corner along x
+    t_y = T[(ny - 1) * nx]     # far corner along y
+    assert t_y > 5 * t_x
+
+
+def test_reorder_transport_matches_implicit():
+    """Wavefront reorder transport must match the global implicit Newton
+    solver on a 1-D waterflood (same discretization, same equations)."""
+    from opm_tpu.models.twophase import TwophaseModel
+    nx = 50
+    g = cartesian_grid((nx, 1, 1), (100.0, 1.0, 1.0), perm=1e-13, poro=0.2)
+    props = IncompProps(viscosity=(1e-3, 1e-3), density=(1000.0, 800.0),
+                        exponent=2.0)
+    src = np.zeros(g.nc)
+    q = g.pore_volume.sum() / (100 * DAY)
+    src[0] = q
+    src[-1] = -q
+    flux = jnp.full(g.nf, q)
+    s0 = jnp.zeros(g.nc)
+    dt = 5 * DAY
+
+    reorder = ReorderTwophaseTransport(g, props)
+    s_r, sweeps, ds = reorder.solve(s0, flux, src, dt)
+
+    model = TwophaseModel(g, props, gravity_on=False)
+    s_i, it, rn = model.transport_solve(s0, flux, src, dt)
+    assert np.allclose(np.asarray(s_r), np.asarray(s_i), atol=2e-6), \
+        np.abs(np.asarray(s_r) - np.asarray(s_i)).max()
+
+
+def test_level_schedule_depth():
+    g, src, flux = _line_drive(nx=30)
+    sched = upwind_levels(g.nc, g.face_cells, flux)
+    assert sched.nlevels == 30
+    assert sched.max_scc == 1
+    assert np.array_equal(sched.order, np.arange(30))
