@@ -206,15 +206,28 @@ class SimulatorFullyImplicitBlackoil:
 
     # ------------------------------------------------------------------
     def run(self, state: Optional[BlackoilState] = None, *,
-            report_step_limit: Optional[int] = None, verbose: bool = False):
+            report_step_limit: Optional[int] = None, verbose: bool = False,
+            restart_file: Optional[str] = None,
+            write_restart: bool = False, write_vtk: bool = False):
+        """Run the schedule. restart_file resumes mid-run from a checkpoint
+        written by a previous run (the SKIPREST/RESTART capability,
+        SimulatorBase_impl.hpp:96-131); write_restart emits a checkpoint per
+        report step into output_dir."""
         t_start = time.perf_counter()
         nw = len(self.well_names)
-        if state is None:
+        start_step = 0
+        if restart_file is not None:
+            from opm_tpu.io.restart import load_restart
+            state, meta = load_restart(restart_file)
+            start_step = meta["report_step"] + 1
+            self.ts.suggested_dt = meta["suggested_dt"]
+        elif state is None:
             state = initial_state(self.grid, self.props, self.case, nw)
         steps = self.schedule.report_steps
         if report_step_limit is not None:
             steps = steps[:report_step_limit]
-        first = True
+        steps = steps[start_step:]
+        first = start_step == 0
         for step in steps:
             ws = self._pad_well_set(self._well_set_for(step))
             wd = make_well_device_arrays(ws, self.grid.gravity)
@@ -236,6 +249,27 @@ class SimulatorFullyImplicitBlackoil:
             self.report.failed_substeps += subrep.failed_substeps
             self.report.newton_iterations += subrep.total_newton
             self.summary.record(step.end_time, state, self.model)
+            if (write_restart or write_vtk) and self.output_dir:
+                import os
+                os.makedirs(self.output_dir, exist_ok=True)
+                if write_restart:
+                    from opm_tpu.io.restart import save_restart
+                    save_restart(
+                        os.path.join(self.output_dir,
+                                     f"restart_{step.index:04d}.npz"),
+                        state, report_step=step.index,
+                        time=step.end_time,
+                        suggested_dt=self.ts.suggested_dt)
+                if write_vtk:
+                    from opm_tpu.io.vtk import write_vtr
+                    from opm_tpu.models.state import saturations
+                    sw, so, sg = saturations(state)
+                    write_vtr(
+                        os.path.join(self.output_dir,
+                                     f"step_{step.index:04d}.vtr"),
+                        self.grid,
+                        dict(PRESSURE=np.asarray(state.pressure),
+                             SWAT=np.asarray(sw), SGAS=np.asarray(sg)))
             if verbose:
                 r = self.summary.rows[-1]
                 print(f"step {step.index:4d} t={step.end_time / DAY:9.1f} d "

@@ -1,0 +1,92 @@
+"""Polymer flooding (sim_poly2p_* analogue): Todd-Longstaff properties,
+coupled (s,c) transport, conservation and retardation."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opm_tpu.grid import cartesian_grid
+from opm_tpu.props.incomp import IncompProps
+from opm_tpu.props.polymer import PolymerProperties
+from opm_tpu.sim.polymer import PolymerInflow, SimulatorPolymer
+
+DAY = 86400.0
+
+
+def _props():
+    visc = jnp.asarray([[0.0, 1.0], [1.0, 4.0], [5.0, 20.0]])
+    ads = jnp.asarray([[0.0, 0.0], [5.0, 2e-5]])
+    poly = PolymerProperties(c_max=5.0, mix_param=1.0, rock_density=2000.0,
+                             dead_pore_vol=0.05, res_factor=1.0,
+                             visc_table=visc, ads_table=ads)
+    props = IncompProps(viscosity=(0.5e-3, 2e-3), density=(1000.0, 850.0),
+                        exponent=2.0)
+    return props, poly
+
+
+def test_todd_longstaff_limits():
+    _, poly = _props()
+    mu_w = 0.5e-3
+    # no polymer: effective viscosity = water viscosity
+    mw0, mp0 = poly.effective_viscosities(jnp.asarray(0.0), mu_w)
+    assert float(mw0) == pytest.approx(mu_w, rel=1e-12)
+    # c_max, omega = 1 (fully mixed): both = mu_m(cmax) = 20 mu_w
+    mwm, mpm = poly.effective_viscosities(jnp.asarray(5.0), mu_w)
+    assert float(mwm) == pytest.approx(20 * mu_w, rel=1e-9)
+    assert float(mpm) == pytest.approx(20 * mu_w, rel=1e-9)
+    # viscosity increases monotonically with c
+    cs = jnp.linspace(0, 5.0, 20)
+    mws = jnp.stack([poly.effective_viscosities(ci, mu_w)[0] for ci in cs])
+    assert np.all(np.diff(np.asarray(mws)) > -1e-15)
+
+
+def test_polymer_slug_conservation_and_retardation():
+    nx = 60
+    g = cartesian_grid((nx, 1, 1), (60.0, 1.0, 1.0), perm=1e-13, poro=0.25)
+    props, poly = _props()
+    src = np.zeros(g.nc)
+    q = g.pore_volume.sum() / (100 * DAY)
+    src[0] = q
+    src[-1] = -q
+    sim = SimulatorPolymer(g, props, poly, src,
+                           PolymerInflow(0.0, 1e30, 2.0))
+    state, rep = sim.run(np.zeros(g.nc), dt=2 * DAY, num_steps=15)
+    sw = np.asarray(state.sw)
+    c = np.asarray(state.c)
+    # polymer stays inside water: c <= c_max, zero beyond the water front
+    assert c.max() <= 5.0 + 1e-9
+    water_front = np.argmax(sw < 1e-6)
+    poly_front = np.argmax(c < 1e-6)
+    assert 0 < poly_front <= water_front  # retarded by adsorption + dps
+    # mass balance: injected = in solution + adsorbed + produced
+    dps = poly.dead_pore_vol
+    rock = poly.rock_density * (1 - g.poro) / g.poro
+    in_solution = ((1 - dps) * sw * c * g.pore_volume).sum()
+    adsorbed = (np.asarray(poly.adsorption(jnp.asarray(c),
+                                           state.cmax)) * rock
+                * g.pore_volume).sum()
+    total = in_solution + adsorbed + rep.produced_polymer
+    assert total == pytest.approx(rep.injected_polymer, rel=5e-3)
+
+
+def test_polymer_slows_water():
+    """Higher water viscosity from polymer -> slower water front."""
+    nx = 40
+    g = cartesian_grid((nx, 1, 1), (40.0, 1.0, 1.0), perm=1e-13, poro=0.25)
+    props, poly = _props()
+    src = np.zeros(g.nc)
+    q = g.pore_volume.sum() / (100 * DAY)
+    src[0] = q
+    src[-1] = -q
+    sim_p = SimulatorPolymer(g, props, poly, src,
+                             PolymerInflow(0.0, 1e30, 5.0))
+    st_p, _ = sim_p.run(np.zeros(g.nc), dt=2 * DAY, num_steps=10)
+    sim_0 = SimulatorPolymer(g, props, poly, src,
+                             PolymerInflow(0.0, 1e30, 0.0))
+    st_0, _ = sim_0.run(np.zeros(g.nc), dt=2 * DAY, num_steps=10)
+    # with polymer, injected water is more viscous -> piston-like, the
+    # no-polymer flood fingers further (front further along)
+    f_p = np.argmax(np.asarray(st_p.sw) < 0.02)
+    f_0 = np.argmax(np.asarray(st_0.sw) < 0.02)
+    assert f_p <= f_0
+    # and saturations behind the polymer front are higher (better sweep)
+    assert np.asarray(st_p.sw)[2] > np.asarray(st_0.sw)[2]
