@@ -116,7 +116,8 @@ class SimulatorFullyImplicitBlackoil:
     def __init__(self, case: EclipseCase, *,
                  params: Optional[ModelParams] = None,
                  ts_params: Optional[TimeStepControlParams] = None,
-                 output_dir: Optional[str] = None):
+                 output_dir: Optional[str] = None,
+                 fused: Optional[bool] = None):
         self.case = case
         self.grid = build_grid(case)
         self.props = BlackoilProps.from_case(case)
@@ -135,6 +136,12 @@ class SimulatorFullyImplicitBlackoil:
         self.max_perf = max_perf
         self.ts = AdaptiveTimeStepping(ts_params, tuning=self.schedule.tuning)
         self.solver = NonlinearSolver(self.model)
+        if fused is None:
+            # on TPU the host<->device round trips dominate; fuse the whole
+            # Newton loop into one device program
+            import jax as _jax
+            fused = _jax.default_backend() != "cpu"
+        self.fused = fused
         self.summary = SummaryCollector(names)
         self.report = SimulatorReportTotals()
 
@@ -236,7 +243,9 @@ class SimulatorFullyImplicitBlackoil:
 
             def solve_fn(s, dt):
                 rep = SolverReport()
-                s2, rep = self.solver.step(s, dt, wd, report=rep)
+                stepper = (self.solver.step_fused if self.fused
+                           else self.solver.step)
+                s2, rep = stepper(s, dt, wd, report=rep)
                 self.report.assemble_time += rep.assemble_time
                 self.report.linear_solve_time += rep.linear_solve_time
                 return s2, rep

@@ -211,6 +211,97 @@ class NonlinearSolver:
             f"Newton failed to converge in {self.max_iter} iterations "
             f"(mb={np.asarray(conv['mb'])}, cnv={np.asarray(conv['cnv'])})")
 
+    # -- fused path: the whole Newton loop in ONE device program ----------
+    def _fused_substep(self, state0, dt, wd):
+        """Entire substep as a lax.while_loop: assemble -> convergence ->
+        control switching -> solve -> chopped update, with oscillation
+        relaxation carried on-device. One host sync per substep instead of
+        ~3 per Newton iteration — the difference between tunnel-latency-bound
+        and compute-bound on TPU."""
+        model = self.model
+        acc0 = model.accumulation(state0)
+        q0 = model.cell_quantities(state0)
+        cdp = stdwells.connection_pressure_offsets(
+            wd, model.well_cell_quantities(q0), state0.qs)
+        max_iter = self.max_iter
+        min_iter = self.min_iter
+
+        if self.linear_solver == "cpr":
+            solve = lambda s, omega: self._solve_cpr(s, acc0, dt, wd, cdp,
+                                                     omega)
+        else:
+            solve = lambda s, omega: self._solve_dense(s, acc0, dt, wd, cdp,
+                                                       omega)
+
+        def body(carry):
+            state, it, done, bad, lin_tot, mb_hist, omega = carry
+            res = model.residual(state, acc0, dt, wd, cdp)
+            conv = model.convergence(res, dt, state)
+            ctrl, tgt = stdwells.update_controls(
+                wd, state.bhp, state.qs, state.control, state.target)
+            state = state._replace(control=ctrl, target=tgt)
+            converged = conv["converged"] & (it >= min_iter)
+            finite = conv["finite"]
+            # oscillation detection on the MB history
+            mb = conv["mb"]
+            f0, f1 = mb_hist[0], mb_hist[1]
+            d1 = (mb - f1) / jnp.maximum(jnp.abs(f1), 1e-300)
+            d2 = (f1 - f0) / jnp.maximum(jnp.abs(f1), 1e-300)
+            osc = jnp.sum((d1 * d2 < 0)
+                          & (jnp.minimum(jnp.abs(d1), jnp.abs(d2))
+                             > self.relax_rel_tol)) >= 2
+            omega = jnp.where(osc & (it >= 2),
+                              jnp.maximum(self.relax_max,
+                                          omega - self.relax_increment),
+                              omega)
+            mb_hist = (f1, mb)
+
+            def do_solve(s):
+                s2, lin = solve(s, omega)
+                return s2, lin
+
+            def skip(s):
+                return s, jnp.asarray(0)
+
+            state2, lin = jax.lax.cond(converged | ~finite, skip, do_solve,
+                                       state)
+            return (state2, it + 1, converged, ~finite, lin_tot + lin,
+                    mb_hist, omega)
+
+        def cond(carry):
+            _, it, done, bad, *_ = carry
+            return ~done & ~bad & (it <= max_iter)
+
+        mb0 = jnp.full(3, jnp.inf)
+        init = (state0, jnp.asarray(0), jnp.asarray(False),
+                jnp.asarray(False), jnp.asarray(0), (mb0, mb0),
+                jnp.asarray(1.0))
+        state, it, done, bad, lin_tot, _, _ = jax.lax.while_loop(cond, body,
+                                                                 init)
+        return state, done, bad, it, lin_tot
+
+    def step_fused(self, state0: BlackoilState, dt: float, wd,
+                   report: Optional[SolverReport] = None):
+        """Fused-substep front end with the same contract as step()."""
+        rep = report or SolverReport()
+        if not hasattr(self, "_fused_jit"):
+            self._fused_jit = jax.jit(self._fused_substep)
+        t0 = time.perf_counter()
+        dt = jnp.asarray(dt, dtype=jnp.float64)
+        state, done, bad, it, lin = self._fused_jit(state0, dt, wd)
+        done = bool(done)
+        bad = bool(bad)
+        rep.iterations = max(int(it) - 1, 0)
+        rep.linear_iterations = int(lin)
+        rep.linear_solve_time += time.perf_counter() - t0
+        if bad:
+            raise NumericalIssue("non-finite residual in fused substep")
+        if not done:
+            raise TooManyIterations(
+                f"fused substep: no convergence in {self.max_iter} iters")
+        rep.converged = True
+        return state, rep
+
     def _oscillating(self, history, num_phases=3):
         """Oscillation detection on the MB-residual history
         (NonlinearSolver_impl.hpp:223-255): two phases with alternating

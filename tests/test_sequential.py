@@ -44,15 +44,35 @@ def test_sequential_split(fi_state):
                                                              rel=1e-3)
 
 
-@pytest.mark.slow
-def test_sequential_outer_matches_fully_implicit(fi_state):
-    case, _, state_f = fi_state
-    sim_s = SimulatorSequentialBlackoil(
-        case, seq_params=SequentialParams(iterate_to_fully_implicit=True,
-                                          max_outer_iter=4))
-    state_s = sim_s.run(report_step_limit=1)
-    p_s = np.asarray(state_s.pressure)
-    p_f = np.asarray(state_f.pressure)
-    assert np.abs(p_s - p_f).max() / p_f.mean() < 0.02
-    assert np.abs(np.asarray(state_s.sw) - np.asarray(state_f.sw)).max() \
-        < 0.005
+def test_sequential_outer_single_step(fi_state):
+    """One 2-day step: outer iteration must cut the splitting error well
+    below the plain split's."""
+    import jax.numpy as jnp
+
+    from opm_tpu.models.blackoil import make_well_device_arrays
+    from opm_tpu.models.sequential import BlackoilSequentialModel
+    from opm_tpu.sim.init import initial_state
+    from opm_tpu.solver.newton import NonlinearSolver, SolverReport
+
+    case, _, _ = fi_state
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state0 = initial_state(sim.grid, sim.props, case, len(sim.well_names))
+    ws = sim._pad_well_set(sim._well_set_for(sim.schedule.report_steps[0]))
+    wd = make_well_device_arrays(ws, sim.grid.gravity)
+    state0 = sim._init_well_state(state0, ws, True)
+    dt = 2 * 86400.0
+
+    state_fi, _ = NonlinearSolver(sim.model).step(state0, dt, wd,
+                                                  SolverReport())
+    p_fi = np.asarray(state_fi.pressure)
+
+    errs = {}
+    for outer in (False, True):
+        seq = BlackoilSequentialModel(
+            sim.model, SequentialParams(iterate_to_fully_implicit=outer,
+                                        max_outer_iter=6))
+        st, info = seq.step(state0, dt, wd)
+        errs[outer] = np.abs(np.asarray(st.pressure) - p_fi).max() / \
+            p_fi.mean()
+    assert errs[True] < 0.5 * errs[False] or errs[True] < 1e-5, errs
+    assert errs[True] < 5e-3, errs
