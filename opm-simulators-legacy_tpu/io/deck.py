@@ -170,7 +170,7 @@ TABLE_LIST = {
     "ROCKTAB": "ntrocc",
 }
 
-MULTIREC_TABLES = {"PVTO": "ntpvt", "PVTG": "ntpvt", "VFPPROD": 1, "VFPINJ": 1}
+MULTIREC_TABLES = {"PVTO": "ntpvt", "PVTG": "ntpvt"}
 
 ARRAY_KEYWORDS = {
     "DX", "DY", "DZ", "DXV", "DYV", "DZV", "TOPS", "DEPTHZ", "PERMX",
@@ -412,6 +412,23 @@ class DeckParser:
         if name in TABLE_LIST:
             n = self.counts[TABLE_LIST[name]]
             return DeckKeyword(name, [self._read_record(ts) or [] for _ in range(n)])
+        if name in ("VFPPROD", "VFPINJ"):
+            # fixed-count record streams: header + axis records + one bhp
+            # record per upper-axis combination
+            recs = [self._read_record(ts)]  # header
+            n_axes = 5 if name == "VFPPROD" else 2
+            axis_lens = []
+            for _ in range(n_axes):
+                r = self._read_record(ts)
+                recs.append(r)
+                axis_lens.append(len(r))
+            # combinations of all axes except FLO (the first axis record)
+            ncomb = 1
+            for ln in axis_lens[1:]:
+                ncomb *= max(ln, 1)
+            for _ in range(ncomb):
+                recs.append(self._read_record(ts))
+            return DeckKeyword(name, recs)
         if name in MULTIREC_TABLES:
             n = MULTIREC_TABLES[name]
             n = self.counts[n] if isinstance(n, str) else n

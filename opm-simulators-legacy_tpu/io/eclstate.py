@@ -103,6 +103,8 @@ class EclipseCase:
         self.regions = self._parse_regions(deck)
         self.solution = self._parse_solution(deck)
         self.summary_requests = self._parse_summary(deck)
+        from opm_tpu.wells.vfp import parse_vfp_tables
+        self.vfp_tables = parse_vfp_tables(deck, self.units)
 
     # ------------------------------------------------------------------
     def _parse_runspec(self, deck: Deck) -> Runspec:

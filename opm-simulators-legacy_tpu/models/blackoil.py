@@ -247,7 +247,7 @@ class BlackoilModel:
         cell_res = cell_res.at[flat_cells].add(-flat_cq)
         well_flux, well_ctrl = stdwells.well_residuals(
             wd, state.qs, state.bhp, cq_s, state.control, state.target,
-            resv_coef=wd.get("resv_coef"))
+            resv_coef=wd.get("resv_coef"), vfp=wd.get("vfp"))
         return Residual(cell=cell_res, well_flux=well_flux,
                         well_ctrl=well_ctrl, b=q.b)
 

@@ -159,10 +159,33 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         sign = jnp.where(wd["is_injector"], 1.0, -1.0)[:, None]
         g = jnp.where(is_resv, sign * resv_coef, g)
     is_bhp = (state.control == CTRL_BHP) | (state.control == CTRL_THP)
-    ctrl_res = jnp.where(is_bhp,
-                         state.bhp - state.target,
-                         jnp.einsum("wp,wp->w", g, state.qs) - state.target)
     closed = wd["open"] < 0.5
+    vfp = wd.get("vfp")
+
+    def ctrl_local(qsw, bhpw, gw, ctrlw, tgtw, slotw, dpw):
+        """Per-well control residual (same semantics as
+        stdwells.well_residuals' ctrl branch); jacfwd gives the exact row
+        incl. the VFP rate dependence."""
+        rate = gw @ qsw - tgtw
+        bhp_t = tgtw
+        if vfp is not None:
+            tables = vfp[0]
+            for si, tab in enumerate(tables):
+                hit = (ctrlw == CTRL_THP) & (slotw == si)
+                bhp_t = jnp.where(hit, tab.bhp_at(qsw, tgtw) + dpw, bhp_t)
+        return jnp.where((ctrlw == CTRL_BHP) | (ctrlw == CTRL_THP),
+                         bhpw - bhp_t, rate)
+
+    if vfp is not None:
+        slot_arr, dp_arr = vfp[1], vfp[2]
+    else:
+        slot_arr = jnp.full(nw, -1)
+        dp_arr = jnp.zeros(nw)
+    ctrl_res = jax.vmap(ctrl_local)(state.qs, state.bhp, g, state.control,
+                                    state.target, slot_arr, dp_arr)
+    ctrl_jq, ctrl_jb = jax.vmap(jax.jacfwd(ctrl_local, argnums=(0, 1)))(
+        state.qs, state.bhp, g, state.control, state.target, slot_arr,
+        dp_arr)
     flux_res = jnp.where(closed[:, None], state.qs, flux_res)
     ctrl_res = jnp.where(closed, state.bhp - wd["bhp_limit"], ctrl_res)
     r_well = jnp.concatenate([flux_res, ctrl_res[:, None]], axis=1)
@@ -172,11 +195,10 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     dwv_sum = jac_wv.reshape(nw, mp, 3, 4).sum(axis=1)   # d(sum cq)/dwv
     flux_rows = eye34[None] - dwv_sum                    # (nw, 3, 4)
     flux_rows = jnp.where(closed[:, None, None], eye34[None], flux_rows)
-    ctrl_row_rate = jnp.concatenate([g, jnp.zeros((nw, 1))], axis=1)
+    ctrl_row = jnp.concatenate([ctrl_jq, ctrl_jb[:, None]], axis=1)
     ctrl_row_bhp = jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0]),
                                     (nw, 4))
-    ctrl_row = jnp.where((is_bhp | closed)[:, None], ctrl_row_bhp,
-                         ctrl_row_rate)
+    ctrl_row = jnp.where(closed[:, None], ctrl_row_bhp, ctrl_row)
     wd_diag = jnp.concatenate([flux_rows, ctrl_row[:, None, :]], axis=1)
     # closed wells: no cell coupling
     cw = cw * wd["open"][:, None, None, None]

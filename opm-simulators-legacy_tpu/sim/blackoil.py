@@ -29,6 +29,7 @@ from opm_tpu.solver.newton import NonlinearSolver, SolverReport
 from opm_tpu.solver.timestepping import (AdaptiveTimeStepping, SubStepReport,
                                          TimeStepControlParams)
 from opm_tpu.wells.wells import (CTRL_BHP, CTRL_GRAT, CTRL_LRAT, CTRL_ORAT,
+                                 CTRL_RESERVOIR_RATE, CTRL_RESV,
                                  CTRL_SURFACE_RATE, CTRL_WRAT, WellSet,
                                  build_well_set)
 
@@ -240,6 +241,24 @@ class SimulatorFullyImplicitBlackoil:
             wd = make_well_device_arrays(ws, self.grid.gravity)
             state = self._init_well_state(state, ws, first)
             first = False
+            if np.any((ws.control == CTRL_RESV)
+                      | (ws.control == CTRL_RESERVOIR_RATE)):
+                # RESV voidage coefficients from current region averages
+                # (computeRESV, SimulatorBase_impl.hpp:196)
+                from opm_tpu.wells.rateconv import well_resv_coefficients
+                wd["resv_coef"] = well_resv_coefficients(self.model, state,
+                                                         ws)
+            if self.case.vfp_tables and np.any(ws.control == 1):  # CTRL_THP
+                tables = tuple(self.case.vfp_tables[k]
+                               for k in sorted(self.case.vfp_tables))
+                tid_to_slot = {t.table_id: i for i, t in enumerate(tables)}
+                slots = np.array(
+                    [tid_to_slot.get(
+                        next((w.vfp_table for w in step.wells
+                              if w.name == n), 0), -1)
+                     for n in self.well_names], dtype=np.int32)
+                wd["vfp"] = (tables, jnp.asarray(slots),
+                             jnp.zeros(len(self.well_names)))
 
             def solve_fn(s, dt):
                 rep = SolverReport()

