@@ -428,6 +428,11 @@ class EclipseCase:
                            ("SGAS", "sgas"), ("RS", "rs"), ("RV", "rv")):
             if name in self.grid_arrays:
                 setattr(sol, attr, self.grid_arrays[name])
+        kw = deck.get("THPRES")
+        if kw:
+            for r in kw.records:
+                sol.thpres.append((int(_val(r, 0, 1)), int(_val(r, 1, 1)),
+                                   _val(r, 2, 0.0) * p_f))
         return sol
 
     # ------------------------------------------------------------------

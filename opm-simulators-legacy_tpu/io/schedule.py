@@ -78,11 +78,27 @@ class WellConfig:
 
 
 @dataclass
+class GroupConfig:
+    """Group target snapshot (GCONPROD/GCONINJE; the reference reaches these
+    through the external WellCollection — BlackoilModelBase_impl.hpp:779-792
+    setupGroupControl)."""
+    name: str
+    parent: str = "FIELD"
+    prod_control: Optional[str] = None       # ORAT/WRAT/GRAT/LRAT/RESV
+    prod_targets: dict = field(default_factory=dict)
+    inj_fluid: Optional[str] = None
+    inj_control: Optional[str] = None        # RATE/RESV/REIN/VREP
+    inj_target: float = np.nan
+    voidage_frac: float = 1.0
+
+
+@dataclass
 class ReportStep:
     index: int
     start_time: float  # seconds since simulation start
     end_time: float
     wells: List[WellConfig] = field(default_factory=list)
+    groups: Dict[str, "GroupConfig"] = field(default_factory=dict)
     events: List[str] = field(default_factory=list)  # e.g. WELL_CHANGE
 
 
@@ -102,6 +118,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
     u = case.units
     sched = Schedule(start_date=case.runspec.start_date)
     wells: Dict[str, WellConfig] = {}
+    groups: Dict[str, GroupConfig] = {}
     t = 0.0
     cur_date = case.runspec.start_date
     step_idx = 0
@@ -225,6 +242,37 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     w.polymer_conc = float(_val(r, 1, 0.0)) * u.factor(
                         "PolymerDensity")
                     pending_events.append("WELL_CHANGE")
+        elif name == "GRUPTREE":
+            for r in kw.records:
+                g = str(_val(r, 0, "FIELD"))
+                groups.setdefault(g, GroupConfig(name=g)).parent = \
+                    str(_val(r, 1, "FIELD"))
+        elif name == "GCONPROD":
+            for r in kw.records:
+                g = groups.setdefault(str(r[0]),
+                                      GroupConfig(name=str(r[0])))
+                g.prod_control = str(_val(r, 1, "NONE")).upper()
+                g.prod_targets = dict(
+                    ORAT=_sival(r, 2, liq_f), WRAT=_sival(r, 3, liq_f),
+                    GRAT=_sival(r, 4, gas_f), LRAT=_sival(r, 5, liq_f),
+                    RESV=_sival(r, 6, res_f))
+                pending_events.append("WELL_CHANGE")
+        elif name == "GCONINJE":
+            for r in kw.records:
+                g = groups.setdefault(str(r[0]),
+                                      GroupConfig(name=str(r[0])))
+                g.inj_fluid = str(_val(r, 1, "WATER")).upper()
+                g.inj_control = str(_val(r, 2, "RATE")).upper()
+                fl_f = gas_f if g.inj_fluid == "GAS" else liq_f
+                if g.inj_control == "RATE":
+                    g.inj_target = _sival(r, 3, fl_f)
+                elif g.inj_control == "RESV":
+                    g.inj_target = _sival(r, 4, res_f)
+                elif g.inj_control == "REIN":
+                    g.inj_target = float(_val(r, 5, 1.0))
+                elif g.inj_control == "VREP":
+                    g.voidage_frac = float(_val(r, 6, 1.0))
+                pending_events.append("WELL_CHANGE")
         elif name == "TUNING":
             r0 = kw.records[0] if kw.records else []
             sched.tuning = dict(
@@ -239,6 +287,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
                 sched.report_steps.append(ReportStep(
                     index=step_idx, start_time=t, end_time=t + dt_si,
                     wells=[w.copy() for w in wells.values()],
+                    groups={k: replace(v) for k, v in groups.items()},
                     events=pending_events))
                 pending_events = []
                 t += dt_si
@@ -254,6 +303,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
                 sched.report_steps.append(ReportStep(
                     index=step_idx, start_time=t, end_time=t + dt_si,
                     wells=[w.copy() for w in wells.values()],
+                    groups={k: replace(v) for k, v in groups.items()},
                     events=pending_events))
                 pending_events = []
                 t += dt_si

@@ -180,6 +180,7 @@ class BlackoilModel:
         self.pvtnum = f(grid.pvtnum)
         self.satnum = f(grid.satnum)
         self.gravity = grid.gravity
+        self.threshold_dp = None  # (nf,) THPRES per face, set by the driver
 
     # ------------------------------------------------------------------
     def cell_quantities(self, state: BlackoilState) -> CellQuantities:
@@ -232,6 +233,8 @@ class BlackoilModel:
                  threshold_dp=None) -> Residual:
         """Full nonlinear residual (assemble,
         BlackoilModelBase_impl.hpp:759-913)."""
+        if threshold_dp is None:
+            threshold_dp = self.threshold_dp
         q = self.cell_quantities(state)
         acc = self._accumulation_from_q(q)
         pvdt = self.pv / dt

@@ -93,17 +93,22 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     # ---- faces: value + L/R blocks ---------------------------------------
     dz = model.depth[c1] - model.depth[c2]
 
-    def flux_local(uL, uR, auxL, auxR, t, dzf):
+    thr = model.threshold_dp
+    if thr is None:
+        thr = jnp.zeros(model.face_cells.shape[0])
+
+    def flux_local(uL, uR, auxL, auxR, t, dzf, thrf):
         qL = compute_cell_quantities(props, uL[0], uL[1], uL[2], *auxL)
         qR = compute_cell_quantities(props, uR[0], uR[1], uR[2], *auxR)
-        return face_flux_from_q(qL, qR, t, dzf, model.gravity)
+        return face_flux_from_q(qL, qR, t, dzf, model.gravity,
+                                threshold_dp=thrf)
 
     auxL = (hc[c1], pvt[c1], sat[c1])
     auxR = (hc[c2], pvt[c2], sat[c2])
     flux_val = jax.vmap(flux_local)(u[c1], u[c2], auxL, auxR, model.trans,
-                                    dz)
+                                    dz, thr)
     face_L, face_R = jax.vmap(jax.jacfwd(flux_local, argnums=(0, 1)))(
-        u[c1], u[c2], auxL, auxR, model.trans, dz)
+        u[c1], u[c2], auxL, auxR, model.trans, dz, thr)
     r_cell = r_cell.at[c1].add(flux_val).at[c2].add(-flux_val)
     diag = diag.at[c1].add(face_L).at[c2].add(-face_R)
 

@@ -123,6 +123,18 @@ class SimulatorFullyImplicitBlackoil:
         self.grid = build_grid(case)
         self.props = BlackoilProps.from_case(case)
         self.model = BlackoilModel(self.grid, self.props, params)
+        if case.solution.thpres:
+            # per-face threshold pressures between equilibration regions
+            # (thresholdPressures.hpp:47,321; applied in the flux assembly)
+            eql = np.asarray(self.grid.eqlnum)
+            fc = self.grid.face_cells
+            thp = np.zeros(len(fc))
+            for (r1, r2, val) in case.solution.thpres:
+                m = (((eql[fc[:, 0]] == r1 - 1) & (eql[fc[:, 1]] == r2 - 1))
+                     | ((eql[fc[:, 0]] == r2 - 1)
+                        & (eql[fc[:, 1]] == r1 - 1)))
+                thp[m] = val
+            self.model.threshold_dp = jnp.asarray(thp)
         self.schedule = build_schedule(case)
         self.output_dir = output_dir
         # global well superset: fixed shapes across the whole schedule
@@ -145,6 +157,21 @@ class SimulatorFullyImplicitBlackoil:
         self.fused = fused
         self.summary = SummaryCollector(names)
         self.report = SimulatorReportTotals()
+
+    # ------------------------------------------------------------------
+    def _field_voidage(self, state) -> float:
+        """Total reservoir voidage rate of producers (for VREP), from the
+        rate converter (computeWellVoidageRates,
+        BlackoilModelBase_impl.hpp:2548)."""
+        from opm_tpu.wells.rateconv import (region_averages,
+                                            voidage_coefficients)
+        region = jnp.zeros(self.model.nc, dtype=jnp.int32)
+        p_avg, rs_avg, rv_avg = region_averages(self.model, state, region)
+        coef = np.asarray(voidage_coefficients(self.props, p_avg, rs_avg,
+                                               rv_avg))[0]
+        qs = np.asarray(state.qs)
+        prod = np.clip(-qs, 0.0, None)
+        return float((prod * coef[None, :]).sum())
 
     # ------------------------------------------------------------------
     def _well_set_for(self, step) -> WellSet:
@@ -237,7 +264,18 @@ class SimulatorFullyImplicitBlackoil:
         steps = steps[start_step:]
         first = start_step == 0
         for step in steps:
-            ws = self._pad_well_set(self._well_set_for(step))
+            step_wells = step.wells
+            if step.groups and any(w.control == "GRUP" for w in step_wells):
+                # distribute group targets to GRUP wells
+                from opm_tpu.wells.groups import resolve_group_controls
+                rates = {n: np.asarray(state.qs)[i]
+                         for i, n in enumerate(self.well_names)}
+                voidage = self._field_voidage(state)
+                step_wells = resolve_group_controls(step_wells, step.groups,
+                                                    rates, voidage)
+            ws = self._pad_well_set(build_well_set(
+                step_wells, self.grid, max_perf=self.max_perf,
+                name_order=self.well_names))
             wd = make_well_device_arrays(ws, self.grid.gravity)
             state = self._init_well_state(state, ws, first)
             first = False

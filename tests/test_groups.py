@@ -1,0 +1,118 @@
+"""Group controls: GRUP wells share the group target (WellCollection
+capability analogue)."""
+import numpy as np
+import pytest
+
+from opm_tpu.io.eclstate import load_case_string
+from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+
+DAY = 86400.0
+STB = 0.158987294928
+
+DECK = """
+RUNSPEC
+DIMENS
+ 10 5 1 /
+EQLDIMS
+/
+TABDIMS
+/
+OIL
+GAS
+WATER
+DISGAS
+FIELD
+WELLDIMS
+ 3 1 2 3 /
+GRID
+DX
+ 50*500 /
+DY
+ 50*500 /
+DZ
+ 50*50 /
+TOPS
+ 50*8325 /
+PORO
+ 50*0.3 /
+PERMX
+ 50*200 /
+PERMY
+ 50*200 /
+PERMZ
+ 50*200 /
+PROPS
+PVTW
+ 4014.7 1.029 3.13D-6 0.31 0 /
+ROCK
+ 14.7 3D-6 /
+SWOF
+ 0.12 0    1    0
+ 0.5  0.02 0.4  0
+ 1.0  0.3  0    0 /
+SGOF
+ 0    0    1     0
+ 0.3  0.1  0.3   0
+ 0.88 0.8  0.0   0 /
+DENSITY
+ 53.66 64.49 0.0533 /
+PVDG
+ 14.7   166.666 0.008
+ 2014.7 1.614   0.0189
+ 9014.7 0.386   0.0470 /
+PVTO
+ 0.20 1014.7 1.20 0.90 /
+ 0.60 2514.7 1.45 0.65 /
+ 1.27 4014.7 1.695 0.51
+      9014.7 1.579 0.74 /
+/
+SOLUTION
+EQUIL
+ 8350 4000 8500 0 8200 0 1 0 0 /
+RSVD
+ 8200 0.6
+ 8500 0.6 /
+SUMMARY
+FOPR
+SCHEDULE
+GRUPTREE
+ 'PLAT' 'FIELD' /
+/
+WELSPECS
+ 'P1' 'PLAT' 1 1 8350 'OIL' /
+ 'P2' 'PLAT' 10 5 8350 'OIL' /
+ 'I1' 'FIELD' 5 3 8350 'GAS' /
+/
+COMPDAT
+ 'P1' 1 1 1 1 'OPEN' 1* 1* 0.5 /
+ 'P2' 10 5 1 1 'OPEN' 1* 1* 0.5 /
+ 'I1' 5 3 1 1 'OPEN' 1* 1* 0.5 /
+/
+GCONPROD
+ 'PLAT' 'ORAT' 4000 3* 1* /
+/
+WCONPROD
+ 'P1' 'OPEN' 'GRUP' 5* 500 /
+ 'P2' 'OPEN' 'GRUP' 5* 500 /
+/
+WCONINJE
+ 'I1' 'GAS' 'OPEN' 'RATE' 2000 1* 9000 /
+/
+TSTEP
+ 5*10 /
+END
+"""
+
+
+def test_group_orat_distribution():
+    case = load_case_string(DECK)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = sim.run(report_step_limit=3)
+    qs = np.asarray(state.qs)
+    names = sim.well_names
+    prod_o = {n: -qs[i, 1] * DAY / STB for i, n in enumerate(names)
+              if n.startswith("P")}
+    total = sum(prod_o.values())
+    # group ORAT 4000 stb/d shared between P1 and P2
+    assert total == pytest.approx(4000, rel=1e-4), prod_o
+    assert all(v > 100 for v in prod_o.values()), prod_o
