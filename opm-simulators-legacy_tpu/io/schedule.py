@@ -69,6 +69,11 @@ class WellConfig:
     surf_inj_rate: float = np.nan
     resv_inj_rate: float = np.nan
     polymer_conc: float = 0.0
+    # WECON economic limits (NaN = unset)
+    econ_min_orat: float = np.nan
+    econ_min_grat: float = np.nan
+    econ_max_wct: float = np.nan
+    econ_max_gor: float = np.nan
     completions: List[Completion] = field(default_factory=list)
 
     def copy(self):
@@ -231,6 +236,14 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     elif ctl == "THP":
                         w.thp_limit = v * p_f
                     pending_events.append("WELL_CHANGE")
+        elif name == "WECON":
+            for r in kw.records:
+                for w in _match_wells(wells, str(r[0])):
+                    w.econ_min_orat = _sival(r, 1, liq_f)
+                    w.econ_min_grat = _sival(r, 2, gas_f)
+                    w.econ_max_wct = float(_val(r, 3, np.nan)) \
+                        if _val(r, 3, None) is not None else np.nan
+                    w.econ_max_gor = _sival(r, 4, gas_f / liq_f)
         elif name == "WELOPEN":
             for r in kw.records:
                 for w in _match_wells(wells, str(r[0])):

@@ -147,6 +147,7 @@ class SimulatorFullyImplicitBlackoil:
                 max_perf = max(max_perf, len(w.completions))
         self.well_names = names
         self.max_perf = max_perf
+        self._econ_shut: set = set()
         self.ts = AdaptiveTimeStepping(ts_params, tuning=self.schedule.tuning)
         self.solver = NonlinearSolver(self.model)
         if fused is None:
@@ -157,6 +158,36 @@ class SimulatorFullyImplicitBlackoil:
         self.fused = fused
         self.summary = SummaryCollector(names)
         self.report = SimulatorReportTotals()
+
+    # ------------------------------------------------------------------
+    def _check_econ_limits(self, step_wells, state):
+        """WECON rate/ratio economic limits: shut violating producers for
+        the rest of the run (checkRateEconLimits,
+        StandardWells_impl.hpp:1209)."""
+        qs = np.asarray(state.qs)
+        idx = {n: i for i, n in enumerate(self.well_names)}
+        for w in step_wells:
+            if w.type != "PRODUCER" or w.status.upper() != "OPEN":
+                continue
+            i = idx.get(w.name)
+            if i is None:
+                continue
+            qo = max(-qs[i, OIL], 0.0)
+            qw = max(-qs[i, WATER], 0.0)
+            qg = max(-qs[i, GAS], 0.0)
+            shut = False
+            if np.isfinite(w.econ_min_orat) and qo < w.econ_min_orat:
+                shut = True
+            if np.isfinite(w.econ_min_grat) and qg < w.econ_min_grat:
+                shut = True
+            if np.isfinite(w.econ_max_wct) and qo + qw > 1e-12 and \
+                    qw / (qo + qw) > w.econ_max_wct:
+                shut = True
+            if np.isfinite(w.econ_max_gor) and qo > 1e-12 and \
+                    qg / qo > w.econ_max_gor:
+                shut = True
+            if shut:
+                self._econ_shut.add(w.name)
 
     # ------------------------------------------------------------------
     def _field_voidage(self, state) -> float:
@@ -265,6 +296,12 @@ class SimulatorFullyImplicitBlackoil:
         first = start_step == 0
         for step in steps:
             step_wells = step.wells
+            if self._econ_shut:
+                # wells shut by economic limits stay shut
+                step_wells = [w.copy() for w in step_wells]
+                for w in step_wells:
+                    if w.name in self._econ_shut:
+                        w.status = "SHUT"
             if step.groups and any(w.control == "GRUP" for w in step_wells):
                 # distribute group targets to GRUP wells
                 from opm_tpu.wells.groups import resolve_group_controls
@@ -315,6 +352,7 @@ class SimulatorFullyImplicitBlackoil:
             self.report.failed_substeps += subrep.failed_substeps
             self.report.newton_iterations += subrep.total_newton
             self.summary.record(step.end_time, state, self.model)
+            self._check_econ_limits(step_wells, state)
             if (write_restart or write_vtk) and self.output_dir:
                 import os
                 os.makedirs(self.output_dir, exist_ok=True)

@@ -1,0 +1,76 @@
+"""flow: the simulator CLI.
+
+Counterpart of the reference's example mains (examples/flow_legacy.cpp,
+flow_sequential.cpp, flow_reorder.cpp) and FlowMain's setup pipeline
+(/root/reference/opm/autodiff/FlowMain.hpp:131-180): deck in, simulation out
+(summary CSV, optional restart checkpoints and VTK), with solver selection
+flags mirroring setupLinearSolver (:806-830).
+
+    python -m opm_tpu.tools.flow CASE.DATA [--output-dir out]
+        [--model fi|sequential] [--linear-solver auto|dense|cpr]
+        [--report-steps N] [--vtk] [--restart-file F] [--write-restart]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="flow", description=__doc__)
+    ap.add_argument("deck")
+    ap.add_argument("--output-dir", default="output")
+    ap.add_argument("--model", choices=["fi", "sequential"], default="fi")
+    ap.add_argument("--linear-solver", choices=["auto", "dense", "cpr"],
+                    default="auto")
+    ap.add_argument("--report-steps", type=int, default=None)
+    ap.add_argument("--vtk", action="store_true")
+    ap.add_argument("--write-restart", action="store_true")
+    ap.add_argument("--restart-file", default=None)
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from opm_tpu.io.eclstate import load_case
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.sequential import SimulatorSequentialBlackoil
+    from opm_tpu.solver.newton import NonlinearSolver
+
+    case = load_case(args.deck)
+    if not args.quiet:
+        print(f"{case.runspec.title or args.deck}: "
+              f"{case.runspec.dims} {'/'.join(case.runspec.phases)}"
+              f"{' DISGAS' if case.runspec.disgas else ''}"
+              f"{' VAPOIL' if case.runspec.vapoil else ''}")
+    cls = (SimulatorSequentialBlackoil if args.model == "sequential"
+           else SimulatorFullyImplicitBlackoil)
+    sim = cls(case, output_dir=args.output_dir)
+    if args.linear_solver != "auto" and args.model == "fi":
+        sim.solver = NonlinearSolver(sim.model,
+                                     linear_solver=args.linear_solver)
+    t0 = time.perf_counter()
+    sim.run(report_step_limit=args.report_steps,
+            verbose=not args.quiet, restart_file=args.restart_file,
+            write_restart=args.write_restart, write_vtk=args.vtk)
+    wall = time.perf_counter() - t0
+    rep = sim.report
+    print(json.dumps(dict(
+        wall_s=round(wall, 2), substeps=rep.substeps,
+        failed_substeps=rep.failed_substeps,
+        newton_iterations=rep.newton_iterations,
+        assemble_s=round(rep.assemble_time, 2),
+        linear_solve_s=round(rep.linear_solve_time, 2))))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
