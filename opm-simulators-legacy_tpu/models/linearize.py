@@ -38,6 +38,18 @@ from opm_tpu.wells.wells import (CTRL_BHP, CTRL_RESERVOIR_RATE, CTRL_RESV,
                                  CTRL_THP)
 
 
+_EYE_GX = jnp.zeros((3, 3)).at[2, 2].set(1.0)
+
+
+def degenerate_x_mask(model, state):
+    """1.0 where the cell holds no hydrocarbon (so = sg = 0), i.e. the x
+    variable (rs/rv/sg) has no equation."""
+    from opm_tpu.models.state import saturations
+
+    sw, so, sg = saturations(state)
+    return ((so <= 1e-10) & (sg <= 1e-10)).astype(state.pressure.dtype)
+
+
 class BlockSystem(NamedTuple):
     """Assembled block-sparse Jacobian + residual."""
 
@@ -89,6 +101,11 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     pvdt = model.pv / dt
     r_cell = pvdt[:, None] * (acc_val - acc0)
     diag = pvdt[:, None, None] * acc_jac
+    # water-only cells (so = sg = 0): the gas equation is identically zero
+    # and carries no sensitivity to the rs variable — regularize the (gas, x)
+    # diagonal so the block stays invertible (drs then solves to ~0)
+    diag = diag + (degenerate_x_mask(model, state)
+                   * pvdt)[:, None, None] * _EYE_GX
 
     # ---- faces: value + L/R blocks ---------------------------------------
     dz = model.depth[c1] - model.depth[c2]
@@ -163,6 +180,9 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
                    (state.control == CTRL_RESERVOIR_RATE))[:, None]
         sign = jnp.where(wd["is_injector"], 1.0, -1.0)[:, None]
         g = jnp.where(is_resv, sign * resv_coef, g)
+    g = stdwells.effective_distribution(
+        g, state.control, wd["is_injector"].astype(bool),
+        cq_val.reshape(nw, mp, 3))
     is_bhp = (state.control == CTRL_BHP) | (state.control == CTRL_THP)
     closed = wd["open"] < 0.5
     vfp = wd.get("vfp")

@@ -351,6 +351,7 @@ class SimulatorFullyImplicitBlackoil:
             self.report.substeps += subrep.substeps
             self.report.failed_substeps += subrep.failed_substeps
             self.report.newton_iterations += subrep.total_newton
+            self.report.linear_iterations += subrep.total_linear
             self.summary.record(step.end_time, state, self.model)
             self._check_econ_limits(step_wells, state)
             if (write_restart or write_vtk) and self.output_dir:

@@ -120,3 +120,174 @@ END
 
 def mini_blackoil_case(nx=10, ny=10, nz=3, **kw) -> EclipseCase:
     return load_case_string(mini_blackoil_deck(nx, ny, nz, **kw))
+
+
+def spe9like_deck(seed=9, tsteps="10 20 3*30") -> str:
+    """SPE9-class case (Killough 1995 problem shape): 24x25x15 dipping grid,
+    heterogeneous lognormal permeability (the published geostatistical field
+    is an external data file; a seeded lognormal field with the same layer
+    statistics stands in), per-layer porosities, capillary pressure, 25
+    producers + 1 water injector with the SPE9 controls."""
+    import numpy as np
+
+    nx, ny, nz = 24, 25, 15
+    rng = np.random.RandomState(seed)
+    poro_layers = [0.087, 0.097, 0.111, 0.16, 0.13, 0.17, 0.17, 0.08,
+                   0.14, 0.13, 0.12, 0.105, 0.12, 0.116, 0.157]
+    dz_layers = [20, 15, 26, 15, 16, 14, 8, 8, 18, 12, 19, 18, 20, 50, 100]
+    # lognormal permeability, layer-correlated
+    perm = []
+    for k in range(nz):
+        mu = rng.uniform(1.0, 5.0)
+        layer = np.exp(rng.normal(mu, 1.2, size=nx * ny))
+        perm.append(np.clip(layer, 0.01, 8000.0))
+    perm = np.concatenate(perm)
+    permz = perm * 0.01
+    # 10-degree dip along x: the reservoir deepens with i (top at 9000 ft,
+    # staying below the 8800 ft GOC so there is no initial gas cap)
+    dip = np.tan(np.deg2rad(10.0)) * 300.0
+    tops0 = 9000.0 + dip * np.arange(nx)
+    tops = np.tile(tops0, ny)
+
+    def arr(a, fmt="{:.6g}"):
+        return "\n ".join(" ".join(fmt.format(v) for v in a[i:i + 12])
+                          for i in range(0, len(a), 12))
+
+    porov = np.concatenate([np.full(nx * ny, p) for p in poro_layers])
+    dzv = np.concatenate([np.full(nx * ny, d) for d in dz_layers])
+
+    # 25 producers on a 5x5 sublattice, injector at a corner
+    wells = []
+    comps = []
+    k_prod = (2, 3, 4)
+    pi = 0
+    for jj in range(5):
+        for ii in range(5):
+            pi += 1
+            i = 2 + ii * 5
+            j = 2 + jj * 5
+            wells.append(f" 'P{pi}' 'G1' {i} {j} 9110 'OIL' /")
+            comps.append(f" 'P{pi}' {i} {j} {k_prod[0]} {k_prod[-1]} "
+                         "'OPEN' 1* 1* 0.5 /")
+    wells.append(" 'INJ1' 'G1' 24 25 9170 'WATER' /")
+    comps.append(" 'INJ1' 24 25 11 15 'OPEN' 1* 1* 0.5 /")
+    prods = "\n".join(f" 'P{i}' 'OPEN' 'ORAT' 1500 4* 1000 /"
+                      for i in range(1, 26))
+
+    return f"""
+RUNSPEC
+TITLE
+  SPE9-LIKE (seeded heterogeneity)
+DIMENS
+ 24 25 15 /
+EQLDIMS
+/
+TABDIMS
+/
+OIL
+GAS
+WATER
+DISGAS
+FIELD
+WELLDIMS
+ 26 5 2 26 /
+GRID
+DX
+ 9000*300 /
+DY
+ 9000*300 /
+DZ
+ {arr(dzv)} /
+TOPS
+ {arr(tops)} /
+PORO
+ {arr(porov)} /
+PERMX
+ {arr(perm)} /
+PERMY
+ {arr(perm)} /
+PERMZ
+ {arr(permz)} /
+PROPS
+PVTW
+ 3600 1.0034 1E-6 0.96 0 /
+ROCK
+ 3600 1E-6 /
+SWOF
+ 0.151090 0         1.0       400.0
+ 0.200 	  0.000002  0.91      55.0
+ 0.300 	  0.00024   0.60      9.2
+ 0.400 	  0.0015    0.33      4.5
+ 0.500    0.0077    0.135     2.3
+ 0.600    0.0262    0.0349    1.15
+ 0.700    0.0754    0.0049    0.57
+ 0.800    0.1870    0.0       0.27
+ 0.900    0.4000    0.0       0.13
+ 1.0      1.0       0.0       0.0 /
+SGOF
+ 0.0    0.0     1.0    0.0
+ 0.04   0.0     0.60   0.2
+ 0.10   0.022   0.33   0.5
+ 0.20   0.1     0.10   1.0
+ 0.30   0.24    0.02   1.5
+ 0.40   0.34    0.0    2.0
+ 0.50   0.42    0.0    2.5
+ 0.60   0.50    0.0    3.0
+ 0.70   0.8125  0.0    3.5
+ 0.848910 1.0   0.0    3.9 /
+DENSITY
+ 44.98 63.01 0.0702 /
+PVDG
+ 14.7   178.08  0.0125
+ 400.0  5.4777  0.0130
+ 800.0  2.7392  0.0135
+ 1200.0 1.8198  0.0140
+ 1600.0 1.3648  0.0145
+ 2000.0 1.0957  0.0150
+ 2400.0 0.9099  0.0155
+ 2800.0 0.7799  0.0160
+ 3200.0 0.6871  0.0165
+ 3600.0 0.6035  0.0170
+ 4000.0 0.5432  0.0175 /
+PVTO
+ 0.0    14.7    1.0    1.20 /
+ 0.165  400.0   1.012  1.17 /
+ 0.335  800.0   1.0255 1.14 /
+ 0.500  1200.0  1.038  1.11 /
+ 0.665  1600.0  1.051  1.08 /
+ 0.828  2000.0  1.063  1.06 /
+ 0.985  2400.0  1.075  1.03 /
+ 1.130  2800.0  1.087  1.00 /
+ 1.270  3200.0  1.0985 0.98 /
+ 1.390  3600.0  1.11   0.95
+        4000.0  1.10802 0.9598 /
+/
+SOLUTION
+EQUIL
+ 9035 3600 9950 0 8800 0 1 0 0 /
+RSVD
+ 8800 1.39
+ 9950 1.39 /
+SUMMARY
+FOPR
+SCHEDULE
+WELSPECS
+{chr(10).join(wells)}
+/
+COMPDAT
+{chr(10).join(comps)}
+/
+WCONPROD
+{prods}
+/
+WCONINJE
+ 'INJ1' 'WATER' 'OPEN' 'RATE' 5000 1* 4543.39 /
+/
+TSTEP
+ {tsteps} /
+END
+"""
+
+
+def spe9like_case(**kw) -> EclipseCase:
+    return load_case_string(spe9like_deck(**kw))

@@ -64,6 +64,12 @@ class TooManyIterations(Exception):
     pass
 
 
+class LinearSolverProblem(Exception):
+    """Linear solver failed to reach its reduction target (the reference
+    throws Dune::ISTLError / LinearSolverProblem; caught by the dt-chop
+    retry loop, AdaptiveTimeStepping_impl.hpp:235-373)."""
+
+
 @dataclass
 class SolverReport:
     iterations: int = 0
@@ -137,9 +143,18 @@ class NonlinearSolver:
         u = model.flatten(state)
         r = rfun(u)
         J = jax.jacfwd(rfun)(u)
+        # regularize the degenerate (gas-eq, rs-var) diagonal of
+        # hydrocarbon-free cells (see models/linearize.py)
+        from opm_tpu.models.linearize import degenerate_x_mask
+        nc = model.nc
+        mask = degenerate_x_mask(model, state)
+        rows = 3 * jnp.arange(nc) + 2
+        cols = 2 * nc + jnp.arange(nc)
+        J = J.at[rows, cols].add(mask * model.pv / dt)
         du = dense_solve(J, r, self.solve_dtype)
         du = omega * du
-        return update_state(model, state, du), jnp.asarray(1)
+        return update_state(model, state, du), jnp.asarray(1), \
+            jnp.asarray(True)
 
     def _solve_cpr(self, state, acc0, dt, wd, cdp, omega):
         """Block-sparse assembly + BiCGStab/CPR-AMG Newton increment
@@ -161,7 +176,7 @@ class NonlinearSolver:
             du_c[:, 0], du_c[:, 1], du_c[:, 2],
             du_w[:, 3], du_w[:, :3].reshape(-1)])
         du = omega * du
-        return update_state(model, state, du), res.iterations
+        return update_state(model, state, du), res.iterations, res.converged
 
     # -- host loop ---------------------------------------------------------
     def step(self, state0: BlackoilState, dt: float, wd,
@@ -201,12 +216,16 @@ class NonlinearSolver:
             if self._oscillating(mb_history):
                 omega = max(self.relax_max, omega - self.relax_increment)
             t0 = time.perf_counter()
-            state, lin_iters = self._solve_jit(state, acc0, dt, wd, cdp,
-                                               jnp.asarray(omega))
+            state, lin_iters, lin_ok = self._solve_jit(
+                state, acc0, dt, wd, cdp, jnp.asarray(omega))
             jax.block_until_ready(state.pressure)
             rep.linear_solve_time += time.perf_counter() - t0
             rep.linear_iterations += int(lin_iters)
             rep.iterations = it + 1
+            if not bool(lin_ok):
+                raise LinearSolverProblem(
+                    f"linear solver stalled after {int(lin_iters)} "
+                    f"iterations at Newton {it}")
         raise TooManyIterations(
             f"Newton failed to converge in {self.max_iter} iterations "
             f"(mb={np.asarray(conv['mb'])}, cnv={np.asarray(conv['cnv'])})")
@@ -257,16 +276,16 @@ class NonlinearSolver:
             mb_hist = (f1, mb)
 
             def do_solve(s):
-                s2, lin = solve(s, omega)
-                return s2, lin
+                s2, lin, ok = solve(s, omega)
+                return s2, lin, ok
 
             def skip(s):
-                return s, jnp.asarray(0)
+                return s, jnp.asarray(0), jnp.asarray(True)
 
-            state2, lin = jax.lax.cond(converged | ~finite, skip, do_solve,
-                                       state)
-            return (state2, it + 1, converged, ~finite, lin_tot + lin,
-                    mb_hist, omega)
+            state2, lin, lin_ok = jax.lax.cond(converged | ~finite, skip,
+                                               do_solve, state)
+            return (state2, it + 1, converged, ~finite | ~lin_ok,
+                    lin_tot + lin, mb_hist, omega)
 
         def cond(carry):
             _, it, done, bad, *_ = carry

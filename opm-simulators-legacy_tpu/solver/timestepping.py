@@ -17,8 +17,8 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from opm_tpu.solver.newton import (NumericalIssue, SolverReport,
-                                   TooManyIterations)
+from opm_tpu.solver.newton import (LinearSolverProblem, NumericalIssue,
+                                   SolverReport, TooManyIterations)
 
 DAY = 86400.0
 
@@ -76,7 +76,7 @@ class AdaptiveTimeStepping:
             dt = min(dt, remaining)
             try:
                 new_state, srep = solve_fn(state, dt)
-            except (NumericalIssue, TooManyIterations):
+            except (NumericalIssue, TooManyIterations, LinearSolverProblem):
                 rep.failed_substeps += 1
                 restarts += 1
                 if restarts > p.solver_restart_max:

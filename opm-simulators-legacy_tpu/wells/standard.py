@@ -98,6 +98,22 @@ def perforation_fluxes(wd, cellq, bhp, qs, cdp, *, allow_crossflow=True):
     return cq_s * mask[..., None]
 
 
+def effective_distribution(g, control, is_injector, cq_s):
+    """Dead-well fallback (addWellControlEq:838-997): a rate-controlled
+    producer whose controlled phases cannot flow (zero deliverability at the
+    perforations) gets a total-rate distribution instead — otherwise the
+    control equation is unsatisfiable and the well's bhp column is
+    singular."""
+    prod_rates = jnp.maximum(-jnp.sum(cq_s, axis=1), 0.0)     # (nw, 3)
+    sel = (jnp.abs(g) > 0.0).astype(prod_rates.dtype)
+    controlled = jnp.sum(sel * prod_rates, axis=1)
+    total = jnp.sum(prod_rates, axis=1)
+    is_rate_prod = (~is_injector) & (jnp.sum(jnp.abs(g), axis=1) > 0)
+    dead = is_rate_prod & (controlled <= 1e-10 * jnp.maximum(total, 1e-30))
+    g_total = jnp.full_like(g, -1.0)
+    return jnp.where(dead[:, None], g_total, g)
+
+
 def control_distribution(control, comp_frac):
     """Rate-distribution vector g such that the rate-control residual is
     g.qs - target (addWellControlEq:838-997). Production rates are negative
@@ -135,6 +151,8 @@ def well_residuals(wd, qs, bhp, cq_s, control, target, *, resv_coef=None,
                    (control == CTRL_RESERVOIR_RATE))[:, None]
         sign = jnp.where(wd["is_injector"], 1.0, -1.0)[:, None]
         g = jnp.where(is_resv, sign * resv_coef, g)
+    g = effective_distribution(g, control, wd["is_injector"].astype(bool),
+                               cq_s)
     is_bhp = (control == CTRL_BHP) | (control == CTRL_THP)
     rate_res = jnp.einsum("wp,wp->w", g, qs) - target
     bhp_target = target
