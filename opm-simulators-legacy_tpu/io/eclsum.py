@@ -1,0 +1,183 @@
+"""ECL binary summary files (SMSPEC + UNSMRY).
+
+The reference writes summary data through opm-common's EclipseIO
+(BlackoilOutputWriter, /root/reference/opm/autodiff/
+SimulatorFullyImplicitBlackoilOutput.hpp:139-206). This module implements the
+(publicly documented) ECLIPSE file layout directly: big-endian Fortran
+unformatted records, keyword blocks of (8-char name, count, 4-char type)
+headers followed by 1000-element (105 for CHAR) data records — so the output
+loads in ResInsight / opm-common / ecl tooling. A reader is included for
+round-trip tests.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import struct
+from typing import Dict, List
+
+import numpy as np
+
+_MAX_BLOCK = {"INTE": 1000, "REAL": 1000, "DOUB": 1000, "LOGI": 1000,
+              "CHAR": 105}
+_ITEM = {"INTE": (">i4", 4), "REAL": (">f4", 4), "DOUB": (">f8", 8),
+         "LOGI": (">i4", 4), "CHAR": (None, 8)}
+
+
+def _write_rec(f, payload: bytes):
+    n = struct.pack(">i", len(payload))
+    f.write(n)
+    f.write(payload)
+    f.write(n)
+
+
+def write_keyword(f, name: str, typ: str, values):
+    """One keyword block: header record + chunked data records."""
+    hdr = struct.pack(">8si4s", name.ljust(8).encode(), len(values),
+                      typ.encode())
+    _write_rec(f, hdr)
+    mx = _MAX_BLOCK[typ]
+    for i in range(0, len(values), mx):
+        chunk = values[i:i + mx]
+        if typ == "CHAR":
+            payload = b"".join(str(v).ljust(8)[:8].encode() for v in chunk)
+        else:
+            payload = np.asarray(chunk).astype(_ITEM[typ][0]).tobytes()
+        _write_rec(f, payload)
+    if len(values) == 0:
+        _write_rec(f, b"")
+
+
+def _read_rec(f):
+    raw = f.read(4)
+    if len(raw) < 4:
+        return None
+    n = struct.unpack(">i", raw)[0]
+    payload = f.read(n)
+    f.read(4)
+    return payload
+
+
+def read_ecl_file(path) -> List[tuple]:
+    """All (keyword, type, values) blocks of an ECL binary file."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            hdr = _read_rec(f)
+            if hdr is None:
+                break
+            name, count, typ = struct.unpack(">8si4s", hdr)
+            name = name.decode().strip()
+            typ = typ.decode()
+            vals = []
+            remaining = count
+            while remaining > 0:
+                payload = _read_rec(f)
+                if typ == "CHAR":
+                    k = len(payload) // 8
+                    vals.extend(payload[i * 8:(i + 1) * 8].decode().strip()
+                                for i in range(k))
+                    remaining -= k
+                else:
+                    arr = np.frombuffer(payload, dtype=_ITEM[typ][0])
+                    vals.extend(arr.tolist())
+                    remaining -= len(arr)
+            out.append((name, typ, vals))
+    return out
+
+
+# mnemonic -> (display unit FIELD, SI -> FIELD factor) ; rates are per day
+_DAY = 86400.0
+_STB = 0.158987294928
+_MSCF = 28.316846592
+_PSI = 6894.757293168361
+_FIELD_UNITS = {
+    "PR": ("PSIA", 1.0 / _PSI),
+    "BHP": ("PSIA", 1.0 / _PSI),
+    "THP": ("PSIA", 1.0 / _PSI),
+    "OPR": ("STB/DAY", _DAY / _STB),
+    "WPR": ("STB/DAY", _DAY / _STB),
+    "LPR": ("STB/DAY", _DAY / _STB),
+    "OIR": ("STB/DAY", _DAY / _STB),
+    "WIR": ("STB/DAY", _DAY / _STB),
+    "GPR": ("MSCF/DAY", _DAY / _MSCF),
+    "GIR": ("MSCF/DAY", _DAY / _MSCF),
+    "GOR": ("MSCF/STB", _STB / _MSCF),
+    "WCT": ("", 1.0),
+}
+_METRIC_UNITS = {
+    "PR": ("BARSA", 1e-5), "BHP": ("BARSA", 1e-5), "THP": ("BARSA", 1e-5),
+    "OPR": ("SM3/DAY", _DAY), "WPR": ("SM3/DAY", _DAY),
+    "LPR": ("SM3/DAY", _DAY), "OIR": ("SM3/DAY", _DAY),
+    "WIR": ("SM3/DAY", _DAY), "GPR": ("SM3/DAY", _DAY),
+    "GIR": ("SM3/DAY", _DAY), "GOR": ("SM3/SM3", 1.0), "WCT": ("", 1.0),
+}
+
+
+def _unit_for(mnemonic: str, system: str):
+    table = _FIELD_UNITS if system == "FIELD" else _METRIC_UNITS
+    for suffix, val in table.items():
+        if mnemonic[1:].startswith(suffix):
+            return val
+    return ("", 1.0)
+
+
+def write_summary(base_path: str, rows: List[dict], *, dims=(1, 1, 1),
+                  start_date=None, unit_system="METRIC"):
+    """Write CASE.SMSPEC + CASE.UNSMRY from SummaryCollector rows (SI)."""
+    start_date = start_date or datetime.datetime(1983, 1, 1)
+    keys = sorted({k for r in rows for k in r if k != "time"})
+    mnemonics = ["TIME"]
+    wgnames = [":+:+:+:+"]
+    units = ["DAYS"]
+    factors = [1.0]
+    for k in keys:
+        if ":" in k:
+            mnem, well = k.split(":", 1)
+        else:
+            mnem, well = k, ":+:+:+:+"
+        u, f = _unit_for(mnem, unit_system)
+        mnemonics.append(mnem)
+        wgnames.append(well)
+        units.append(u)
+        factors.append(f)
+    nlist = len(mnemonics)
+
+    os.makedirs(os.path.dirname(os.path.abspath(base_path)), exist_ok=True)
+    with open(base_path + ".SMSPEC", "wb") as f:
+        write_keyword(f, "RESTART", "CHAR", [""] * 9)
+        write_keyword(f, "DIMENS", "INTE",
+                      [nlist, dims[0], dims[1], dims[2], 0, -1])
+        write_keyword(f, "KEYWORDS", "CHAR", mnemonics)
+        write_keyword(f, "WGNAMES", "CHAR", wgnames)
+        write_keyword(f, "NUMS", "INTE", [0] * nlist)
+        write_keyword(f, "UNITS", "CHAR", units)
+        write_keyword(f, "STARTDAT", "INTE",
+                      [start_date.day, start_date.month, start_date.year,
+                       0, 0, 0])
+
+    with open(base_path + ".UNSMRY", "wb") as f:
+        for i, r in enumerate(rows):
+            write_keyword(f, "SEQHDR", "INTE", [1])
+            write_keyword(f, "MINISTEP", "INTE", [i])
+            params = [r["time"] / 1.0]  # already days in the collector
+            for k, fac in zip(keys, factors[1:]):
+                params.append(r.get(k, 0.0) * fac)
+            write_keyword(f, "PARAMS", "REAL", params)
+
+
+def read_summary(base_path: str) -> Dict[str, np.ndarray]:
+    """Read back (own) SMSPEC/UNSMRY into {key: series} (display units)."""
+    spec = {n: v for n, t, v in read_ecl_file(base_path + ".SMSPEC")}
+    mnemonics = spec["KEYWORDS"]
+    wgnames = spec["WGNAMES"]
+    keys = []
+    for m, w in zip(mnemonics, wgnames):
+        keys.append(m if w in ("", ":+:+:+:+") else f"{m}:{w}")
+    series = {k: [] for k in keys}
+    for name, typ, vals in read_ecl_file(base_path + ".UNSMRY"):
+        if name == "PARAMS":
+            for k, v in zip(keys, vals):
+                series[k].append(v)
+    return {k: np.asarray(v) for k, v in series.items()}

@@ -387,6 +387,14 @@ class SimulatorFullyImplicitBlackoil:
             os.makedirs(self.output_dir, exist_ok=True)
             self.summary.to_csv(
                 os.path.join(self.output_dir, "summary.csv"))
+            # ECL binary summary (SMSPEC/UNSMRY) for reference tooling
+            from opm_tpu.io.eclsum import write_summary
+            base = (self.case.runspec.title or "CASE").split()[0] or "CASE"
+            write_summary(
+                os.path.join(self.output_dir, base), self.summary.rows,
+                dims=self.case.runspec.dims,
+                start_date=self.case.runspec.start_date,
+                unit_system=self.case.runspec.unit_system)
         return state
 
 

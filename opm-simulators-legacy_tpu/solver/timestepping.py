@@ -35,6 +35,38 @@ class TimeStepControlParams:
     solver_restart_max: int = 10
     target_iterations: int = 8     # iteration-count controller
     event_reset: bool = True
+    # controller: 'iterationcount' | 'pid' | 'pid+iteration'
+    # (AdaptiveTimeStepping_impl.hpp:118-158 timestep.control options;
+    # PID gains from the external PIDTimeStepControl)
+    controller: str = "iterationcount"
+    pid_tol: float = 8e-1
+    pid_kP: float = 0.075
+    pid_kI: float = 0.175
+    pid_kD: float = 0.01
+
+
+class PIDController:
+    """PID-on-solution-change dt selector (PIDTimeStepControl semantics):
+    given the relative solution change e_n of the accepted substep,
+        dt' = dt * (e_{n-1}/e_n)^kP * (tol/e_n)^kI * (e_{n-1}^2/(e_n e_{n-2}))^kD
+    """
+
+    def __init__(self, p: TimeStepControlParams):
+        self.p = p
+        self.errors = [p.pid_tol, p.pid_tol, p.pid_tol]
+
+    def compute_dt(self, dt, error, iterations):
+        p = self.p
+        e = max(float(error), 1e-12)
+        self.errors = [self.errors[1], self.errors[2], e]
+        e0, e1, e2 = self.errors
+        factor = ((e1 / e2) ** p.pid_kP
+                  * (p.pid_tol / e2) ** p.pid_kI
+                  * ((e1 * e1) / (e2 * e0)) ** p.pid_kD)
+        if p.controller == "pid+iteration" and iterations > \
+                p.target_iterations:
+            factor = min(factor, p.target_iterations / iterations)
+        return dt * min(max(factor, 0.1), p.growth_factor)
 
 
 @dataclass
@@ -46,6 +78,20 @@ class SubStepReport:
     solver_time: float = 0.0
 
 
+def _solution_change(s0, s1) -> float:
+    """Relative solution change between accepted substeps (the PID error
+    measure): rms of relative pressure change + rms saturation-like change."""
+    p0 = np.asarray(s0.pressure)
+    p1 = np.asarray(s1.pressure)
+    ep = np.sqrt(np.mean(((p1 - p0) / np.maximum(np.abs(p1), 1.0)) ** 2))
+    es = np.sqrt(np.mean((np.asarray(s1.sw) - np.asarray(s0.sw)) ** 2))
+    if hasattr(s0, "x"):
+        xs = np.maximum(np.abs(np.asarray(s1.x)), 1.0)
+        es += np.sqrt(np.mean(
+            ((np.asarray(s1.x) - np.asarray(s0.x)) / xs) ** 2))
+    return float(ep + es)
+
+
 class AdaptiveTimeStepping:
     def __init__(self, params: Optional[TimeStepControlParams] = None,
                  tuning: Optional[dict] = None):
@@ -55,6 +101,8 @@ class AdaptiveTimeStepping:
             self.p.max_dt = tuning.get("tsmaxz", self.p.max_dt)
             self.p.min_dt = tuning.get("tsminz", self.p.min_dt)
         self.suggested_dt = self.p.initial_dt
+        self.pid = PIDController(self.p) if self.p.controller.startswith(
+            "pid") else None
 
     def step(self, solve_fn: Callable, state, report_step_length: float,
              *, had_event: bool = False, substep_callback=None):
@@ -74,6 +122,7 @@ class AdaptiveTimeStepping:
         t_local = 0.0
         while remaining > 1e-6:
             dt = min(dt, remaining)
+            state_prev = state
             try:
                 new_state, srep = solve_fn(state, dt)
             except (NumericalIssue, TooManyIterations, LinearSolverProblem):
@@ -94,11 +143,17 @@ class AdaptiveTimeStepping:
             rep.solver_time += srep.assemble_time + srep.linear_solve_time
             if substep_callback is not None:
                 substep_callback(state, t_local, dt, srep)
-            # iteration-count dt control (SimpleIterationCount semantics)
             its = max(srep.iterations, 1)
-            growth = p.failed_growth if just_failed else p.growth_factor
-            factor = min(growth, max(0.1, p.target_iterations / its))
-            dt = float(np.clip(dt * factor, p.min_dt, p.max_dt))
+            if self.pid is not None:
+                err = _solution_change(state_prev, state)
+                dt_new = self.pid.compute_dt(dt, err, its)
+            else:
+                # iteration-count control (SimpleIterationCount semantics)
+                dt_new = dt * min(p.growth_factor,
+                                  max(0.1, p.target_iterations / its))
+            growth_cap = p.failed_growth if just_failed else p.growth_factor
+            dt_new = min(dt_new, dt * growth_cap)
+            dt = float(np.clip(dt_new, p.min_dt, p.max_dt))
             just_failed = False
         self.suggested_dt = dt
         return state, rep
