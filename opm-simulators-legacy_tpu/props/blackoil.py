@@ -59,8 +59,7 @@ class BlackoilProps:
             gas_dead=DeadPVT.from_tables(t["PVDG"]) if "PVDG" in t else None,
             gas_wet=WetGasPVT.from_tables(t["PVTG"]) if "PVTG" in t else None,
             rock=RockPVT.from_tables(t["ROCK"]) if "ROCK" in t else None,
-            satfunc=SatFuncFamily1.from_case(case)
-            if ("SWOF" in t or "SGOF" in t) else None,
+            satfunc=SatFuncFamily1.from_case(case),
         )
 
     # -- inverse formation volume factors (b = 1/B) ----------------------

@@ -47,8 +47,13 @@ class SatFuncFamily1:
     sowcr_: jnp.ndarray  # critical oil-in-water
     sogcr_: jnp.ndarray
     smax_w: jnp.ndarray  # max sw in table
+    sgmax: jnp.ndarray   # max sg in table
+    krw_tab_max: jnp.ndarray   # (nreg,) table kr maxima (vertical scaling)
+    kro_tab_max: jnp.ndarray
+    krg_tab_max: jnp.ndarray
     has_gas: bool = True
     has_water: bool = True
+    eps: Optional["EndpointScaling"] = None  # per-cell endpoint scaling
 
     @classmethod
     def from_tables(cls, swof_tables, sgof_tables):
@@ -99,6 +104,10 @@ class SatFuncFamily1:
             pcgo=J(sgof[..., 3]),
             swco=J(swco), swcr_=J(swcr), sgcr_=J(sgcr), sowcr_=J(sowcr),
             sogcr_=J(sogcr), smax_w=J(swof[:, -1, 0]),
+            sgmax=J(sgof[:, -1, 0]),
+            krw_tab_max=J(swof[..., 1].max(axis=1)),
+            kro_tab_max=J(swof[..., 2].max(axis=1)),
+            krg_tab_max=J(sgof[..., 1].max(axis=1)),
             has_gas=sgof_tables is not None,
             has_water=swof_tables is not None,
         )
@@ -106,17 +115,90 @@ class SatFuncFamily1:
     @classmethod
     def from_case(cls, case):
         t = case.tables
-        return cls.from_tables(t.get("SWOF"), t.get("SGOF"))
+        if "SWOF" in t or "SGOF" in t:
+            return cls.from_tables(t.get("SWOF"), t.get("SGOF"))
+        if "SWFN" in t or "SGFN" in t:
+            return cls.from_family2(t.get("SWFN"), t.get("SGFN"),
+                                    t.get("SOF3"), t.get("SOF2"))
+        return None
+
+    @classmethod
+    def from_family2(cls, swfn, sgfn, sof3, sof2=None):
+        """Family-2 keywords (SWFN/SGFN + SOF3/SOF2): resample the oil
+        relperm (tabulated over So) onto the water/gas saturation axes so
+        the evaluation path is shared with family 1."""
+        nreg = len(swfn) if swfn else len(sgfn)
+        swof_tabs = []
+        sgof_tabs = []
+        for r in range(nreg):
+            sw_tab = np.asarray(swfn[r]) if swfn else \
+                np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 0.0]])
+            sg_tab = np.asarray(sgfn[r]) if sgfn else \
+                np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 0.0]])
+            swco = sw_tab[0, 0]
+            if sof3 is not None:
+                so = np.asarray(sof3[r])[:, 0]
+                krow_of_so = np.asarray(sof3[r])[:, 1]
+                krog_of_so = np.asarray(sof3[r])[:, 2]
+            else:
+                so = np.asarray(sof2[r])[:, 0]
+                krow_of_so = krog_of_so = np.asarray(sof2[r])[:, 1]
+            # krow on the sw axis: so = 1 - sw (no gas)
+            krow = np.interp(1.0 - sw_tab[:, 0], so, krow_of_so,
+                             left=krow_of_so[0], right=krow_of_so[-1])
+            # krog on the sg axis: so = 1 - sg - swco (connate water present)
+            krog = np.interp(1.0 - sg_tab[:, 0] - swco, so, krog_of_so,
+                             left=krog_of_so[0], right=krog_of_so[-1])
+            swof_tabs.append(np.column_stack(
+                [sw_tab[:, 0], sw_tab[:, 1], krow, sw_tab[:, 2]]))
+            sgof_tabs.append(np.column_stack(
+                [sg_tab[:, 0], sg_tab[:, 1], krog, sg_tab[:, 2]]))
+        return cls.from_tables(swof_tabs, sgof_tabs)
 
     # -- evaluation; reg is an int array broadcastable with saturations -----
 
+    def _scaled_sats(self, sw, sg, reg):
+        """Cell -> table saturation mapping under two-point EPS."""
+        if self.eps is None:
+            return sw, sg
+        e = self.eps
+        sw_t = sw
+        sg_t = sg
+        if e.swl is not None or e.swu is not None:
+            lo_c = e.swl if e.swl is not None else self.swco[reg]
+            hi_c = e.swu if e.swu is not None else self.smax_w[reg]
+            sw_t = two_point_scale(sw, lo_c, hi_c, self.swco[reg],
+                                   self.smax_w[reg])
+        if e.sgl is not None or e.sgu is not None:
+            sgl_tab = self.sg[reg][..., 0]
+            lo_c = e.sgl if e.sgl is not None else sgl_tab
+            hi_c = e.sgu if e.sgu is not None else self.sgmax[reg]
+            sg_t = two_point_scale(sg, lo_c, hi_c, sgl_tab, self.sgmax[reg])
+        return sw_t, sg_t
+
     def relperm(self, sw, so, sg, reg):
-        """(krw, kro, krg) with ECL-default three-phase oil interpolation."""
-        krw = _interp_reg(self.sw, self.krw, sw, reg)
-        krg = _interp_reg(self.sg, self.krg, sg, reg)
-        krow = _interp_reg(self.sw, self.krow, sw, reg)
-        krog = _interp_reg(self.sg, self.krog, sg, reg)
-        swco = self.swco[reg]
+        """(krw, kro, krg) with ECL-default three-phase oil interpolation
+        and optional endpoint scaling."""
+        sw_t, sg_t = self._scaled_sats(sw, sg, reg)
+        krw = _interp_reg(self.sw, self.krw, sw_t, reg)
+        krg = _interp_reg(self.sg, self.krg, sg_t, reg)
+        krow = _interp_reg(self.sw, self.krow, sw_t, reg)
+        krog = _interp_reg(self.sg, self.krog, sg_t, reg)
+        if self.eps is not None:
+            e = self.eps
+            if e.krw_max is not None:
+                krw = krw * e.krw_max / jnp.maximum(self.krw_tab_max[reg],
+                                                    1e-30)
+            if e.krg_max is not None:
+                krg = krg * e.krg_max / jnp.maximum(self.krg_tab_max[reg],
+                                                    1e-30)
+            if e.kro_max is not None:
+                scale_o = e.kro_max / jnp.maximum(self.kro_tab_max[reg],
+                                                  1e-30)
+                krow = krow * scale_o
+                krog = krog * scale_o
+        swco = (self.eps.swl if self.eps is not None
+                and self.eps.swl is not None else self.swco[reg])
         ssw = jnp.maximum(sw - swco, 0.0)
         den = ssw + sg
         safe = den > 1e-12
@@ -125,9 +207,10 @@ class SatFuncFamily1:
         return krw, kro, krg
 
     def capillary(self, sw, sg, reg):
-        """(pcow, pcgo): po - pw and pg - po."""
-        pcow = _interp_reg(self.sw, self.pcow, sw, reg)
-        pcgo = _interp_reg(self.sg, self.pcgo, sg, reg)
+        """(pcow, pcgo): po - pw and pg - po (EPS-scaled abscissae)."""
+        sw_t, sg_t = self._scaled_sats(sw, sg, reg)
+        pcow = _interp_reg(self.sw, self.pcow, sw_t, reg)
+        pcgo = _interp_reg(self.sg, self.pcgo, sg_t, reg)
         return pcow, pcgo
 
     # endpoint queries used by init / well logic
@@ -139,6 +222,49 @@ class SatFuncFamily1:
         (EquilibrationHelpers.hpp satFromPc). pcow is non-increasing in sw,
         so interpolate on the negated curve (increasing)."""
         return _interp_reg(-self.pcow, self.sw, -pc, reg)
+
+
+@dataclass
+class EndpointScaling:
+    """Two-point horizontal + vertical endpoint scaling (ENDSCALE +
+    SWL/SWCR/SWU/SGL/SGU/SOWCR/SOGCR/KRW/KRO/KRG arrays — the reference's
+    EPS layer in SaturationPropsFromDeck, tested by tests/test_satfunc.cpp
+    satfuncEPS_* fixtures). Per-cell arrays; None = unscaled."""
+
+    swl: Optional[jnp.ndarray] = None    # scaled connate water
+    swu: Optional[jnp.ndarray] = None    # scaled max water
+    sgl: Optional[jnp.ndarray] = None
+    sgu: Optional[jnp.ndarray] = None
+    krw_max: Optional[jnp.ndarray] = None  # vertical scaling
+    kro_max: Optional[jnp.ndarray] = None
+    krg_max: Optional[jnp.ndarray] = None
+
+    @classmethod
+    def from_case(cls, case, global_cell):
+        ga = case.grid_arrays
+        if "ENDSCALE" not in [kw.name for kw in case.deck]:
+            return None
+
+        def grab(name):
+            return (jnp.asarray(ga[name][global_cell]) if name in ga
+                    else None)
+
+        obj = cls(swl=grab("SWL"), swu=grab("SWU"), sgl=grab("SGL"),
+                  sgu=grab("SGU"), krw_max=grab("KRW"),
+                  kro_max=grab("KRO"), krg_max=grab("KRG"))
+        if all(getattr(obj, f) is None for f in
+               ("swl", "swu", "sgl", "sgu", "krw_max", "kro_max",
+                "krg_max")):
+            return None
+        return obj
+
+
+def two_point_scale(s, s_lo_cell, s_hi_cell, s_lo_tab, s_hi_tab):
+    """Map the cell saturation onto the table's saturation axis:
+    s_tab = s_lo_tab + (s - s_lo_cell) (s_hi_tab - s_lo_tab) /
+            (s_hi_cell - s_lo_cell)."""
+    span_cell = jnp.maximum(s_hi_cell - s_lo_cell, 1e-12)
+    return s_lo_tab + (s - s_lo_cell) * (s_hi_tab - s_lo_tab) / span_cell
 
 
 def _interp_reg(xs_tab, ys_tab, x, reg):

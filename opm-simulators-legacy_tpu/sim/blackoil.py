@@ -122,6 +122,11 @@ class SimulatorFullyImplicitBlackoil:
         self.case = case
         self.grid = build_grid(case)
         self.props = BlackoilProps.from_case(case)
+        if self.props.satfunc is not None:
+            from opm_tpu.props.satfunc import EndpointScaling
+            eps = EndpointScaling.from_case(case, self.grid.global_cell)
+            if eps is not None:
+                self.props.satfunc.eps = eps
         self.model = BlackoilModel(self.grid, self.props, params)
         if case.solution.thpres:
             # per-face threshold pressures between equilibration regions

@@ -61,3 +61,63 @@ def test_clamping(sf):
     sw = jnp.asarray([1.1])
     krw, _, _ = sf.relperm(sw, jnp.zeros(1) - 0.1, jnp.zeros(1), z())
     assert float(krw[0]) == pytest.approx(1e-5)
+
+
+def test_family2_matches_family1():
+    """SWFN/SGFN/SOF3 built from the SPE1 SWOF/SGOF data must evaluate to
+    the same relperm/capillary (family-2 resampling correctness)."""
+    import numpy as np
+    from opm_tpu.io.eclstate import load_case
+    from opm_tpu.props.satfunc import SatFuncFamily1
+    case = load_case(SPE1)
+    swof = case.tables["SWOF"][0]
+    sgof = case.tables["SGOF"][0]
+    swco = swof[0, 0]
+    # family-2 tables: SWFN (sw, krw, pcow); SGFN (sg, krg, pcgo);
+    # SOF3 over so: krow at so=1-sw (reverse sw rows), krog at so=1-sg-swco
+    swfn = [swof[:, [0, 1, 3]]]
+    sgfn = [sgof[:, [0, 1, 3]]]
+    so_w = (1.0 - swof[:, 0])[::-1]
+    krow_w = swof[:, 2][::-1]
+    so_g = (1.0 - sgof[:, 0] - swco)[::-1]
+    krog_g = sgof[:, 2][::-1]
+    so = np.unique(np.concatenate([so_w, so_g]))
+    sof3 = [np.column_stack([so, np.interp(so, so_w, krow_w),
+                             np.interp(so, so_g, krog_g)])]
+    f1 = SatFuncFamily1.from_tables([swof], [sgof])
+    f2 = SatFuncFamily1.from_family2(swfn, sgfn, sof3)
+    rng = np.random.RandomState(0)
+    sw = jnp.asarray(rng.uniform(0.12, 0.9, 50))
+    sg = jnp.asarray(rng.uniform(0.0, 0.5, 50))
+    sg = jnp.minimum(sg, 1.0 - sw)
+    reg = jnp.zeros(50, dtype=jnp.int32)
+    k1 = f1.relperm(sw, 1 - sw - sg, sg, reg)
+    k2 = f2.relperm(sw, 1 - sw - sg, sg, reg)
+    for a, b in zip(k1, k2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_endpoint_scaling():
+    """Two-point horizontal + vertical scaling (satfuncEPS_* analogue)."""
+    import numpy as np
+    from opm_tpu.io.eclstate import load_case
+    from opm_tpu.props.satfunc import EndpointScaling, SatFuncFamily1
+    case = load_case(SPE1)
+    f = SatFuncFamily1.from_case(case)
+    n = 4
+    f.eps = EndpointScaling(
+        swl=jnp.full(n, 0.2),          # shift connate 0.12 -> 0.2
+        swu=jnp.full(n, 0.9),          # max 1.0 -> 0.9
+        krw_max=jnp.full(n, 2e-5))     # table max 1e-5 -> 2e-5
+    reg = jnp.zeros(n, dtype=jnp.int32)
+    # at the scaled connate, krw == 0; at scaled max, krw == scaled maximum
+    sw = jnp.asarray([0.2, 0.9, 0.55, 0.1])
+    krw, kro, krg = f.relperm(sw, 1 - sw, jnp.zeros(n), reg)
+    assert float(krw[0]) == pytest.approx(0.0, abs=1e-12)
+    assert float(krw[1]) == pytest.approx(2e-5, rel=1e-9)
+    # midpoint maps to table midpoint 0.56: krw_tab(0.56)*2
+    from opm_tpu.props.satfunc import _interp_reg
+    sw_tab = 0.12 + (0.55 - 0.2) * (1.0 - 0.12) / (0.9 - 0.2)
+    expect = float(_interp_reg(f.sw, f.krw, jnp.asarray([sw_tab]),
+                               jnp.zeros(1, dtype=jnp.int32))[0]) * 2.0
+    assert float(krw[2]) == pytest.approx(expect, rel=1e-9)
