@@ -76,10 +76,13 @@ def _expand_v(vec, nx, ny, nz, axis):
 
 
 def build_grid(case) -> Grid:
-    """Build an active-cell grid + derived geology from an EclipseCase."""
+    """Build an active-cell grid + derived geology from an EclipseCase.
+    Dispatches to the corner-point path when COORD/ZCORN are present."""
+    ga = case.grid_arrays
+    if "COORD" in ga and "ZCORN" in ga:
+        return build_corner_point_grid(case)
     nx, ny, nz = case.runspec.dims
     ncg = nx * ny * nz
-    ga = case.grid_arrays
 
     def full(name, default=None):
         if name in ga:
@@ -196,6 +199,97 @@ def build_grid(case) -> Grid:
         cart_to_active=cart_to_active,
         dx=dx[global_cell], dy=dy[global_cell], dz=dz[global_cell],
         depth=depth[global_cell], volume=volume[global_cell],
+        poro=poro[global_cell], ntg=ntg[global_cell],
+        pore_volume=pv_all[global_cell],
+        permx=permx[global_cell], permy=permy[global_cell],
+        permz=permz[global_cell],
+        face_cells=face_cells, trans=trans, face_dir=face_dir,
+        satnum=reg("SATNUM"), pvtnum=reg("PVTNUM"),
+        eqlnum=reg("EQLNUM"), fipnum=reg("FIPNUM"),
+    )
+
+
+def build_corner_point_grid(case) -> Grid:
+    """Corner-point (COORD/ZCORN) grid + NEWTRAN transmissibilities
+    (grid/cornerpoint.py does the geometry; this assembles the active-cell
+    arrays and harmonic face transmissibilities with MULT/NTG factors)."""
+    from opm_tpu.grid.cornerpoint import half_trans, process_corner_point
+
+    nx, ny, nz = case.runspec.dims
+    ncg = nx * ny * nz
+    ga = case.grid_arrays
+
+    geom = process_corner_point((nx, ny, nz), ga["COORD"], ga["ZCORN"],
+                                ga.get("ACTNUM"))
+    volume = geom["volume"]
+    centroid = geom["centroid"]
+
+    def full(name, default):
+        return (np.asarray(ga[name], dtype=np.float64) if name in ga
+                else np.full(ncg, default))
+
+    poro = full("PORO", 0.0)
+    ntg = full("NTG", 1.0)
+    multpv = full("MULTPV", 1.0)
+    permx = full("PERMX", 0.0)
+    permy = np.asarray(ga.get("PERMY", permx), dtype=np.float64)
+    permz = np.asarray(ga.get("PERMZ", permx), dtype=np.float64)
+    mults = (full("MULTX", 1.0), full("MULTY", 1.0), full("MULTZ", 1.0))
+    pv_all = multpv * ntg * poro * volume
+    actnum = np.asarray(ga.get("ACTNUM", np.ones(ncg)), dtype=np.int64).copy()
+    actnum[pv_all < max(getattr(case, "minpv", 0.0), 1e-30)] = 0
+    actnum[volume <= 0.0] = 0
+    active_mask = actnum > 0
+    global_cell = np.nonzero(active_mask)[0].astype(np.int32)
+    nc = len(global_cell)
+    cart_to_active = np.full(ncg, -1, dtype=np.int32)
+    cart_to_active[global_cell] = np.arange(nc, dtype=np.int32)
+
+    perm_by_dir = (permx, permy, permz)
+    fc, tr, fdir = [], [], []
+    ntg_area = ntg  # NTG scales lateral (x/y) faces
+    for (g1, g2, area, fc1, fc2, direction) in geom["connections"]:
+        a1 = cart_to_active[g1]
+        a2 = cart_to_active[g2]
+        if a1 < 0 or a2 < 0:
+            continue
+        scale = ntg_area[g1] if direction < 2 else 1.0
+        scale2 = ntg_area[g2] if direction < 2 else 1.0
+        h1 = half_trans(perm_by_dir[direction][g1], area * scale, fc1,
+                        centroid[g1])
+        h2 = half_trans(perm_by_dir[direction][g2], area * scale2, fc2,
+                        centroid[g2])
+        if h1 <= 0 or h2 <= 0:
+            continue
+        t = mults[direction][g1] / (1.0 / h1 + 1.0 / h2)
+        fc.append((a1, a2))
+        tr.append(t)
+        fdir.append(direction)
+
+    face_cells = (np.asarray(fc, dtype=np.int32) if fc
+                  else np.zeros((0, 2), dtype=np.int32))
+    trans = np.asarray(tr) if tr else np.zeros(0)
+    face_dir = np.asarray(fdir, dtype=np.int8) if fdir else \
+        np.zeros(0, dtype=np.int8)
+
+    # approximate cell extents for Peaceman well indices
+    corners = None
+    dx = np.cbrt(np.maximum(volume, 1e-30))
+    dy = dx.copy()
+    dz = dx.copy()
+
+    regions = getattr(case, "regions", {})
+
+    def reg(name):
+        arr = regions.get(name)
+        return (arr[global_cell] - 1).astype(np.int32) if arr is not None \
+            else np.zeros(nc, dtype=np.int32)
+
+    return Grid(
+        dims=(nx, ny, nz), nc=nc, global_cell=global_cell,
+        cart_to_active=cart_to_active,
+        dx=dx[global_cell], dy=dy[global_cell], dz=dz[global_cell],
+        depth=centroid[global_cell, 2], volume=volume[global_cell],
         poro=poro[global_cell], ntg=ntg[global_cell],
         pore_volume=pv_all[global_cell],
         permx=permx[global_cell], permy=permy[global_cell],
