@@ -48,6 +48,9 @@ class SequentialParams:
     transport_cnv_tol: float = 1e-4
     iterate_to_fully_implicit: bool = False
     max_outer_iter: int = 8
+    # 'newton' (BlackoilTransportModel) or 'reorder'
+    # (BlackoilReorderingTransportModel / flow_reorder)
+    transport: str = "newton"
 
 
 class PressureStageData(NamedTuple):
@@ -66,6 +69,11 @@ class BlackoilSequentialModel:
         self.params = params or SequentialParams()
         self._pressure_jit = jax.jit(self._pressure_newton)
         self._transport_jit = jax.jit(self._transport_newton)
+        self._reorder = None
+        if self.params.transport == "reorder":
+            from opm_tpu.models.reorder_blackoil import \
+                BlackoilReorderingTransport
+            self._reorder = BlackoilReorderingTransport(self)
 
     # -- helpers --------------------------------------------------------------
     def _phase_potentials(self, q):
@@ -290,7 +298,19 @@ class BlackoilSequentialModel:
                 raise TooManyIterations(
                     f"pressure stage stalled: {float(prn):.3e} of "
                     f"{float(prn0):.3e}")
-            state, tit, trn = self._transport_jit(state, acc0, dt, wd, data)
+            if self._reorder is not None:
+                state, tit, trn = self._reorder.solve(state, acc0, dt, wd,
+                                                      data)
+                if float(trn) > self.params.transport_cnv_tol:
+                    # Newton polish from the swept state (the reference's
+                    # multicell iterate-to-tol, TransportSolverTwophase
+                    # Reorder.cpp:410-448 analogue)
+                    state, tit2, trn = self._transport_jit(
+                        state, acc0, dt, wd, data)
+                    tit = tit + tit2
+            else:
+                state, tit, trn = self._transport_jit(state, acc0, dt, wd,
+                                                      data)
             info["pressure_iters"] += int(pit)
             info["transport_iters"] += int(tit)
             info["outer_iters"] = k + 1

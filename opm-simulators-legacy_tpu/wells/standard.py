@@ -209,6 +209,18 @@ def connection_pressure_offsets(wd, cellq, qs):
     return jnp.cumsum(dp, axis=1)
 
 
+def well_potentials(wd, cellq, cdp):
+    """Phase production/injection potentials at the wells' BHP limits
+    (computeWellPotentials, StandardWells_impl.hpp:1005): the surface rates
+    each well could deliver with its pressure constraint active. Used for
+    guide rates. Returns (nw, 3), production positive for producers."""
+    bhp = wd["bhp_limit"]
+    qs0 = jnp.zeros((bhp.shape[0], 3))
+    cq = perforation_fluxes(wd, cellq, bhp, qs0, cdp, allow_crossflow=False)
+    tot = jnp.sum(cq, axis=1)
+    return jnp.where(wd["is_injector"][:, None], tot, -tot)
+
+
 def update_controls(wd, bhp, qs, control, target):
     """Constraint switching (updateWellControls): move to BHP control when
     the pressure limit is violated; move back to the schedule's primary
