@@ -54,6 +54,9 @@ class SatFuncFamily1:
     has_gas: bool = True
     has_water: bool = True
     eps: Optional["EndpointScaling"] = None  # per-cell endpoint scaling
+    # per-cell pcow multiplier (SWATINIT capillary scaling,
+    # BlackoilPropsAdFromDeck::setSwatInitScaling)
+    pcw_mult: Optional[jnp.ndarray] = None
 
     @classmethod
     def from_tables(cls, swof_tables, sgof_tables):
@@ -207,10 +210,13 @@ class SatFuncFamily1:
         return krw, kro, krg
 
     def capillary(self, sw, sg, reg):
-        """(pcow, pcgo): po - pw and pg - po (EPS-scaled abscissae)."""
+        """(pcow, pcgo): po - pw and pg - po (EPS-scaled abscissae,
+        SWATINIT pcow multiplier)."""
         sw_t, sg_t = self._scaled_sats(sw, sg, reg)
         pcow = _interp_reg(self.sw, self.pcow, sw_t, reg)
         pcgo = _interp_reg(self.sg, self.pcgo, sg_t, reg)
+        if self.pcw_mult is not None:
+            pcow = pcow * self.pcw_mult
         return pcow, pcgo
 
     # endpoint queries used by init / well logic

@@ -208,6 +208,27 @@ def initial_state(grid, props, case, nw: int) -> BlackoilState:
     else:
         raise ValueError("deck has neither EQUIL nor explicit initial state")
 
+    # SWATINIT: honor the given initial water saturation by scaling the
+    # capillary curve per cell (setSwatInitScaling,
+    # BlackoilPropsAdFromDeck.hpp + FlowMain.hpp:594-694 setupState)
+    if "SWATINIT" in case.grid_arrays and sol.equil and \
+            props.satfunc is not None:
+        swinit = np.asarray(case.grid_arrays["SWATINIT"])[grid.global_cell]
+        sf = props.satfunc
+        reg = jnp.asarray(grid.satnum)
+        swco = np.asarray(sf.swco)[np.asarray(grid.satnum)]
+        swi = np.clip(swinit, swco, 1.0)
+        # equilibrium pc (= pcow at the equilibrated sw, by construction of
+        # the capillary inversion) vs the table pc at sw = swatinit
+        pc_eff = np.asarray(
+            sf.capillary(jnp.asarray(sw), jnp.asarray(sg), reg)[0])
+        pc_tab = np.asarray(
+            sf.capillary(jnp.asarray(swi), jnp.asarray(sg), reg)[0])
+        good = (np.abs(pc_tab) > 1e-12) & (pc_eff > 0) & (swi < 1.0)
+        factor = np.where(good, pc_eff / np.where(good, pc_tab, 1.0), 1.0)
+        sw = np.where(good, swi, sw)
+        sf.pcw_mult = jnp.asarray(factor)
+
     hc = init_hcstate(jnp.asarray(sw), jnp.asarray(sg),
                       disgas=props.disgas, vapoil=props.vapoil)
     is_rs = hc == 1

@@ -121,9 +121,18 @@ class NonlinearSolver:
 
     # -- jitted kernels --------------------------------------------------
     def _cdp(self, state, wd):
+        """Two-pass wellbore pressure profile: well-level mixture first,
+        then refine with the implied perforation rates (the reference uses
+        the previous state's perfPhaseRates; one lagged pass is the same
+        information)."""
         q = self.model.cell_quantities(state)
-        return stdwells.connection_pressure_offsets(
-            wd, self.model.well_cell_quantities(q), state.qs)
+        cellq = self.model.well_cell_quantities(q)
+        cdp0 = stdwells.connection_pressure_offsets(wd, cellq, state.qs)
+        cq = stdwells.perforation_fluxes(
+            wd, cellq, state.bhp, state.qs, cdp0,
+            allow_crossflow=self.model.params.allow_crossflow)
+        return stdwells.connection_pressure_offsets(wd, cellq, state.qs,
+                                                    perf_rates=cq)
 
     def _assemble(self, state, acc0, dt, wd, cdp):
         res = self.model.residual(state, acc0, dt, wd, cdp)
@@ -239,9 +248,7 @@ class NonlinearSolver:
         and compute-bound on TPU."""
         model = self.model
         acc0 = model.accumulation(state0)
-        q0 = model.cell_quantities(state0)
-        cdp = stdwells.connection_pressure_offsets(
-            wd, model.well_cell_quantities(q0), state0.qs)
+        cdp = self._cdp(state0, wd)
         max_iter = self.max_iter
         min_iter = self.min_iter
 

@@ -172,14 +172,16 @@ def well_residuals(wd, qs, bhp, cq_s, control, target, *, resv_coef=None,
     return flux_res, ctrl_res
 
 
-def connection_pressure_offsets(wd, cellq, qs):
+def connection_pressure_offsets(wd, cellq, qs, perf_rates=None):
     """Explicit wellbore hydrostatic pressure offsets cdp (nw, mp).
 
-    WellDensitySegmented semantics: mixture density from surface rates
-    partitioned with rs/rv into in-situ volumes; hydrostatic integration
-    from the well reference depth down the (depth-sorted) perforation list.
-    Uses well-level rates as the mixture (perforation-level rates refine
-    this in a later milestone)."""
+    WellDensitySegmented semantics (WellDensitySegmented.hpp:40-75): mixture
+    density from surface rates partitioned with rs/rv into in-situ volumes;
+    hydrostatic integration from the well reference depth down the
+    depth-sorted perforation list. With perf_rates (nw, mp, 3) — the
+    previous iteration's perforation surface rates, as the reference's
+    perfPhaseRates — the segment mixture is the CUMULATIVE flow above each
+    perforation; otherwise the well-level mixture is used."""
     c = wd["perf_cell"]
     mask = wd["perf_mask"].astype(jnp.float64)
     b = cellq["b"][c]
@@ -188,10 +190,23 @@ def connection_pressure_offsets(wd, cellq, qs):
     rho_cell = cellq["rho_avg"][c]          # saturation-weighted fallback
     sd = cellq["surface_density"][c]        # (nw, mp, 3) (w,o,g)
 
-    mix = wellbore_mixture(qs, wd["comp_frac"])     # (nw, 3) surface fracs
-    qw = mix[:, None, WATER]
-    qo = mix[:, None, OIL]
-    qg = mix[:, None, GAS]
+    if perf_rates is not None:
+        # flow through segment above perf j = sum of perf rates j..end
+        seg = jnp.cumsum(perf_rates[:, ::-1, :], axis=1)[:, ::-1, :]
+        tot = jnp.sum(seg, axis=-1, keepdims=True)
+        ok = jnp.abs(tot) > _EPS
+        frac = jnp.abs(seg) / jnp.maximum(jnp.sum(jnp.abs(seg), axis=-1,
+                                                  keepdims=True), _EPS)
+        fallback = wellbore_mixture(qs, wd["comp_frac"])[:, None, :]
+        mix3 = jnp.where(ok, frac, fallback)
+        qw = mix3[..., WATER]
+        qo = mix3[..., OIL]
+        qg = mix3[..., GAS]
+    else:
+        mix = wellbore_mixture(qs, wd["comp_frac"])     # (nw, 3)
+        qw = mix[:, None, WATER]
+        qo = mix[:, None, OIL]
+        qg = mix[:, None, GAS]
     d = jnp.maximum(1.0 - rs * rv, _EPS)
     vol_w = qw / jnp.maximum(b[..., WATER], _EPS)
     vol_o = (qo - rv * qg) / d / jnp.maximum(b[..., OIL], _EPS)

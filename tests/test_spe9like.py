@@ -43,3 +43,25 @@ def test_spe9like_runs_and_conserves():
     sw = np.asarray(state0.sw)
     deep = sim.grid.depth > 9950 * 0.3048
     assert np.all(sw[deep] > 0.99)
+
+
+@pytest.mark.slow
+def test_swatinit_scaling():
+    """SWATINIT: initial sw honored, pcow rescaled per cell."""
+    from opm_tpu.sim.testcases import spe9like_deck
+    from opm_tpu.io.eclstate import load_case_string
+    import re
+    deck = spe9like_deck()
+    # inject a SWATINIT array right after PORO (transition-zone-rich case)
+    n = 24 * 25 * 15
+    deck = deck.replace("PROPS", f"SWATINIT\n {n}*0.30 /\nPROPS", 1)
+    case = load_case_string(deck)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    st = initial_state(sim.grid, sim.props, case, len(sim.well_names))
+    sw = np.asarray(st.sw)
+    # cells in the oil zone with pc > 0 take the requested 0.30
+    depth_ft = sim.grid.depth / 0.3048
+    oil_zone = depth_ft < 9900
+    frac = (np.abs(sw[oil_zone] - 0.30) < 1e-9).mean()
+    assert frac > 0.5, frac
+    assert sim.props.satfunc.pcw_mult is not None
