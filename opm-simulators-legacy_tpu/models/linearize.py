@@ -140,7 +140,7 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         q = compute_cell_quantities(props, u_c[0], u_c[1], u_c[2], *auxc)
         qs_w = wvars[:3]
         bhp_w = wvars[3]
-        cmix = stdwells.wellbore_mixture(qs_w, comp_frac)
+        cmix = stdwells.wellbore_mixture(qs_w, comp_frac, is_inj)
         return stdwells.perf_flux_formula(
             q.po, q.b, q.mob, q.rs, q.rv, wi, bhp_w + cdp_p, cmix, is_inj,
             allow_crossflow=allow_xflow)

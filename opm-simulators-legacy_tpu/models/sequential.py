@@ -207,7 +207,8 @@ class BlackoilSequentialModel:
             b[..., OIL] * vr[..., OIL] + rv * b[..., GAS] * vr[..., GAS],
             b[..., GAS] * vr[..., GAS] + rs * b[..., OIL] * vr[..., OIL],
         ], axis=-1)
-        cmix = stdwells.wellbore_mixture(state.qs, wd["comp_frac"])
+        cmix = stdwells.wellbore_mixture(state.qs, wd["comp_frac"],
+                                         wd["is_injector"])
         d = jnp.maximum(1.0 - rs * rv, 1e-14)
         cw = cmix[:, None, WATER]
         co = cmix[:, None, OIL]

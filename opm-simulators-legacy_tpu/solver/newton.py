@@ -201,6 +201,10 @@ class NonlinearSolver:
         # explicit wellbore pressure profile, frozen after initial assembly
         # (computeWellConnectionPressures at BlackoilModelBase_impl.hpp:804)
         cdp = self._cdp_jit(state, wd)
+        if model.params.solve_welleq_initially:
+            if not hasattr(self, "_welleq_jit"):
+                self._welleq_jit = jax.jit(self._solve_welleq)
+            state = self._welleq_jit(state, acc0, dt, wd, cdp)
         omega = 1.0
         mb_history = []
         for it in range(self.max_iter + 1):
@@ -239,6 +243,56 @@ class NonlinearSolver:
             f"Newton failed to converge in {self.max_iter} iterations "
             f"(mb={np.asarray(conv['mb'])}, cnv={np.asarray(conv['cnv'])})")
 
+    def _solve_welleq(self, state, acc0, dt, wd, cdp):
+        """Inner well-equation Newton with reservoir variables frozen
+        (solveWellEq, BlackoilModelBase_impl.hpp:1019-1133: up to
+        max_welleq_iter iterations on (q_s, bhp) only, Eigen SparseLU there,
+        batched dense 4x4-bordered solve here via jacfwd over the well
+        variables). Run at the start of each substep when
+        solve_welleq_initially is set — stabilizes control switching."""
+        model = self.model
+        nw = state.bhp.shape[0]
+        if nw == 0:
+            return state
+
+        def rfun_w(u, s):
+            st = s._replace(qs=u[:3 * nw].reshape(nw, 3),
+                            bhp=u[3 * nw:])
+            res = model.residual(st, acc0, dt, wd, cdp)
+            return jnp.concatenate([res.well_flux.reshape(-1),
+                                    res.well_ctrl])
+
+        def body(carry):
+            s, it, rn = carry
+            ctrl, tgt = stdwells.update_controls(
+                wd, s.bhp, s.qs, s.control, s.target)
+            s = s._replace(control=ctrl, target=tgt)
+            u = jnp.concatenate([s.qs.reshape(-1), s.bhp])
+            r = rfun_w(u, s)
+            J = jax.jacfwd(lambda v: rfun_w(v, s))(u)
+            du = dense_solve(J, r, self.solve_dtype)
+            dbhp = jnp.clip(du[3 * nw:],
+                            -model.params.dp_max_rel * jnp.abs(s.bhp),
+                            model.params.dp_max_rel * jnp.abs(s.bhp))
+            s = s._replace(qs=s.qs - du[:3 * nw].reshape(nw, 3),
+                           bhp=s.bhp - dbhp)
+            rn = jnp.linalg.norm(rfun_w(
+                jnp.concatenate([s.qs.reshape(-1), s.bhp]), s))
+            return (s, it + 1, rn)
+
+        def cond(carry):
+            s, it, rn = carry
+            return (rn > 1e-10) & (it < model.params.max_welleq_iter) & \
+                jnp.isfinite(rn)
+
+        r0 = jnp.linalg.norm(rfun_w(
+            jnp.concatenate([state.qs.reshape(-1), state.bhp]), state))
+        s, it, rn = jax.lax.while_loop(cond, body,
+                                       (state, jnp.asarray(0), r0))
+        # keep the pre-solve state if the inner solve diverged
+        ok = jnp.isfinite(rn) & (rn <= r0 + 1e-30)
+        return jax.tree.map(lambda a, b: jnp.where(ok, a, b), s, state)
+
     # -- fused path: the whole Newton loop in ONE device program ----------
     def _fused_substep(self, state0, dt, wd):
         """Entire substep as a lax.while_loop: assemble -> convergence ->
@@ -249,6 +303,8 @@ class NonlinearSolver:
         model = self.model
         acc0 = model.accumulation(state0)
         cdp = self._cdp(state0, wd)
+        if model.params.solve_welleq_initially:
+            state0 = self._solve_welleq(state0, acc0, dt, wd, cdp)
         max_iter = self.max_iter
         min_iter = self.min_iter
 

@@ -86,9 +86,11 @@ def update_state(model, state: BlackoilState, du) -> BlackoilState:
     x = jnp.where(gas_back, 0.0, x)                    # sg reappears at 0
     x = jnp.where(oil_back, 0.0, x)                    # sg = 0 (so appears)
     x = jnp.where(hc == HC_OILONLY,
-                  jnp.where(gas_gone, rssat, jnp.minimum(rs_new, rssat * (1 + 1e-8))), x)
+                  jnp.where(gas_gone, rssat,
+                            jnp.clip(rs_new, 0.0, rssat * (1 + 1e-8))), x)
     x = jnp.where(hc == HC_GASONLY,
-                  jnp.where(oil_gone, rvsat, jnp.minimum(rv_new, rvsat * (1 + 1e-8))), x)
+                  jnp.where(oil_gone, rvsat,
+                            jnp.clip(rv_new, 0.0, rvsat * (1 + 1e-8))), x)
     sw = jnp.clip(sw, 0.0, 1.0)
 
     # --- well updates (StandardWells_impl.hpp:613-703) -------------------

@@ -28,14 +28,23 @@ WATER, OIL, GAS = 0, 1, 2
 _EPS = 1e-14
 
 
-def wellbore_mixture(qs, comp_frac):
+def wellbore_mixture(qs, comp_frac, is_injector=None):
     """Surface-volume fractions of the wellbore mixture
-    (StandardWells::wellSurfaceVolumeFraction): current well rates when
-    flowing, injection/preferred composition otherwise."""
+    (StandardWells::wellSurfaceVolumeFraction): current well rates for
+    producers (crossflow re-injection mixture), the SPECIFIED injection
+    composition for injectors. Injectors must not use the rate-based
+    mixture: at the converged well solution cqt_s/total == 1 exactly and
+    the zero-component flux-equation rows become identically zero
+    (singular Jacobian)."""
     total = jnp.sum(qs, axis=-1, keepdims=True)
     flowing = jnp.abs(total) > _EPS
     frac = qs / jnp.where(flowing, total, 1.0)
-    return jnp.where(flowing, frac, comp_frac)
+    mix = jnp.where(flowing, frac, comp_frac)
+    if is_injector is not None:
+        inj = jnp.asarray(is_injector, dtype=bool)
+        mix = jnp.where(inj[..., None] if inj.ndim < mix.ndim else inj,
+                        comp_frac, mix)
+    return mix
 
 
 def perf_flux_formula(p_cell, b, mob, rs, rv, wi, bhp_plus_cdp, cmix,
@@ -88,7 +97,7 @@ def perforation_fluxes(wd, cellq, bhp, qs, cdp, *, allow_crossflow=True):
     """
     c = wd["perf_cell"]                      # (nw, mp)
     mask = wd["perf_mask"] * wd["open"][:, None]
-    cmix = wellbore_mixture(qs, wd["comp_frac"])    # (nw, 3)
+    cmix = wellbore_mixture(qs, wd["comp_frac"], wd["is_injector"])
     cq_s = perf_flux_formula(
         cellq["p_oil"][c], cellq["b"][c], cellq["mob"][c], cellq["rs"][c],
         cellq["rv"][c], wd["perf_wi"], bhp[:, None] + cdp,
@@ -197,13 +206,15 @@ def connection_pressure_offsets(wd, cellq, qs, perf_rates=None):
         ok = jnp.abs(tot) > _EPS
         frac = jnp.abs(seg) / jnp.maximum(jnp.sum(jnp.abs(seg), axis=-1,
                                                   keepdims=True), _EPS)
-        fallback = wellbore_mixture(qs, wd["comp_frac"])[:, None, :]
+        fallback = wellbore_mixture(qs, wd["comp_frac"],
+                                    wd["is_injector"])[:, None, :]
         mix3 = jnp.where(ok, frac, fallback)
         qw = mix3[..., WATER]
         qo = mix3[..., OIL]
         qg = mix3[..., GAS]
     else:
-        mix = wellbore_mixture(qs, wd["comp_frac"])     # (nw, 3)
+        mix = wellbore_mixture(qs, wd["comp_frac"],
+                               wd["is_injector"])     # (nw, 3)
         qw = mix[:, None, WATER]
         qo = mix[:, None, OIL]
         qg = mix[:, None, GAS]
