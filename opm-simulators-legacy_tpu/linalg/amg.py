@@ -42,24 +42,34 @@ class AmgLevel:
 
 @dataclass
 class AmgHierarchy:
+    nc: int
     rows0: np.ndarray          # level-0 directed entries
     cols0: np.ndarray
     levels: List[AmgLevel]
     coarsest_n: int
 
     def device(self):
-        """Upload static index arrays once."""
+        """Upload static index arrays once; pack every level's entries in
+        ELL layout for the fused Pallas SpMV/Jacobi kernels."""
+        from opm_tpu.linalg.pallas_kernels import pack_ell
+
         J = jnp.asarray
         dev_levels = []
+        rows, cols, n = self.rows0, self.cols0, self.nc
+        ell0_cols, ell0_slot = pack_ell(n, rows, cols)
         for lv in self.levels:
+            cols_ell, slot = pack_ell(lv.n_coarse, lv.rows_c, lv.cols_c)
             dev_levels.append(dict(
                 n_fine=lv.n_fine, n_coarse=lv.n_coarse,
                 agg=J(lv.agg), off_to_coarse=J(lv.off_to_coarse),
                 off_diag_row=J(lv.off_diag_row),
                 off_is_diag=J(lv.off_is_diag),
-                rows_c=J(lv.rows_c), cols_c=J(lv.cols_c)))
+                rows_c=J(lv.rows_c), cols_c=J(lv.cols_c),
+                ell_cols=J(cols_ell), ell_slot=J(slot)))
         return DeviceAmg(rows0=J(self.rows0), cols0=J(self.cols0),
-                         levels=dev_levels, coarsest_n=self.coarsest_n)
+                         ell0_cols=J(ell0_cols), ell0_slot=J(ell0_slot),
+                         n0=n, levels=dev_levels,
+                         coarsest_n=self.coarsest_n)
 
 
 def _pairwise_aggregate(n, rows, cols, weights):
@@ -129,7 +139,7 @@ def build_hierarchy(nc, face_cells, trans, *, coarsest=128,
         np.add.at(w_c, inv, np.abs(w[~is_diag]))
         rows, cols, w = rows_c, cols_c, w_c
         n = n_c
-    return AmgHierarchy(rows0=rows0, cols0=cols0, levels=levels,
+    return AmgHierarchy(nc=nc, rows0=rows0, cols0=cols0, levels=levels,
                         coarsest_n=n)
 
 
@@ -137,16 +147,34 @@ def build_hierarchy(nc, face_cells, trans, *, coarsest=128,
 class DeviceAmg:
     rows0: jnp.ndarray
     cols0: jnp.ndarray
+    ell0_cols: jnp.ndarray    # (K0, n0)
+    ell0_slot: jnp.ndarray    # (nnz0,)
+    n0: int
     levels: list
     coarsest_n: int
 
     # ------------------------------------------------------------------
+    def _ell_of(self, k):
+        if k == 0:
+            return self.ell0_cols, self.ell0_slot, self.n0
+        lv = self.levels[k - 1]
+        return lv["ell_cols"], lv["ell_slot"], lv["n_coarse"]
+
     def coarsen_values(self, diag0, off0):
         """Per-Newton Galerkin value coarsening: returns per-level
-        (diag, off) value arrays, level 0 first."""
-        vals = [(diag0, off0)]
+        (diag, ell_vals) arrays, level 0 first, where ell_vals is the
+        ELL-packed (K, n) value array for the fused kernels."""
+        vals = []
         diag, off = diag0, off0
-        for lv in self.levels:
+        for k in range(len(self.levels) + 1):
+            cols_ell, slot, n = self._ell_of(k)
+            K = cols_ell.shape[0]
+            ell_vals = jnp.zeros(K * n, dtype=diag.dtype).at[slot].set(
+                off).reshape(K, n)
+            vals.append((diag, ell_vals))
+            if k == len(self.levels):
+                break
+            lv = self.levels[k]
             n_c = lv["n_coarse"]
             diag_c = jax.ops.segment_sum(diag, lv["agg"], num_segments=n_c)
             folded = jnp.where(lv["off_is_diag"], off, 0.0)
@@ -156,47 +184,44 @@ class DeviceAmg:
             kept = jnp.where(lv["off_is_diag"], 0.0, off)
             off_c = jax.ops.segment_sum(kept, idx,
                                         num_segments=lv["rows_c"].shape[0])
-            vals.append((diag_c, off_c))
             diag, off = diag_c, off_c
         return vals
 
-    def _matvec(self, k, diag, off, x):
-        rows = self.rows0 if k == 0 else self.levels[k - 1]["rows_c"]
-        cols = self.cols0 if k == 0 else self.levels[k - 1]["cols_c"]
-        y = diag * x
-        return y.at[rows].add(off * x[cols])
+    def _matvec(self, k, diag, ell_vals, x):
+        from opm_tpu.linalg.pallas_kernels import ell_spmv
+        cols_ell, _, _ = self._ell_of(k)
+        return ell_spmv(diag, x, ell_vals, x[cols_ell])
 
-    def _smooth(self, k, diag, off, x, b, *, omega=0.8, iters=1):
-        dinv = omega / jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+    def _smooth(self, k, diag, ell_vals, x, b, *, omega=0.8, iters=1):
+        from opm_tpu.linalg.pallas_kernels import jacobi_sweep
+        cols_ell, _, _ = self._ell_of(k)
         for _ in range(iters):
-            r = b - self._matvec(k, diag, off, x)
-            x = x + dinv * r
+            x = jacobi_sweep(omega, diag, x, b, ell_vals, x[cols_ell])
         return x
 
     def vcycle(self, vals, b, *, level=0, pre=1, post=1):
-        diag, off = vals[level]
-        x = self._smooth(level, diag, off, jnp.zeros_like(b), b, iters=pre)
+        diag, ell_vals = vals[level]
+        x = self._smooth(level, diag, ell_vals, jnp.zeros_like(b), b,
+                         iters=pre)
         if level == len(self.levels):
             # coarsest: a few extra Jacobi sweeps (or dense solve if tiny)
             if self.coarsest_n <= 256:
-                rows = self.rows0 if level == 0 else \
-                    self.levels[level - 1]["rows_c"]
-                cols = self.cols0 if level == 0 else \
-                    self.levels[level - 1]["cols_c"]
-                A = jnp.zeros((self.coarsest_n, self.coarsest_n),
-                              b.dtype)
-                A = A.at[jnp.arange(self.coarsest_n),
-                         jnp.arange(self.coarsest_n)].set(diag)
-                A = A.at[rows, cols].add(off)
+                cols_ell, _, n = self._ell_of(level)
+                K = cols_ell.shape[0]
+                A = jnp.zeros((n, n), b.dtype)
+                A = A.at[jnp.arange(n), jnp.arange(n)].set(diag)
+                rows_e = jnp.tile(jnp.arange(n), K)
+                A = A.at[rows_e, cols_ell.reshape(-1)].add(
+                    ell_vals.reshape(-1))
                 x = jnp.linalg.solve(A.astype(jnp.float32),
                                      b.astype(jnp.float32)).astype(b.dtype)
             else:
-                x = self._smooth(level, diag, off, x, b, iters=10)
+                x = self._smooth(level, diag, ell_vals, x, b, iters=10)
             return x
         lv = self.levels[level]
-        r = b - self._matvec(level, diag, off, x)
+        r = b - self._matvec(level, diag, ell_vals, x)
         r_c = jax.ops.segment_sum(r, lv["agg"], num_segments=lv["n_coarse"])
         e_c = self.vcycle(vals, r_c, level=level + 1, pre=pre, post=post)
         x = x + e_c[lv["agg"]]
-        x = self._smooth(level, diag, off, x, b, iters=post)
+        x = self._smooth(level, diag, ell_vals, x, b, iters=post)
         return x
