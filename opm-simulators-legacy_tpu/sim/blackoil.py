@@ -155,6 +155,10 @@ class SimulatorFullyImplicitBlackoil:
         self._econ_shut: set = set()
         self.ts = AdaptiveTimeStepping(ts_params, tuning=self.schedule.tuning)
         self.solver = NonlinearSolver(self.model)
+        from opm_tpu.utils.events import EventSource
+        self.events = EventSource("timestep_completed",
+                                  "report_step_completed")
+        self._step_timing: list = []
         if fused is None:
             # on TPU the host<->device round trips dominate; fuse the whole
             # Newton loop into one device program
@@ -350,9 +354,17 @@ class SimulatorFullyImplicitBlackoil:
                 return s2, rep
 
             had_event = bool(step.events)
+            t_step0 = time.perf_counter()
             state, subrep = self.ts.step(
                 solve_fn, state, step.end_time - step.start_time,
-                had_event=had_event)
+                had_event=had_event,
+                substep_callback=lambda s, tl, dts, sr: self.events.signal(
+                    "timestep_completed", s, tl, dts))
+            self._step_timing.append(
+                (step.index, step.end_time / DAY,
+                 time.perf_counter() - t_step0, subrep.substeps,
+                 subrep.total_newton))
+            self.events.signal("report_step_completed", state, step)
             self.report.substeps += subrep.substeps
             self.report.failed_substeps += subrep.failed_substeps
             self.report.newton_iterations += subrep.total_newton
@@ -400,6 +412,16 @@ class SimulatorFullyImplicitBlackoil:
                 dims=self.case.runspec.dims,
                 start_date=self.case.runspec.start_date,
                 unit_system=self.case.runspec.unit_system)
+            # per-step timing breakdown (step_timing.txt / walltime.txt,
+            # SimulatorBase_impl.hpp:108,302-304)
+            with open(os.path.join(self.output_dir,
+                                   "step_timing.txt"), "w") as f:
+                f.write("# step  end_days  wall_s  substeps  newtons\n")
+                for row in self._step_timing:
+                    f.write("%5d %10.2f %8.3f %5d %5d\n" % row)
+            with open(os.path.join(self.output_dir, "walltime.txt"),
+                      "w") as f:
+                f.write(f"{self.report.total_time:.3f}\n")
         return state
 
 

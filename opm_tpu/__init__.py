@@ -27,4 +27,20 @@ if _os.environ.get("OPM_TPU_X64", "1") != "0":
 
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the fused-substep graphs are large and (on
+# tunneled TPU setups) remote-compiled — caching makes repeat runs start in
+# seconds instead of minutes. Opt out with OPM_TPU_COMPILATION_CACHE=0.
+if _os.environ.get("OPM_TPU_COMPILATION_CACHE", "1") != "0":
+    import jax as _jax
+
+    try:
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/opm_tpu_jax_cache"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 __version__ = "0.1.0"

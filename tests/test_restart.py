@@ -40,3 +40,19 @@ def test_restart_resume(tmp_path):
     with open(vtr) as f:
         head = f.read(200)
     assert "RectilinearGrid" in head
+
+
+def test_events_and_step_timing(tmp_path):
+    from opm_tpu.io.eclstate import load_case
+    case = load_case(SPE1)
+    sim = SimulatorFullyImplicitBlackoil(case, output_dir=str(tmp_path))
+    hits = []
+    sim.events.event("timestep_completed").add(
+        lambda s, t, dt: hits.append(t))
+    sim.run(report_step_limit=2)
+    assert len(hits) >= 2           # at least one substep per report step
+    timing = (tmp_path / "step_timing.txt").read_text()
+    assert len(timing.splitlines()) == 3  # header + 2 steps
+    assert (tmp_path / "walltime.txt").exists()
+    assert (tmp_path / "SPE1.SMSPEC").exists()
+    assert (tmp_path / "SPE1.UNSMRY").exists()
