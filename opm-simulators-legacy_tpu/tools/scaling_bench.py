@@ -22,7 +22,7 @@ def main(argv=None):
     ap.add_argument("--ny", type=int, default=220)
     ap.add_argument("--nz", type=int, default=20)
     ap.add_argument("--substeps", type=int, default=4)
-    ap.add_argument("--dt-days", type=float, default=5.0)
+    ap.add_argument("--dt-days", type=float, default=0.5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -51,14 +51,27 @@ def main(argv=None):
     state = sim._init_well_state(state, ws, True)
     dt = args.dt_days * 86400.0
 
+    from opm_tpu.solver.newton import (LinearSolverProblem, NumericalIssue,
+                                       TooManyIterations)
+
+    def try_step(s, dti):
+        """Chop-on-failure like the adaptive stepper (bounded retries)."""
+        for _ in range(8):
+            try:
+                s2, rep = sim.solver.step_fused(s, dti, wd, SolverReport())
+                return s2, rep, dti
+            except (NumericalIssue, TooManyIterations, LinearSolverProblem):
+                dti *= 0.33
+        raise RuntimeError("could not find a stable dt")
+
     # warm-up substep (compile)
     t0 = time.perf_counter()
-    state, rep = sim.solver.step_fused(state, dt, wd, SolverReport())
+    state, rep, dt = try_step(state, dt)
     compile_s = time.perf_counter() - t0
     newtons = 0
     t0 = time.perf_counter()
     for _ in range(args.substeps):
-        state, rep = sim.solver.step_fused(state, dt, wd, SolverReport())
+        state, rep, dt = try_step(state, min(dt * 2, args.dt_days * 86400))
         newtons += rep.iterations
     wall = time.perf_counter() - t0
     print(json.dumps(dict(
