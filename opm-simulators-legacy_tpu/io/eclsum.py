@@ -105,6 +105,11 @@ _FIELD_UNITS = {
     "GIR": ("MSCF/DAY", _DAY / _MSCF),
     "GOR": ("MSCF/STB", _STB / _MSCF),
     "WCT": ("", 1.0),
+    "OPT": ("STB", 1.0 / _STB),
+    "WPT": ("STB", 1.0 / _STB),
+    "WIT": ("STB", 1.0 / _STB),
+    "GPT": ("MSCF", 1.0 / _MSCF),
+    "GIT": ("MSCF", 1.0 / _MSCF),
 }
 _METRIC_UNITS = {
     "PR": ("BARSA", 1e-5), "BHP": ("BARSA", 1e-5), "THP": ("BARSA", 1e-5),
@@ -112,6 +117,8 @@ _METRIC_UNITS = {
     "LPR": ("SM3/DAY", _DAY), "OIR": ("SM3/DAY", _DAY),
     "WIR": ("SM3/DAY", _DAY), "GPR": ("SM3/DAY", _DAY),
     "GIR": ("SM3/DAY", _DAY), "GOR": ("SM3/SM3", 1.0), "WCT": ("", 1.0),
+    "OPT": ("SM3", 1.0), "WPT": ("SM3", 1.0), "WIT": ("SM3", 1.0),
+    "GPT": ("SM3", 1.0), "GIT": ("SM3", 1.0),
 }
 
 

@@ -68,26 +68,43 @@ def inv4x4(m):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def inv3x3_t(m):
+    """Closed-form inverse for (3, 3, n)-layout blocks -> (3, 3, n)."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    rows = [[A, -(b * i - c * h), (b * f - c * e)],
+            [B, (a * i - c * g), -(a * f - c * d)],
+            [C, -(a * h - b * g), (a * e - b * d)]]
+    return jnp.stack([jnp.stack([rows[i_][j_] / det for j_ in range(3)])
+                      for i_ in range(3)])
+
+
 def block_jacobi(sys: linearize.BlockSystem):
     """v -> (Dinv_cell r_cell, Dinv_well r_well)."""
-    dinv = inv3x3(sys.diag)
+    dinv = inv3x3_t(sys.diag)
     winv = inv4x4(sys.wd_diag)
 
     def apply(v):
         rc, rw = v
-        return (jnp.einsum("nij,nj->ni", dinv, rc),
+        return (linearize._bapply(dinv, rc),
                 jnp.einsum("nij,nj->ni", winv, rw))
 
     return apply
 
 
-def quasi_impes_weights(diag):
-    """Per-cell weights w with w^T D = e_p^T: decouple local saturation
-    derivatives from the pressure equation (the CPR weighting; plays the
-    role of formEllipticSystem's row combinations)."""
-    dinv_t = inv3x3(jnp.swapaxes(diag, -1, -2))
-    e_p = jnp.zeros(diag.shape[:-2] + (3,)).at[..., 0].set(1.0)
-    return jnp.einsum("nij,nj->ni", dinv_t, e_p)
+def quasi_impes_weights(diag_t):
+    """Per-cell weights (3, nc) with w^T D = e_p^T: decouple local
+    saturation derivatives from the pressure equation (the CPR weighting;
+    plays the role of formEllipticSystem's row combinations).
+    w = (D^T)^{-1} e_p = row 0 of D^{-1}."""
+    dinv = inv3x3_t(diag_t)
+    return dinv[0]  # (3, nc): w_j = (D^{-1})_{0j}
 
 
 def cpr_pressure_system(sys: linearize.BlockSystem, w):
@@ -95,9 +112,10 @@ def cpr_pressure_system(sys: linearize.BlockSystem, w):
     the AMG level-0 directed entry list [rows=c1|c2, cols=c2|c1]."""
     c1 = sys.face_cells[:, 0]
     c2 = sys.face_cells[:, 1]
-    diag_p = jnp.einsum("ne,ne->n", w, sys.diag[:, :, 0])
-    a_LR = jnp.einsum("fe,fe->f", w[c1], sys.face_R[:, :, 0])
-    a_RL = -jnp.einsum("fe,fe->f", w[c2], sys.face_L[:, :, 0])
+    # w: (3, nc); pressure columns are [:, 0, :] in the (eq, var, n) layout
+    diag_p = jnp.sum(w * sys.diag[:, 0, :], axis=0)
+    a_LR = jnp.sum(w[:, c1] * sys.face_R[:, 0, :], axis=0)
+    a_RL = -jnp.sum(w[:, c2] * sys.face_L[:, 0, :], axis=0)
     off = jnp.concatenate([a_LR, a_RL])
     return diag_p, off
 
@@ -118,7 +136,7 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=1):
     def apply(v):
         rc, rw = v
         # stage 1: pressure correction
-        rp = jnp.einsum("ne,ne->n", w, rc)
+        rp = jnp.sum(w * rc.T, axis=0)
         dp = amg.vcycle(vals, rp)
         xc = jnp.zeros_like(rc).at[:, 0].set(dp)
         xw = jnp.zeros_like(rw)

@@ -56,10 +56,12 @@ class BlockSystem(NamedTuple):
     # residual
     r_cell: jnp.ndarray    # (nc, 3)
     r_well: jnp.ndarray    # (nw, 4)  [flux eqs (3), control eq]
-    # Jacobian blocks
-    diag: jnp.ndarray      # (nc, 3, 3) true block diagonal
-    face_L: jnp.ndarray    # (nf, 3, 3) dF/du_L
-    face_R: jnp.ndarray    # (nf, 3, 3) dF/du_R
+    # Jacobian blocks in TRANSPOSED (3, 3, n) layout: TPU tiles pad the two
+    # trailing dims to (8, 128) — an (n, 3, 3) layout would inflate memory
+    # ~85x (the SPE10-scale OOM); (3, 3, n) pads only 3 -> 8 on one dim.
+    diag: jnp.ndarray      # (3, 3, nc) true block diagonal [eq, var, cell]
+    face_L: jnp.ndarray    # (3, 3, nf) dF/du_L
+    face_R: jnp.ndarray    # (3, 3, nf) dF/du_R
     # wells
     cw: jnp.ndarray        # (nw, mp, 3, 4) cell rows x well vars (-dcq/dwv)
     wc: jnp.ndarray        # (nw, mp, 3, 3) well flux rows x cell vars
@@ -71,7 +73,7 @@ class BlockSystem(NamedTuple):
 
     @property
     def nc(self):
-        return self.diag.shape[0]
+        return self.diag.shape[-1]
 
     @property
     def nw(self):
@@ -230,22 +232,36 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     wc = wc * wd["open"][:, None, None, None]
 
     return BlockSystem(
-        r_cell=r_cell, r_well=r_well, diag=diag, face_L=face_L,
-        face_R=face_R, cw=cw, wc=wc, wd_diag=wd_diag,
+        r_cell=r_cell, r_well=r_well,
+        diag=jnp.transpose(diag, (1, 2, 0)),
+        face_L=jnp.transpose(face_L, (1, 2, 0)),
+        face_R=jnp.transpose(face_R, (1, 2, 0)),
+        cw=cw, wc=wc, wd_diag=wd_diag,
         face_cells=model.face_cells, perf_cell=pc,
         perf_mask=mask)
+
+
+def _bapply(blocks_t, v):
+    """(3,3,n) blocks applied to (n,3) vectors -> (n,3); written as nine
+    fused elementwise products (no tiny-trailing-dim einsum layouts)."""
+    outs = []
+    for i in range(3):
+        acc = blocks_t[i, 0] * v[:, 0]
+        acc = acc + blocks_t[i, 1] * v[:, 1]
+        acc = acc + blocks_t[i, 2] * v[:, 2]
+        outs.append(acc)
+    return jnp.stack(outs, axis=-1)
 
 
 def matvec(sys: BlockSystem, v_cell, v_well):
     """J @ [v_cell (nc,3); v_well (nw,4)] -> (out_cell, out_well)."""
     c1 = sys.face_cells[:, 0]
     c2 = sys.face_cells[:, 1]
-    out_c = jnp.einsum("nij,nj->ni", sys.diag, v_cell)
+    out_c = _bapply(sys.diag, v_cell)
     # off-diagonal face pairs: row L gets +dF/du_R * v_R; row R gets
     # -dF/du_L * v_L (diagonal parts already folded into diag)
-    out_c = out_c.at[c1].add(jnp.einsum("fij,fj->fi", sys.face_R, v_cell[c2]))
-    out_c = out_c.at[c2].add(-jnp.einsum("fij,fj->fi", sys.face_L,
-                                         v_cell[c1]))
+    out_c = out_c.at[c1].add(_bapply(sys.face_R, v_cell[c2]))
+    out_c = out_c.at[c2].add(-_bapply(sys.face_L, v_cell[c1]))
     nw, mp = sys.perf_cell.shape
     pc_f = sys.perf_cell.reshape(-1)
     # cell rows x well vars

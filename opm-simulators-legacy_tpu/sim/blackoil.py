@@ -55,6 +55,9 @@ class SummaryCollector:
     def __init__(self, well_names: List[str]):
         self.well_names = well_names
         self.rows: List[dict] = []
+        self._totals = dict(FOPT=0.0, FWPT=0.0, FGPT=0.0, FWIT=0.0,
+                            FGIT=0.0)
+        self._last_t = 0.0
 
     def record(self, t, state: BlackoilState, model, extra=None):
         qs = np.asarray(state.qs)
@@ -78,6 +81,15 @@ class SummaryCollector:
         row["FGOR"] = row["FGPR"] / fopr if fopr > 1e-12 else 0.0
         row["FWCT"] = (row["FWPR"] / (row["FWPR"] + fopr)
                        if row["FWPR"] + fopr > 1e-12 else 0.0)
+        # cumulative totals (rectangle rule over report steps)
+        dt = t - self._last_t
+        self._last_t = t
+        self._totals["FOPT"] += row["FOPR"] * dt
+        self._totals["FWPT"] += row["FWPR"] * dt
+        self._totals["FGPT"] += row["FGPR"] * dt
+        self._totals["FWIT"] += row["FWIR"] * dt
+        self._totals["FGIT"] += row["FGIR"] * dt
+        row.update(self._totals)
         for iw, name in enumerate(self.well_names):
             row[f"WBHP:{name}"] = bhp[iw]
             row[f"WOPR:{name}"] = prod[iw, OIL]

@@ -397,8 +397,8 @@ SOLUTION
 EQUIL
  12030 6000 12500 0 11000 0 1 0 0 /
 RSVD
- 11000 0.8
- 12500 0.8 /
+ 11000 0.4
+ 12500 0.4 /
 SUMMARY
 FOPR
 SCHEDULE
