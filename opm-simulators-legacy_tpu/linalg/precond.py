@@ -91,7 +91,7 @@ def block_jacobi(sys: linearize.BlockSystem):
     winv = inv4x4(sys.wd_diag)
 
     def apply(v):
-        rc, rw = v
+        rc, rw = v          # rc: (3, nc)
         return (linearize._bapply(dinv, rc),
                 jnp.einsum("nij,nj->ni", winv, rw))
 
@@ -134,11 +134,11 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=1):
     bj = block_jacobi(sys)
 
     def apply(v):
-        rc, rw = v
+        rc, rw = v          # rc: (3, nc)
         # stage 1: pressure correction
-        rp = jnp.sum(w * rc.T, axis=0)
+        rp = jnp.sum(w * rc, axis=0)
         dp = amg.vcycle(vals, rp)
-        xc = jnp.zeros_like(rc).at[:, 0].set(dp)
+        xc = jnp.zeros_like(rc).at[0].set(dp)
         xw = jnp.zeros_like(rw)
         # stage 2: block-Jacobi on the updated residual
         for _ in range(smoother_steps):

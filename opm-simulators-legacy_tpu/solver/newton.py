@@ -177,12 +177,12 @@ class NonlinearSolver:
         sys = linearize.assemble(model, state, acc0, dt, wd, cdp)
         M = make_cpr(sys, self.amg)
         res = bicgstab(lambda v: linearize.matvec(sys, *v),
-                       (sys.r_cell, sys.r_well), precond=M,
+                       (sys.r_cell.T, sys.r_well), precond=M,
                        tol=self.linear_tol, maxiter=self.linear_maxiter)
-        du_c, du_w = res.x
+        du_c, du_w = res.x      # du_c: (3, nc)
         nc = model.nc
         du = jnp.concatenate([
-            du_c[:, 0], du_c[:, 1], du_c[:, 2],
+            du_c[0], du_c[1], du_c[2],
             du_w[:, 3], du_w[:, :3].reshape(-1)])
         du = omega * du
         return update_state(model, state, du), res.iterations, res.converged

@@ -166,13 +166,13 @@ def test_block_assembly_matches_dense(spe1_system):
     for _ in range(3):
         v = rng.randn(len(u0))
         v_cell = jnp.asarray(
-            np.stack([v[:nc], v[nc:2 * nc], v[2 * nc:3 * nc]], axis=1))
+            np.stack([v[:nc], v[nc:2 * nc], v[2 * nc:3 * nc]], axis=0))
         v_well = jnp.asarray(np.concatenate(
             [v[3 * nc + nw:].reshape(nw, 3), v[3 * nc:3 * nc + nw, None]],
             axis=1))
         out_c, out_w = block_matvec(sys, v_cell, v_well)
         ref = J @ v
-        ref_c = ref[:3 * nc].reshape(nc, 3)
+        ref_c = ref[:3 * nc].reshape(nc, 3).T
         ref_wf = ref[3 * nc:3 * nc + 3 * nw].reshape(nw, 3)
         ref_ct = ref[3 * nc + 3 * nw:]
         scale = np.abs(ref).max()
@@ -194,6 +194,7 @@ def test_cpr_solves_newton_system(spe1_system):
     amg = hier.device()
     M = make_cpr(sys, amg)
     res = bicgstab(lambda v: linearize.matvec(sys, *v),
-                   (sys.r_cell, sys.r_well), precond=M, tol=1e-2, maxiter=50)
+                   (sys.r_cell.T, sys.r_well), precond=M, tol=1e-2,
+                   maxiter=50)
     assert bool(res.converged)
     assert int(res.iterations) <= 25, int(res.iterations)
