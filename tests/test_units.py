@@ -42,3 +42,26 @@ def test_rs_dimension():
 def test_roundtrip():
     u = UnitSystem("FIELD")
     assert u.from_si("Pressure", u.to_si("Pressure", 123.4)) == pytest.approx(123.4)
+
+
+def test_regula_falsi_batched():
+    """RootFinders capability (reference RootFinders.hpp RegulaFalsi) —
+    batched pegasus false position finds per-lane roots of distinct cubics."""
+    import jax.numpy as jnp
+    import numpy as np
+    from opm_tpu.utils.rootfinders import bisection, regula_falsi
+
+    c = jnp.asarray(np.linspace(0.05, 0.95, 16))
+
+    def f(x):
+        return x ** 3 + 0.3 * x - (c ** 3 + 0.3 * c)
+
+    a = jnp.zeros(16)
+    b = jnp.ones(16)
+    x_rf = regula_falsi(f, a, b, iterations=30)
+    x_bi = bisection(f, a, b)
+    assert np.allclose(np.asarray(x_rf), np.asarray(c), atol=1e-10)
+    assert np.allclose(np.asarray(x_bi), np.asarray(c), atol=1e-10)
+    # reversed bracket orientation also works
+    x_rev = regula_falsi(f, b, a, iterations=30)
+    assert np.allclose(np.asarray(x_rev), np.asarray(c), atol=1e-10)
