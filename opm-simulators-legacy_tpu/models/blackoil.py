@@ -55,23 +55,28 @@ class ModelParams:
 
 
 class CellQuantities(NamedTuple):
+    """Phase-indexed fields are PHASE-LEADING: (3, nc) for cell arrays, (3,)
+    for the scalar (single-cell) case. TPU tiles pad the trailing two dims
+    to (8, 128), so a phase-trailing (nc, 3) layout would inflate memory and
+    bandwidth ~42x; (3, nc) pads only 3 -> 8 sublanes."""
+
     pw: jnp.ndarray
     po: jnp.ndarray
     pg: jnp.ndarray
-    b: jnp.ndarray        # (nc, 3)
-    mob: jnp.ndarray      # (nc, 3)
-    rho: jnp.ndarray      # (nc, 3)
+    b: jnp.ndarray        # (3, nc)
+    mob: jnp.ndarray      # (3, nc)
+    rho: jnp.ndarray      # (3, nc)
     rs: jnp.ndarray
     rv: jnp.ndarray
-    sat: jnp.ndarray      # (nc, 3)
+    sat: jnp.ndarray      # (3, nc)
     pv_mult: jnp.ndarray
 
 
 class Residual(NamedTuple):
-    cell: jnp.ndarray       # (nc, 3) surface-volume rate residuals
+    cell: jnp.ndarray       # (3, nc) surface-volume rate residuals
     well_flux: jnp.ndarray  # (nw, 3)
     well_ctrl: jnp.ndarray  # (nw,)
-    b: jnp.ndarray          # (nc, 3) inverse FVFs (for convergence norms)
+    b: jnp.ndarray          # (3, nc) inverse FVFs (for convergence norms)
 
 
 def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
@@ -99,28 +104,32 @@ def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
     muo = props.mu_oil(p, rs, pvtnum)
     mug = props.mu_gas(pg, rv, pvtnum)
     krw, kro, krg = props.relperm(sw, so, sg, satnum)
-    mob = jnp.stack([krw / muw, kro / muo, krg / mug], axis=-1)
-    sd = props.surface_density[pvtnum]  # (..., 3)
+    mob = jnp.stack([krw / muw, kro / muo, krg / mug], axis=0)
+    # per-phase surface-density gathers keep every intermediate 1-D
+    sd_w = props.surface_density[pvtnum, WATER]
+    sd_o = props.surface_density[pvtnum, OIL]
+    sd_g = props.surface_density[pvtnum, GAS]
     rho = jnp.stack([
-        sd[..., WATER] * bw,
-        (sd[..., OIL] + rs * sd[..., GAS]) * bo,
-        (sd[..., GAS] + rv * sd[..., OIL]) * bg,
-    ], axis=-1)
-    b = jnp.stack([bw, bo, bg], axis=-1)
-    sat = jnp.stack([sw, so, sg], axis=-1)
+        sd_w * bw,
+        (sd_o + rs * sd_g) * bo,
+        (sd_g + rv * sd_o) * bg,
+    ], axis=0)
+    b = jnp.stack([bw, bo, bg], axis=0)
+    sat = jnp.stack([sw, so, sg], axis=0)
     pvm = props.pv_mult(p, pvtnum)
     return CellQuantities(pw=pw, po=p, pg=pg, b=b, mob=mob, rho=rho,
                           rs=rs, rv=rv, sat=sat, pv_mult=pvm)
 
 
 def accumulation_from_q(q: CellQuantities) -> jnp.ndarray:
-    """Surface volume per pore volume (computeAccum :711-751); shape-generic."""
-    bw, bo, bg = q.b[..., WATER], q.b[..., OIL], q.b[..., GAS]
-    sw, so, sg = q.sat[..., WATER], q.sat[..., OIL], q.sat[..., GAS]
+    """Surface volume per pore volume, phase-leading (3, ...)
+    (computeAccum :711-751); shape-generic."""
+    bw, bo, bg = q.b[WATER], q.b[OIL], q.b[GAS]
+    sw, so, sg = q.sat[WATER], q.sat[OIL], q.sat[GAS]
     acc_w = bw * sw
     acc_o = bo * so + q.rv * bg * sg
     acc_g = bg * sg + q.rs * bo * so
-    return q.pv_mult[..., None] * jnp.stack([acc_w, acc_o, acc_g], axis=-1)
+    return q.pv_mult * jnp.stack([acc_w, acc_o, acc_g], axis=0)
 
 
 def face_flux_from_q(qL: CellQuantities, qR: CellQuantities, trans, dz,
@@ -139,14 +148,14 @@ def face_flux_from_q(qL: CellQuantities, qR: CellQuantities, trans, dz,
 
     fluxes, vol_flux, ups = [], [], []
     for ph in range(3):
-        rho_face = 0.5 * (qL.rho[..., ph] + qR.rho[..., ph])
+        rho_face = 0.5 * (qL.rho[ph] + qR.rho[ph])
         dphi = (p_ph_L[ph] - p_ph_R[ph]) - rho_face * g * dz
         if threshold_dp is not None:
             # THPRES clipping (BlackoilModelBase_impl.hpp:1520-1545)
             dphi = jnp.sign(dphi) * jnp.maximum(
                 jnp.abs(dphi) - threshold_dp, 0.0)
         up = dphi >= 0.0
-        bm = jnp.where(up, bmobL[..., ph], bmobR[..., ph])
+        bm = jnp.where(up, bmobL[ph], bmobR[ph])
         vf = trans * dphi
         fluxes.append(bm * vf)
         vol_flux.append(vf)
@@ -154,12 +163,12 @@ def face_flux_from_q(qL: CellQuantities, qR: CellQuantities, trans, dz,
 
     rs_up = jnp.where(ups[OIL], qL.rs, qR.rs)
     rv_up = jnp.where(ups[GAS], qL.rv, qR.rv)
-    bmo_up = jnp.where(ups[OIL], bmobL[..., OIL], bmobR[..., OIL])
-    bmg_up = jnp.where(ups[GAS], bmobL[..., GAS], bmobR[..., GAS])
+    bmo_up = jnp.where(ups[OIL], bmobL[OIL], bmobR[OIL])
+    bmg_up = jnp.where(ups[GAS], bmobL[GAS], bmobR[GAS])
     flux_w = fluxes[WATER]
     flux_o = fluxes[OIL] + rv_up * bmg_up * vol_flux[GAS]
     flux_g = fluxes[GAS] + rs_up * bmo_up * vol_flux[OIL]
-    return jnp.stack([flux_w, flux_o, flux_g], axis=-1)
+    return jnp.stack([flux_w, flux_o, flux_g], axis=0)
 
 
 class BlackoilModel:
@@ -190,7 +199,7 @@ class BlackoilModel:
 
     # ------------------------------------------------------------------
     def accumulation(self, state: BlackoilState) -> jnp.ndarray:
-        """Surface volumes per pore volume, (nc, 3) (computeAccum)."""
+        """Surface volumes per pore volume, (3, nc) (computeAccum)."""
         q = self.cell_quantities(state)
         return self._accumulation_from_q(q)
 
@@ -200,31 +209,31 @@ class BlackoilModel:
 
     # ------------------------------------------------------------------
     def face_fluxes(self, q: CellQuantities, threshold_dp=None):
-        """Per-face surface-volume fluxes (nf, 3), positive c1 -> c2, plus
+        """Per-face surface-volume fluxes (3, nf), positive c1 -> c2, plus
         the rs/rv cross-terms folded into oil/gas (computeMassFlux)."""
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
         dz = self.depth[c1] - self.depth[c2]
-        qL = jax.tree.map(lambda a: a[c1], q)
-        qR = jax.tree.map(lambda a: a[c2], q)
+        qL = jax.tree.map(lambda a: a[..., c1], q)
+        qR = jax.tree.map(lambda a: a[..., c2], q)
         return face_flux_from_q(qL, qR, self.trans, dz, self.gravity,
                                 threshold_dp)
 
     # ------------------------------------------------------------------
     def divergence(self, face_flux):
-        """Signed scatter-add of face fluxes to cells: div(F)."""
+        """Signed scatter-add of (k, nf) face fluxes to cells: div(F)."""
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
-        out = jnp.zeros((self.nc, face_flux.shape[-1]),
+        out = jnp.zeros(face_flux.shape[:-1] + (self.nc,),
                         dtype=face_flux.dtype)
-        out = out.at[c1].add(face_flux)
-        out = out.at[c2].add(-face_flux)
+        out = out.at[..., c1].add(face_flux)
+        out = out.at[..., c2].add(-face_flux)
         return out
 
     # ------------------------------------------------------------------
     def well_cell_quantities(self, q: CellQuantities):
-        sd = self.props.surface_density[self.pvtnum]
-        rho_avg = jnp.sum(q.sat * q.rho, axis=-1)
+        sd = self.props.surface_density.T[:, self.pvtnum]      # (3, nc)
+        rho_avg = jnp.sum(q.sat * q.rho, axis=0)
         return dict(p_oil=q.po, mob=q.mob, b=q.b, rs=q.rs, rv=q.rv,
                     rho_avg=rho_avg, surface_density=sd)
 
@@ -238,7 +247,7 @@ class BlackoilModel:
         q = self.cell_quantities(state)
         acc = self._accumulation_from_q(q)
         pvdt = self.pv / dt
-        cell_res = pvdt[:, None] * (acc - acc0)
+        cell_res = pvdt * (acc - acc0)
         cell_res = cell_res + self.divergence(
             self.face_fluxes(q, threshold_dp))
         cq_s = stdwells.perforation_fluxes(
@@ -247,7 +256,7 @@ class BlackoilModel:
         # scatter well sources: cq_s > 0 injects into the cell
         flat_cells = wd["perf_cell"].reshape(-1)
         flat_cq = cq_s.reshape(-1, 3)
-        cell_res = cell_res.at[flat_cells].add(-flat_cq)
+        cell_res = cell_res.at[:, flat_cells].add(-flat_cq.T)
         well_flux, well_ctrl = stdwells.well_residuals(
             wd, state.qs, state.bhp, cq_s, state.control, state.target,
             resv_coef=wd.get("resv_coef"), vfp=wd.get("vfp"))
@@ -259,11 +268,11 @@ class BlackoilModel:
         """MB/CNV norms (getConvergence:1722-1857). Returns dict of arrays."""
         pv = self.pv
         pv_sum = jnp.sum(pv)
-        B = 1.0 / jnp.maximum(res.b, 1e-300)        # (nc, 3)
+        B = 1.0 / jnp.maximum(res.b, 1e-300)        # (3, nc)
         R = res.cell
-        cnv = dt * jnp.max(jnp.abs(R) * B / pv[:, None], axis=0)
-        b_avg = jnp.mean(B, axis=0)
-        mb = dt * jnp.abs(jnp.sum(R, axis=0)) * b_avg / pv_sum
+        cnv = dt * jnp.max(jnp.abs(R) * B / pv, axis=1)
+        b_avg = jnp.mean(B, axis=1)
+        mb = dt * jnp.abs(jnp.sum(R, axis=1)) * b_avg / pv_sum
         # well norms: flux residual relative to a rate scale; control
         # residual split pressure (Pa) vs rate (relative)
         qs_scale = jnp.maximum(jnp.max(jnp.abs(state.qs)), 1e-8)
@@ -304,6 +313,8 @@ class BlackoilModel:
             qs=u[3 * nc + nw:3 * nc + nw + 3 * nw].reshape(nw, 3))
 
     def residual_vector(self, res: Residual):
+        """Equation-major cell block [all water eqs, all oil, all gas] —
+        matches the (3, nc) residual layout with zero relayout cost."""
         return jnp.concatenate([
             res.cell.reshape(-1), res.well_flux.reshape(-1), res.well_ctrl])
 

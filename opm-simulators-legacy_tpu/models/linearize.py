@@ -54,7 +54,7 @@ class BlockSystem(NamedTuple):
     """Assembled block-sparse Jacobian + residual."""
 
     # residual
-    r_cell: jnp.ndarray    # (nc, 3)
+    r_cell: jnp.ndarray    # (3, nc) phase-leading
     r_well: jnp.ndarray    # (nw, 4)  [flux eqs (3), control eq]
     # Jacobian blocks in TRANSPOSED (3, 3, n) layout: TPU tiles pad the two
     # trailing dims to (8, 128) — an (n, 3, 3) layout would inflate memory
@@ -81,55 +81,79 @@ class BlockSystem(NamedTuple):
 
 
 def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
-    """Assemble residual + exact Jacobian blocks at `state`."""
+    """Assemble residual + exact Jacobian blocks at `state`.
+
+    Layout-first design: every derivative comes from `jax.linearize` of the
+    VECTORIZED residual pieces, seeded with per-variable basis tangents.
+    Cells (faces) are independent, so seeding all of them at once yields
+    exactly the per-cell (per-face) derivative columns as (3, n) arrays —
+    the (3, 3, n) Jacobian blocks are produced natively with every
+    intermediate a 1-D or (3, n) array. A vmapped per-entity jacfwd would
+    instead materialize (n, 3, 3) batched intermediates, which TPU tiles
+    pad ~85x (the SPE10-scale OOM)."""
     props = model.props
     nc = model.nc
     c1 = model.face_cells[:, 0]
     c2 = model.face_cells[:, 1]
 
-    u = jnp.stack([state.pressure, state.sw, state.x], axis=-1)  # (nc, 3)
     hc = state.hcstate
     pvt = model.pvtnum
     sat = model.satnum
+    p, sw, x = state.pressure, state.sw, state.x
 
     # ---- accumulation: value + diagonal blocks --------------------------
-    def acc_local(ui, hci, pvti, sati):
-        q = compute_cell_quantities(props, ui[0], ui[1], ui[2], hci, pvti,
-                                    sati)
-        return accumulation_from_q(q)
+    def acc_all(pc, swc, xc):
+        q = compute_cell_quantities(props, pc, swc, xc, hc, pvt, sat)
+        return accumulation_from_q(q)          # (3, nc)
 
-    acc_val = jax.vmap(acc_local)(u, hc, pvt, sat)
-    acc_jac = jax.vmap(jax.jacfwd(acc_local))(u, hc, pvt, sat)  # (nc,3,3)
+    acc_val, acc_jvp = jax.linearize(acc_all, p, sw, x)
+    ones_c = jnp.ones(nc)
+    zero_c = jnp.zeros(nc)
+    acc_jac = jnp.stack([
+        acc_jvp(ones_c, zero_c, zero_c),
+        acc_jvp(zero_c, ones_c, zero_c),
+        acc_jvp(zero_c, zero_c, ones_c),
+    ], axis=1)                                  # (3 eq, 3 var, nc)
     pvdt = model.pv / dt
-    r_cell = pvdt[:, None] * (acc_val - acc0)
-    diag = pvdt[:, None, None] * acc_jac
+    r_cell = pvdt * (acc_val - acc0)            # (3, nc)
+    diag = pvdt * acc_jac                       # (3, 3, nc)
     # water-only cells (so = sg = 0): the gas equation is identically zero
     # and carries no sensitivity to the rs variable — regularize the (gas, x)
     # diagonal so the block stays invertible (drs then solves to ~0)
-    diag = diag + (degenerate_x_mask(model, state)
-                   * pvdt)[:, None, None] * _EYE_GX
+    diag = diag + _EYE_GX[:, :, None] * (degenerate_x_mask(model, state)
+                                         * pvdt)
 
     # ---- faces: value + L/R blocks ---------------------------------------
+    nf = model.face_cells.shape[0]
     dz = model.depth[c1] - model.depth[c2]
 
     thr = model.threshold_dp
     if thr is None:
-        thr = jnp.zeros(model.face_cells.shape[0])
-
-    def flux_local(uL, uR, auxL, auxR, t, dzf, thrf):
-        qL = compute_cell_quantities(props, uL[0], uL[1], uL[2], *auxL)
-        qR = compute_cell_quantities(props, uR[0], uR[1], uR[2], *auxR)
-        return face_flux_from_q(qL, qR, t, dzf, model.gravity,
-                                threshold_dp=thrf)
+        thr = jnp.zeros(nf)
 
     auxL = (hc[c1], pvt[c1], sat[c1])
     auxR = (hc[c2], pvt[c2], sat[c2])
-    flux_val = jax.vmap(flux_local)(u[c1], u[c2], auxL, auxR, model.trans,
-                                    dz, thr)
-    face_L, face_R = jax.vmap(jax.jacfwd(flux_local, argnums=(0, 1)))(
-        u[c1], u[c2], auxL, auxR, model.trans, dz, thr)
-    r_cell = r_cell.at[c1].add(flux_val).at[c2].add(-flux_val)
-    diag = diag.at[c1].add(face_L).at[c2].add(-face_R)
+
+    def flux_all(pL, swL, xL, pR, swR, xR):
+        qL = compute_cell_quantities(props, pL, swL, xL, *auxL)
+        qR = compute_cell_quantities(props, pR, swR, xR, *auxR)
+        return face_flux_from_q(qL, qR, model.trans, dz, model.gravity,
+                                threshold_dp=thr)   # (3, nf)
+
+    flux_val, flux_jvp = jax.linearize(
+        flux_all, p[c1], sw[c1], x[c1], p[c2], sw[c2], x[c2])
+    ones_f = jnp.ones(nf)
+    zero_f = jnp.zeros(nf)
+
+    def _col(side, j):
+        seeds = [zero_f] * 6
+        seeds[3 * side + j] = ones_f
+        return flux_jvp(*seeds)
+
+    face_L = jnp.stack([_col(0, j) for j in range(3)], axis=1)  # (3,3,nf)
+    face_R = jnp.stack([_col(1, j) for j in range(3)], axis=1)
+    r_cell = r_cell.at[:, c1].add(flux_val).at[:, c2].add(-flux_val)
+    diag = diag.at[:, :, c1].add(face_L).at[:, :, c2].add(-face_R)
 
     # ---- wells -----------------------------------------------------------
     nw, mp = wd["perf_cell"].shape
@@ -147,9 +171,9 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
             q.po, q.b, q.mob, q.rs, q.rv, wi, bhp_w + cdp_p, cmix, is_inj,
             allow_crossflow=allow_xflow)
 
-    # flatten (nw, mp) -> (nw*mp,)
+    # flatten (nw, mp) -> (nw*mp,); gather first, stack the tiny result
     pc_f = pc.reshape(-1)
-    u_pf = u[pc_f]
+    u_pf = jnp.stack([p[pc_f], sw[pc_f], x[pc_f]], axis=-1)
     aux_pf = (hc[pc_f], pvt[pc_f], sat[pc_f])
     wv_f = jnp.repeat(wv, mp, axis=0)
     cf_f = jnp.repeat(wd["comp_frac"], mp, axis=0)
@@ -167,8 +191,8 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     jac_wv = jac_wv * m_f[:, None, None]
 
     # cell equations: r -= cq; diag -= dcq/du_c at perf cells
-    r_cell = r_cell.at[pc_f].add(-cq_val)
-    diag = diag.at[pc_f].add(-jac_u)
+    r_cell = r_cell.at[:, pc_f].add(-cq_val.T)
+    diag = diag.at[:, :, pc_f].add(-jnp.transpose(jac_u, (1, 2, 0)))
     cw = (-jac_wv).reshape(nw, mp, 3, 4)
     wc = (-jac_u).reshape(nw, mp, 3, 3)   # well flux rows: d(q - sum cq)/du
 
@@ -233,9 +257,7 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
 
     return BlockSystem(
         r_cell=r_cell, r_well=r_well,
-        diag=jnp.transpose(diag, (1, 2, 0)),
-        face_L=jnp.transpose(face_L, (1, 2, 0)),
-        face_R=jnp.transpose(face_R, (1, 2, 0)),
+        diag=diag, face_L=face_L, face_R=face_R,
         cw=cw, wc=wc, wd_diag=wd_diag,
         face_cells=model.face_cells, perf_cell=pc,
         perf_mask=mask)

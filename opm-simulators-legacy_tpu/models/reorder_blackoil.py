@@ -31,15 +31,14 @@ def connection_multiphase_upwind(dh, mob_L, mob_R, trans, f_total,
                                  *, iters=4):
     """Per-face, per-phase upwind flags (True = take cell1/L).
 
-    dh: (nf, 3) phase potential drops; mob_L/R: (nf, 3); f_total: (nf,)."""
+    dh: (3, nf) phase potential drops; mob_L/R: (3, nf); f_total: (nf,)."""
     up = dh >= 0.0
     for _ in range(iters):
         mob_up = jnp.where(up, mob_L, mob_R)
         # theta_a = F_t + T sum_b lam_b (dh_a - dh_b)
-        lam_t = jnp.sum(mob_up, axis=1)
-        wsum = jnp.sum(mob_up * dh, axis=1)
-        theta = f_total[:, None] + trans[:, None] * (
-            lam_t[:, None] * dh - wsum[:, None])
+        lam_t = jnp.sum(mob_up, axis=0)
+        wsum = jnp.sum(mob_up * dh, axis=0)
+        theta = f_total + trans * (lam_t * dh - wsum)
         up = theta >= 0.0
     return up
 
@@ -68,9 +67,9 @@ class BlackoilReorderingTransport:
         pvdt = m.pv / dt
 
         def residual_wg(s):
-            """(nc, 2) water/gas residuals at fixed total flux."""
+            """(2, nc) water/gas residuals at fixed total flux."""
             r, _ = seq._transport_residual(s, acc0, dt, wd, data)
-            return jnp.stack([r[:, WATER], r[:, GAS]], axis=1)
+            return jnp.stack([r[WATER], r[GAS]], axis=0)
 
         def one_sweep(s, _):
             # local 2x2 Newton per cell: vary own (sw, x) only. We get the
@@ -92,12 +91,12 @@ class BlackoilReorderingTransport:
                 # diagonal contribution drives the local update; clipped
                 # steps + extra sweeps absorb the rest (the reference's
                 # Gauss-Seidel-with-damping, :410-448 analogue).
-                a, b_ = dsw_col[:, 0], dx_col[:, 0]
-                c_, d_ = dsw_col[:, 1], dx_col[:, 1]
+                a, b_ = dsw_col[0], dx_col[0]
+                c_, d_ = dsw_col[1], dx_col[1]
                 det = a * d_ - b_ * c_
                 det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-                dsw = (d_ * r[:, 0] - b_ * r[:, 1]) / det
-                dx = (-c_ * r[:, 0] + a * r[:, 1]) / det
+                dsw = (d_ * r[0] - b_ * r[1]) / det
+                dx = (-c_ * r[0] + a * r[1]) / det
                 sw = jnp.clip(sw - jnp.clip(dsw, -0.2, 0.2), 0.0, 1.0)
                 # x step limited per variable meaning
                 is_sat = s.hcstate == HC_GASOIL
@@ -141,8 +140,8 @@ class BlackoilReorderingTransport:
         # convergence measure: transport CNV
         r, b = seq._transport_residual(s, acc0, dt, wd, data)
         B = 1.0 / jnp.maximum(b, 1e-30)
-        cnv = dt * jnp.abs(r) * B / m.pv[:, None]
-        rn = jnp.maximum(jnp.max(cnv[:, WATER]), jnp.max(cnv[:, GAS]))
+        cnv = dt * jnp.abs(r) * B / m.pv
+        rn = jnp.maximum(jnp.max(cnv[WATER]), jnp.max(cnv[GAS]))
         return s, k, rn
 
     def solve(self, state, acc0, dt, wd, data, *, extra_sweeps=10):

@@ -56,8 +56,8 @@ class SequentialParams:
 class PressureStageData(NamedTuple):
     """Frozen quantities handed from the pressure to the transport stage."""
     f_total: jnp.ndarray    # (nf,) total volumetric face flux
-    dphi: jnp.ndarray       # (nf, 3) phase potential drops at solution
-    up: jnp.ndarray         # (nf, 3) bool upwind-is-c1 per phase
+    dphi: jnp.ndarray       # (3, nf) phase potential drops at solution
+    up: jnp.ndarray         # (3, nf) bool upwind-is-c1 per phase
     perf_qr: jnp.ndarray    # (nw, mp) total volumetric perforation rate
                             # (positive = injection into cell)
 
@@ -77,7 +77,7 @@ class BlackoilSequentialModel:
 
     # -- helpers --------------------------------------------------------------
     def _phase_potentials(self, q):
-        """dphi (nf,3) and upwind flags (nf,3) at a given state."""
+        """dphi (3,nf) and upwind flags (3,nf) at a given state."""
         m = self.model
         c1 = m.face_cells[:, 0]
         c2 = m.face_cells[:, 1]
@@ -85,17 +85,17 @@ class BlackoilSequentialModel:
         p_ph = (q.pw, q.po, q.pg)
         dphi = []
         for ph in range(3):
-            rho_face = 0.5 * (q.rho[c1, ph] + q.rho[c2, ph])
+            rho_face = 0.5 * (q.rho[ph, c1] + q.rho[ph, c2])
             dphi.append((p_ph[ph][c1] - p_ph[ph][c2])
                         - rho_face * m.gravity * dz)
-        dphi = jnp.stack(dphi, axis=1)
+        dphi = jnp.stack(dphi, axis=0)
         return dphi, dphi >= 0.0
 
     # -- pressure stage ---------------------------------------------------------
     def _pressure_residual(self, state, acc0, dt, wd, cdp):
         res = self.model.residual(state, acc0, dt, wd, cdp)
         B = 1.0 / jnp.maximum(res.b, 1e-30)
-        r_p = jnp.sum(res.cell * B, axis=1)          # volume balance
+        r_p = jnp.sum(res.cell * B, axis=0)          # volume balance
         return jnp.concatenate([r_p, res.well_flux.reshape(-1),
                                 res.well_ctrl])
 
@@ -148,8 +148,8 @@ class BlackoilSequentialModel:
         dphi, up = self._phase_potentials(q)
         c1 = model.face_cells[:, 0]
         c2 = model.face_cells[:, 1]
-        mob_up = jnp.where(up, q.mob[c1], q.mob[c2])      # (nf, 3)
-        f_total = jnp.sum(model.trans[:, None] * mob_up * dphi, axis=1)
+        mob_up = jnp.where(up, q.mob[:, c1], q.mob[:, c2])  # (3, nf)
+        f_total = jnp.sum(model.trans * mob_up * dphi, axis=0)
         # perforation total volumetric rates
         cq_s = stdwells.perforation_fluxes(
             wd, model.well_cell_quantities(q), s.bhp, s.qs, cdp,
@@ -160,7 +160,7 @@ class BlackoilSequentialModel:
         # form directly
         c = wd["perf_cell"]
         ddn = q.po[c] - (s.bhp[:, None] + cdp)
-        totmob = jnp.sum(q.mob[c], axis=-1)
+        totmob = jnp.sum(q.mob[:, c], axis=0)
         perf_qr = -wd["perf_wi"] * totmob * ddn * \
             wd["perf_mask"] * wd["open"][:, None]
         data = PressureStageData(f_total=f_total, dphi=dphi, up=up,
@@ -174,27 +174,28 @@ class BlackoilSequentialModel:
         m = self.model
         c1 = m.face_cells[:, 0]
         c2 = m.face_cells[:, 1]
-        mob_up = jnp.where(data.up, q.mob[c1], q.mob[c2])  # (nf,3)
-        b_up = jnp.where(data.up, q.b[c1], q.b[c2])
-        rs_up = jnp.where(data.up[:, OIL], q.rs[c1], q.rs[c2])
-        rv_up = jnp.where(data.up[:, GAS], q.rv[c1], q.rv[c2])
-        lam_t = jnp.maximum(jnp.sum(mob_up, axis=1), 1e-30)
-        frac = mob_up / lam_t[:, None]
+        mob_up = jnp.where(data.up, q.mob[:, c1], q.mob[:, c2])  # (3,nf)
+        b_up = jnp.where(data.up, q.b[:, c1], q.b[:, c2])
+        rs_up = jnp.where(data.up[OIL], q.rs[c1], q.rs[c2])
+        rv_up = jnp.where(data.up[GAS], q.rv[c1], q.rv[c2])
+        lam_t = jnp.maximum(jnp.sum(mob_up, axis=0), 1e-30)
+        frac = mob_up / lam_t
         # segregation: v_a = f_a (F_t + T sum_b lam_b (dphi_a - dphi_b));
         # sum_b lam_b (dphi_a - dphi_b) = lam_t dphi_a - sum_b lam_b dphi_b
-        wsum = jnp.sum(mob_up * data.dphi, axis=1)
-        seg = lam_t[:, None] * data.dphi - wsum[:, None]
-        v = frac * (data.f_total[:, None] + m.trans[:, None] * seg)
-        flux_w = b_up[:, WATER] * v[:, WATER]
-        flux_o = b_up[:, OIL] * v[:, OIL] + rv_up * b_up[:, GAS] * v[:, GAS]
-        flux_g = b_up[:, GAS] * v[:, GAS] + rs_up * b_up[:, OIL] * v[:, OIL]
-        return jnp.stack([flux_w, flux_o, flux_g], axis=1)
+        wsum = jnp.sum(mob_up * data.dphi, axis=0)
+        seg = lam_t * data.dphi - wsum
+        v = frac * (data.f_total + m.trans * seg)
+        flux_w = b_up[WATER] * v[WATER]
+        flux_o = b_up[OIL] * v[OIL] + rv_up * b_up[GAS] * v[GAS]
+        flux_g = b_up[GAS] * v[GAS] + rs_up * b_up[OIL] * v[OIL]
+        return jnp.stack([flux_w, flux_o, flux_g], axis=0)
 
     def _transport_well_sources(self, q, state, wd, data):
         """Perforation surface rates at fixed volumetric perf rate."""
+        from opm_tpu.wells.standard import _gather_ph
         c = wd["perf_cell"]
-        b = q.b[c]
-        mob = q.mob[c]
+        b = _gather_ph(q.b, c)
+        mob = _gather_ph(q.mob, c)
         rs = q.rs[c]
         rv = q.rv[c]
         qr = data.perf_qr                      # (nw, mp), +in
@@ -228,10 +229,10 @@ class BlackoilSequentialModel:
         from opm_tpu.models.blackoil import accumulation_from_q
         acc = accumulation_from_q(q)
         pvdt = m.pv / dt
-        r = pvdt[:, None] * (acc - acc0)
+        r = pvdt * (acc - acc0)
         r = r + m.divergence(self._transport_fluxes(q, data))
         cq_s = self._transport_well_sources(q, state, wd, data)
-        r = r.at[wd["perf_cell"].reshape(-1)].add(-cq_s.reshape(-1, 3))
+        r = r.at[:, wd["perf_cell"].reshape(-1)].add(-cq_s.reshape(-1, 3).T)
         return r, q.b
 
     def _transport_newton(self, state, acc0, dt, wd, data):
@@ -241,8 +242,8 @@ class BlackoilSequentialModel:
         def conv_norm(s):
             r, b = self._transport_residual(s, acc0, dt, wd, data)
             B = 1.0 / jnp.maximum(b, 1e-30)
-            cnv = dt * jnp.abs(r) * B / model.pv[:, None]
-            return jnp.maximum(jnp.max(cnv[:, WATER]), jnp.max(cnv[:, GAS]))
+            cnv = dt * jnp.abs(r) * B / model.pv
+            return jnp.maximum(jnp.max(cnv[WATER]), jnp.max(cnv[GAS]))
 
         def body(carry):
             s, it, rn = carry
@@ -252,8 +253,7 @@ class BlackoilSequentialModel:
             def rfun(u):
                 st = s._replace(sw=u[:nc], x=u[nc:])
                 r, _ = self._transport_residual(st, acc0, dt, wd, data)
-                return jnp.stack([r[:, WATER], r[:, GAS]],
-                                 axis=1).reshape(-1)
+                return jnp.concatenate([r[WATER], r[GAS]])
 
             u = jnp.concatenate([s.sw, s.x])
             r = rfun(u)
@@ -326,7 +326,7 @@ class BlackoilSequentialModel:
             res = self.model.residual(state, acc0, dt, wd, cdp)
             B = 1.0 / jnp.maximum(res.b, 1e-30)
             cnv_p = float(dt * jnp.max(
-                jnp.abs(jnp.sum(res.cell * B, axis=1)) / model.pv))
+                jnp.abs(jnp.sum(res.cell * B, axis=0)) / model.pv))
             if cnv_p < model.params.tolerance_cnv * 1e-2:
                 break
         return state, info

@@ -120,7 +120,7 @@ class SummaryCollector:
 def fluid_in_place(model, state: BlackoilState):
     """Surface-volume FIP per phase (computeFluidInPlace,
     BlackoilModelBase_impl.hpp:2459)."""
-    acc = np.asarray(model.accumulation(state))
+    acc = np.asarray(model.accumulation(state)).T    # (nc, 3)
     pv = np.asarray(model.pv)
     return (acc * pv[:, None]).sum(axis=0)  # (3,) w,o,g surface volumes
 

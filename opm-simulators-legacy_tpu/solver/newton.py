@@ -153,11 +153,12 @@ class NonlinearSolver:
         r = rfun(u)
         J = jax.jacfwd(rfun)(u)
         # regularize the degenerate (gas-eq, rs-var) diagonal of
-        # hydrocarbon-free cells (see models/linearize.py)
+        # hydrocarbon-free cells (see models/linearize.py); residual_vector
+        # is equation-major, so gas-equation rows are the third nc-block
         from opm_tpu.models.linearize import degenerate_x_mask
         nc = model.nc
         mask = degenerate_x_mask(model, state)
-        rows = 3 * jnp.arange(nc) + 2
+        rows = 2 * nc + jnp.arange(nc)
         cols = 2 * nc + jnp.arange(nc)
         J = J.at[rows, cols].add(mask * model.pv / dt)
         du = dense_solve(J, r, self.solve_dtype)
@@ -177,7 +178,7 @@ class NonlinearSolver:
         sys = linearize.assemble(model, state, acc0, dt, wd, cdp)
         M = make_cpr(sys, self.amg)
         res = bicgstab(lambda v: linearize.matvec(sys, *v),
-                       (sys.r_cell.T, sys.r_well), precond=M,
+                       (sys.r_cell, sys.r_well), precond=M,
                        tol=self.linear_tol, maxiter=self.linear_maxiter)
         du_c, du_w = res.x      # du_c: (3, nc)
         nc = model.nc

@@ -43,7 +43,7 @@ def main(argv=None):
     state = sim.run(report_step_limit=1)
     model = sim.model
     q = model.cell_quantities(state)
-    flux = np.asarray(model.face_fluxes(q)).sum(axis=1)  # total surface flux
+    flux = np.asarray(model.face_fluxes(q)).sum(axis=0)  # total surface flux
 
     # well source terms as cell sources
     ws = sim._pad_well_set(sim._well_set_for(sim.schedule.report_steps[0]))

@@ -28,6 +28,14 @@ WATER, OIL, GAS = 0, 1, 2
 _EPS = 1e-14
 
 
+def _gather_ph(a3, c):
+    """Gather a phase-leading (3, nc) cell array at (nw, mp) cells and
+    return the wells' phase-trailing (nw, mp, 3) convention. Gather first,
+    transpose the tiny result — never materialize an (nc, 3) array (TPU
+    tile padding)."""
+    return jnp.moveaxis(a3[:, c], 0, -1)
+
+
 def wellbore_mixture(qs, comp_frac, is_injector=None):
     """Surface-volume fractions of the wellbore mixture
     (StandardWells::wellSurfaceVolumeFraction): current well rates for
@@ -93,13 +101,14 @@ def perforation_fluxes(wd, cellq, bhp, qs, cdp, *, allow_crossflow=True):
 
     wd: dict of padded well arrays (perf_cell, perf_wi, perf_mask, comp_frac,
         is_injector, open).
-    cellq: dict of per-cell arrays (p_oil, mob (nc,3), b (nc,3), rs, rv).
+    cellq: dict of per-cell arrays (p_oil, mob (3,nc), b (3,nc), rs, rv).
     """
     c = wd["perf_cell"]                      # (nw, mp)
     mask = wd["perf_mask"] * wd["open"][:, None]
     cmix = wellbore_mixture(qs, wd["comp_frac"], wd["is_injector"])
     cq_s = perf_flux_formula(
-        cellq["p_oil"][c], cellq["b"][c], cellq["mob"][c], cellq["rs"][c],
+        cellq["p_oil"][c], _gather_ph(cellq["b"], c),
+        _gather_ph(cellq["mob"], c), cellq["rs"][c],
         cellq["rv"][c], wd["perf_wi"], bhp[:, None] + cdp,
         jnp.broadcast_to(cmix[:, None, :], c.shape + (3,)),
         jnp.broadcast_to(wd["is_injector"][:, None], c.shape),
@@ -193,11 +202,11 @@ def connection_pressure_offsets(wd, cellq, qs, perf_rates=None):
     perforation; otherwise the well-level mixture is used."""
     c = wd["perf_cell"]
     mask = wd["perf_mask"].astype(jnp.float64)
-    b = cellq["b"][c]
+    b = _gather_ph(cellq["b"], c)
     rs = cellq["rs"][c]
     rv = cellq["rv"][c]
     rho_cell = cellq["rho_avg"][c]          # saturation-weighted fallback
-    sd = cellq["surface_density"][c]        # (nw, mp, 3) (w,o,g)
+    sd = _gather_ph(cellq["surface_density"], c)   # (nw, mp, 3) (w,o,g)
 
     if perf_rates is not None:
         # flow through segment above perf j = sum of perf rates j..end

@@ -156,7 +156,7 @@ def test_block_assembly_matches_dense(spe1_system):
     J = np.asarray(jax.jacfwd(rfun)(u0))
     r_ref = np.asarray(rfun(u0))
 
-    # residual agreement
+    # residual agreement (residual_vector is equation-major, = (3,nc) flat)
     assert np.allclose(np.asarray(sys.r_cell).reshape(-1), r_ref[:3 * nc],
                        rtol=0, atol=1e-12)
 
@@ -172,7 +172,7 @@ def test_block_assembly_matches_dense(spe1_system):
             axis=1))
         out_c, out_w = block_matvec(sys, v_cell, v_well)
         ref = J @ v
-        ref_c = ref[:3 * nc].reshape(nc, 3).T
+        ref_c = ref[:3 * nc].reshape(3, nc)
         ref_wf = ref[3 * nc:3 * nc + 3 * nw].reshape(nw, 3)
         ref_ct = ref[3 * nc + 3 * nw:]
         scale = np.abs(ref).max()
@@ -194,7 +194,7 @@ def test_cpr_solves_newton_system(spe1_system):
     amg = hier.device()
     M = make_cpr(sys, amg)
     res = bicgstab(lambda v: linearize.matvec(sys, *v),
-                   (sys.r_cell.T, sys.r_well), precond=M, tol=1e-2,
+                   (sys.r_cell, sys.r_well), precond=M, tol=1e-2,
                    maxiter=50)
     assert bool(res.converged)
     assert int(res.iterations) <= 25, int(res.iterations)

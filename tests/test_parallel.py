@@ -100,7 +100,9 @@ def test_sharded_newton_step_matches_single(mesh8):
         qs=jax.device_put(state.qs, repl),
         control=jax.device_put(state.control, repl),
         target=jax.device_put(state.target, repl))
-    out = jax.jit(newton_step)(state_sh, jax.device_put(acc0, cell_sh))
+    # acc0 is phase-leading (3, nc): shard the cell axis
+    acc0_sh = jax.device_put(acc0, NamedSharding(mesh8, P(None, "cells")))
+    out = jax.jit(newton_step)(state_sh, acc0_sh)
     assert np.allclose(np.asarray(out.pressure), np.asarray(ref.pressure),
                        rtol=1e-10)
     assert np.allclose(np.asarray(out.sw), np.asarray(ref.sw), atol=1e-12)

@@ -8,21 +8,22 @@ from opm_tpu.models.reorder_blackoil import connection_multiphase_upwind
 
 
 def test_multiphase_upwind_cocurrent():
-    dh = jnp.asarray([[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0]])
-    mob = jnp.ones((2, 3))
+    # phase-leading (3, nf): two faces, all phases aligned with the flow
+    dh = jnp.asarray([[1.0, -1.0], [1.0, -1.0], [1.0, -1.0]])
+    mob = jnp.ones((3, 2))
     up = connection_multiphase_upwind(dh, mob, mob, jnp.ones(2),
                                       jnp.asarray([3.0, -3.0]))
-    assert np.all(np.asarray(up[0]))
-    assert not np.any(np.asarray(up[1]))
+    assert np.all(np.asarray(up[:, 0]))
+    assert not np.any(np.asarray(up[:, 1]))
 
 
 def test_multiphase_upwind_countercurrent():
     """Zero total flux + opposing buoyancy: heavy phase down, light up."""
-    dh = jnp.asarray([[-1.0, 1.0, 0.5]])
-    mob = jnp.ones((1, 3))
+    dh = jnp.asarray([[-1.0], [1.0], [0.5]])
+    mob = jnp.ones((3, 1))
     up = connection_multiphase_upwind(dh, mob, mob, jnp.asarray([1.0]),
                                       jnp.asarray([0.0]))
-    u = np.asarray(up[0])
+    u = np.asarray(up[:, 0])
     assert not u[0] and u[1]  # water from cell2, oil from cell1
 
 
