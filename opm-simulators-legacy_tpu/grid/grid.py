@@ -43,6 +43,11 @@ class Grid:
     face_cells: np.ndarray        # (nf, 2) int32 active-cell indices
     trans: np.ndarray             # (nf,) face transmissibility (SI)
     face_dir: np.ndarray          # (nf,) 0=x,1=y,2=z,3=nnc
+    # True when every cartesian cell is active and faces follow the
+    # build_grid cartesian order (x block, y block, z block, C-ordered):
+    # solvers may then use static-slice stencil kernels instead of
+    # gather/scatter (models/linearize.py matvec dims=, linalg/gmg.py)
+    structured: bool = False
     gravity: float = GRAVITY
     satnum: Optional[np.ndarray] = None  # (nc,) 0-based saturation region
     pvtnum: Optional[np.ndarray] = None
@@ -204,6 +209,7 @@ def build_grid(case) -> Grid:
         permx=permx[global_cell], permy=permy[global_cell],
         permz=permz[global_cell],
         face_cells=face_cells, trans=trans, face_dir=face_dir,
+        structured=(nc == ncg),
         satnum=reg("SATNUM"), pvtnum=reg("PVTNUM"),
         eqlnum=reg("EQLNUM"), fipnum=reg("FIPNUM"),
     )

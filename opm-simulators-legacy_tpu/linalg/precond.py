@@ -120,11 +120,14 @@ def cpr_pressure_system(sys: linearize.BlockSystem, w):
     return diag_p, off
 
 
-def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=1):
+def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=1,
+             dims=None):
     """Two-stage CPR preconditioner closure.
 
-    stage 1: restrict residual with quasi-IMPES weights, one AMG V-cycle on
-             the pressure system, prolong into the pressure slots;
+    stage 1: restrict residual with quasi-IMPES weights, one multigrid
+             V-cycle on the pressure system (aggregation AMG or, with
+             static `dims` on a fully-active cartesian grid, the gather-free
+             structured GMG of linalg/gmg.py), prolong into pressure slots;
     stage 2: block-Jacobi smoothing of the full (cells+wells) system on the
              corrected residual.
     """
@@ -142,7 +145,7 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=1):
         xw = jnp.zeros_like(rw)
         # stage 2: block-Jacobi on the updated residual
         for _ in range(smoother_steps):
-            ac, aw = linearize.matvec(sys, xc, xw)
+            ac, aw = linearize.matvec(sys, xc, xw, dims=dims)
             sc, sw_ = bj((rc - ac, rw - aw))
             xc = xc + sc
             xw = xw + sw_

@@ -277,15 +277,24 @@ def _bapply(blocks_t, v):
     return jnp.stack(outs)
 
 
-def matvec(sys: BlockSystem, v_cell, v_well):
-    """J @ [v_cell (3, nc); v_well (nw, 4)] -> (out_cell, out_well)."""
-    c1 = sys.face_cells[:, 0]
-    c2 = sys.face_cells[:, 1]
-    out_c = _bapply(sys.diag, v_cell)
-    # off-diagonal face pairs: row L gets +dF/du_R * v_R; row R gets
-    # -dF/du_L * v_L (diagonal parts already folded into diag)
-    out_c = out_c.at[:, c1].add(_bapply(sys.face_R, v_cell[:, c2]))
-    out_c = out_c.at[:, c2].add(-_bapply(sys.face_L, v_cell[:, c1]))
+def matvec(sys: BlockSystem, v_cell, v_well, dims=None):
+    """J @ [v_cell (3, nc); v_well (nw, 4)] -> (out_cell, out_well).
+
+    dims: optional static (nx, ny, nz) for a FULLY-ACTIVE cartesian grid —
+    the face gathers/scatters then become static shifted slices (TPU: full
+    HBM bandwidth instead of the gather unit). Face order must be the
+    cartesian build order of grid.build_grid (x block, y block, z block,
+    each C-ordered) — guaranteed when grid.structured is True."""
+    if dims is not None:
+        out_c = _matvec_cells_structured(sys, v_cell, dims)
+    else:
+        c1 = sys.face_cells[:, 0]
+        c2 = sys.face_cells[:, 1]
+        out_c = _bapply(sys.diag, v_cell)
+        # off-diagonal face pairs: row L gets +dF/du_R * v_R; row R gets
+        # -dF/du_L * v_L (diagonal parts already folded into diag)
+        out_c = out_c.at[:, c1].add(_bapply(sys.face_R, v_cell[:, c2]))
+        out_c = out_c.at[:, c2].add(-_bapply(sys.face_L, v_cell[:, c1]))
     nw, mp = sys.perf_cell.shape
     pc_f = sys.perf_cell.reshape(-1)
     # cell rows x well vars (well arrays are tiny; einsums are fine there)
@@ -298,6 +307,32 @@ def matvec(sys: BlockSystem, v_cell, v_well):
     wf = jnp.einsum("pij,pj->pi", sys.wc.reshape(-1, 3, 3), vc_perf)
     out_w = out_w.at[:, :3].add(wf.reshape(nw, mp, 3).sum(axis=1))
     return out_c, out_w
+
+
+def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
+    """Cell-block part of the matvec as 7-point stencil slice arithmetic."""
+    nx, ny, nz = dims
+    nfx = (nx - 1) * ny * nz
+    nfy = nx * (ny - 1) * nz
+    v3 = v_cell.reshape(3, nz, ny, nx)
+    out = _bapply(sys.diag, v_cell).reshape(3, nz, ny, nx)
+
+    def seg(a, lo, hi, shape):
+        return a[:, :, lo:hi].reshape(3, 3, *shape)
+
+    fLx = seg(sys.face_L, 0, nfx, (nz, ny, nx - 1))
+    fRx = seg(sys.face_R, 0, nfx, (nz, ny, nx - 1))
+    out = out.at[:, :, :, :-1].add(_bapply(fRx, v3[:, :, :, 1:]))
+    out = out.at[:, :, :, 1:].add(-_bapply(fLx, v3[:, :, :, :-1]))
+    fLy = seg(sys.face_L, nfx, nfx + nfy, (nz, ny - 1, nx))
+    fRy = seg(sys.face_R, nfx, nfx + nfy, (nz, ny - 1, nx))
+    out = out.at[:, :, :-1, :].add(_bapply(fRy, v3[:, :, 1:, :]))
+    out = out.at[:, :, 1:, :].add(-_bapply(fLy, v3[:, :, :-1, :]))
+    fLz = seg(sys.face_L, nfx + nfy, None, (nz - 1, ny, nx))
+    fRz = seg(sys.face_R, nfx + nfy, None, (nz - 1, ny, nx))
+    out = out.at[:, :-1].add(_bapply(fRz, v3[:, 1:]))
+    out = out.at[:, 1:].add(-_bapply(fLz, v3[:, :-1]))
+    return out.reshape(3, -1)
 
 
 def residual_norms(sys: BlockSystem):

@@ -106,11 +106,30 @@ class NonlinearSolver:
         # TPU: no f64 LU in XLA -> equilibrated f32 solve + refinement
         self.solve_dtype = (jnp.float32 if jax.default_backend()
                             not in ("cpu",) else None)
-        if linear_solver == "cpr":
-            from opm_tpu.linalg.amg import build_hierarchy
+        # fully-active cartesian grids get the gather-free structured path
+        # (stencil matvec + semicoarsened GMG). On CPU gathers are cheap
+        # and heavy-edge aggregation AMG converges in fewer iterations, so
+        # the structured pressure stage is TPU-only (OPM_TPU_GMG=0/1
+        # overrides).
+        import os as _os
 
-            self.amg = build_hierarchy(
-                model.nc, model.grid.face_cells, model.grid.trans).device()
+        self._dims = (tuple(model.grid.dims)
+                      if getattr(model.grid, "structured", False) else None)
+        use_gmg = self._dims is not None and \
+            _os.environ.get("OPM_TPU_GMG",
+                            "1" if jax.default_backend() != "cpu"
+                            else "0") == "1"
+        if linear_solver == "cpr":
+            if use_gmg:
+                from opm_tpu.linalg.gmg import StructuredGmg
+
+                self.amg = StructuredGmg(self._dims, model.grid.trans)
+            else:
+                from opm_tpu.linalg.amg import build_hierarchy
+
+                self.amg = build_hierarchy(
+                    model.nc, model.grid.face_cells,
+                    model.grid.trans).device()
             self._solve_jit = jax.jit(self._solve_cpr)
         else:
             self.amg = None
@@ -176,8 +195,8 @@ class NonlinearSolver:
 
         model = self.model
         sys = linearize.assemble(model, state, acc0, dt, wd, cdp)
-        M = make_cpr(sys, self.amg)
-        res = bicgstab(lambda v: linearize.matvec(sys, *v),
+        M = make_cpr(sys, self.amg, dims=self._dims)
+        res = bicgstab(lambda v: linearize.matvec(sys, *v, dims=self._dims),
                        (sys.r_cell, sys.r_well), precond=M,
                        tol=self.linear_tol, maxiter=self.linear_maxiter)
         du_c, du_w = res.x      # du_c: (3, nc)

@@ -86,10 +86,12 @@ def main(argv=None):
     jac = jax.jit(lambda s: linearize.assemble(model, s, acc0, dt, wd, cdp))
     sys_ = timed("jacobian_blocks", jac, state)
 
+    dims = solver._dims
+
     def solve_only(sys_):
-        M = make_cpr(sys_, solver.amg)
-        r = bicgstab(lambda v: linearize.matvec(sys_, *v),
-                     (sys_.r_cell.T, sys_.r_well), precond=M,
+        M = make_cpr(sys_, solver.amg, dims=dims)
+        r = bicgstab(lambda v: linearize.matvec(sys_, *v, dims=dims),
+                     (sys_.r_cell, sys_.r_well), precond=M,
                      tol=solver.linear_tol, maxiter=solver.linear_maxiter)
         return r.x[0], r.iterations
 
@@ -97,14 +99,14 @@ def main(argv=None):
     _, lin_iters = timed("cpr_bicgstab_solve", solve_jit, sys_)
 
     def matvec_only(sys_, v):
-        return linearize.matvec(sys_, *v)
+        return linearize.matvec(sys_, *v, dims=dims)
 
-    v = (sys_.r_cell.T, sys_.r_well)
+    v = (sys_.r_cell, sys_.r_well)
     mv_jit = jax.jit(matvec_only)
     timed("one_matvec", mv_jit, sys_, v)
 
     def precond_only(sys_, v):
-        return make_cpr(sys_, solver.amg)(v)
+        return make_cpr(sys_, solver.amg, dims=dims)(v)
 
     pc_jit = jax.jit(precond_only)
     timed("one_precond_apply", pc_jit, sys_, v)
