@@ -190,6 +190,10 @@ class BlackoilModel:
         self.satnum = f(grid.satnum)
         self.gravity = grid.gravity
         self.threshold_dp = None  # (nf,) THPRES per face, set by the driver
+        self.structured = bool(getattr(grid, "structured", False))
+        if self.structured:
+            nx, ny, nz = grid.dims
+            self.depth3 = self.depth.reshape(nz, ny, nx)
 
     # ------------------------------------------------------------------
     def cell_quantities(self, state: BlackoilState) -> CellQuantities:
@@ -207,10 +211,52 @@ class BlackoilModel:
     def _accumulation_from_q(q: CellQuantities) -> jnp.ndarray:
         return accumulation_from_q(q)
 
+    # -- structured (fully-active cartesian) face machinery ---------------
+    # Faces are direction-blocked in C-order by grid.build_grid, so every
+    # face gather is a shifted static slice and every divergence scatter a
+    # static slice-add — TPU runs these at HBM bandwidth while dynamic
+    # gather/scatter would crawl through the gather unit.
+    def _dir_segments(self):
+        """Per direction: (L-slice, R-slice on the (nz,ny,nx) suffix,
+        face count)."""
+        nx, ny, nz = self.grid.dims
+        S = slice(None)
+        return [
+            ((S, S, slice(None, -1)), (S, S, slice(1, None)),
+             (nx - 1) * ny * nz),
+            ((S, slice(None, -1), S), (S, slice(1, None), S),
+             nx * (ny - 1) * nz),
+            ((slice(None, -1), S, S), (slice(1, None), S, S),
+             nx * ny * (nz - 1)),
+        ]
+
+    def _cells3(self, a):
+        nx, ny, nz = self.grid.dims
+        return a.reshape(a.shape[:-1] + (nz, ny, nx))
+
     # ------------------------------------------------------------------
     def face_fluxes(self, q: CellQuantities, threshold_dp=None):
         """Per-face surface-volume fluxes (3, nf), positive c1 -> c2, plus
         the rs/rv cross-terms folded into oil/gas (computeMassFlux)."""
+        if self.structured:
+            q3 = jax.tree.map(self._cells3, q)
+            segs = []
+            ofs = 0
+            for slL, slR, nf_d in self._dir_segments():
+                qL = jax.tree.map(
+                    lambda a: a[(Ellipsis,) + slL].reshape(
+                        a.shape[:-3] + (-1,)), q3)
+                qR = jax.tree.map(
+                    lambda a: a[(Ellipsis,) + slR].reshape(
+                        a.shape[:-3] + (-1,)), q3)
+                thr = (None if threshold_dp is None
+                       else threshold_dp[ofs:ofs + nf_d])
+                segs.append(face_flux_from_q(
+                    qL, qR, self.trans[ofs:ofs + nf_d],
+                    (self.depth3[slL] - self.depth3[slR]).reshape(-1),
+                    self.gravity, thr))
+                ofs += nf_d
+            return jnp.concatenate(segs, axis=-1)
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
         dz = self.depth[c1] - self.depth[c2]
@@ -222,6 +268,19 @@ class BlackoilModel:
     # ------------------------------------------------------------------
     def divergence(self, face_flux):
         """Signed scatter-add of (k, nf) face fluxes to cells: div(F)."""
+        if self.structured:
+            nx, ny, nz = self.grid.dims
+            lead = face_flux.shape[:-1]
+            out = jnp.zeros(lead + (nz, ny, nx), dtype=face_flux.dtype)
+            ofs = 0
+            for slL, slR, nf_d in self._dir_segments():
+                f = face_flux[..., ofs:ofs + nf_d]
+                shape = out[(Ellipsis,) + slL].shape
+                f3 = f.reshape(shape)
+                out = out.at[(Ellipsis,) + slL].add(f3)
+                out = out.at[(Ellipsis,) + slR].add(-f3)
+                ofs += nf_d
+            return out.reshape(lead + (self.nc,))
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
         out = jnp.zeros(face_flux.shape[:-1] + (self.nc,),

@@ -125,35 +125,97 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
 
     # ---- faces: value + L/R blocks ---------------------------------------
     nf = model.face_cells.shape[0]
-    dz = model.depth[c1] - model.depth[c2]
-
     thr = model.threshold_dp
     if thr is None:
         thr = jnp.zeros(nf)
 
-    auxL = (hc[c1], pvt[c1], sat[c1])
-    auxR = (hc[c2], pvt[c2], sat[c2])
+    if getattr(model, "structured", False):
+        # Structured path: evaluate cell quantities + their three tangent
+        # columns ONCE PER CELL, then chain-rule through face_flux_from_q
+        # per direction with SLICED tangents — no per-face PVT re-eval
+        # (2*nf -> nc evaluations) and zero gathers/scatters (all face
+        # topology is static shifted slices).
+        def q_all(pc, swc, xc):
+            return compute_cell_quantities(props, pc, swc, xc, hc, pvt, sat)
 
-    def flux_all(pL, swL, xL, pR, swR, xR):
-        qL = compute_cell_quantities(props, pL, swL, xL, *auxL)
-        qR = compute_cell_quantities(props, pR, swR, xR, *auxR)
-        return face_flux_from_q(qL, qR, model.trans, dz, model.gravity,
-                                threshold_dp=thr)   # (3, nf)
+        q_val, q_jvp = jax.linearize(q_all, p, sw, x)
+        ones_c = jnp.ones(nc)
+        zero_c = jnp.zeros(nc)
+        q_tan = [q_jvp(*s) for s in ((ones_c, zero_c, zero_c),
+                                     (zero_c, ones_c, zero_c),
+                                     (zero_c, zero_c, ones_c))]
+        q3 = jax.tree.map(model._cells3, q_val)
+        q3_tan = [jax.tree.map(model._cells3, t) for t in q_tan]
+        nx, ny, nz = model.grid.dims
+        r3 = r_cell.reshape(3, nz, ny, nx)
+        diag3 = diag.reshape(3, 3, nz, ny, nx)
+        fL_parts, fR_parts = [], []
+        ofs = 0
+        for slL, slR, nf_d in model._dir_segments():
+            def sf(a, sl):
+                return a[(Ellipsis,) + sl].reshape(a.shape[:-3] + (-1,))
 
-    flux_val, flux_jvp = jax.linearize(
-        flux_all, p[c1], sw[c1], x[c1], p[c2], sw[c2], x[c2])
-    ones_f = jnp.ones(nf)
-    zero_f = jnp.zeros(nf)
+            qL = jax.tree.map(lambda a: sf(a, slL), q3)
+            qR = jax.tree.map(lambda a: sf(a, slR), q3)
+            t_d = model.trans[ofs:ofs + nf_d]
+            dz_d = (model.depth3[slL] - model.depth3[slR]).reshape(-1)
+            thr_d = thr[ofs:ofs + nf_d]
 
-    def _col(side, j):
-        seeds = [zero_f] * 6
-        seeds[3 * side + j] = ones_f
-        return flux_jvp(*seeds)
+            def flux_of(qLv, qRv):
+                return face_flux_from_q(qLv, qRv, t_d, dz_d, model.gravity,
+                                        threshold_dp=thr_d)
 
-    face_L = jnp.stack([_col(0, j) for j in range(3)], axis=1)  # (3,3,nf)
-    face_R = jnp.stack([_col(1, j) for j in range(3)], axis=1)
-    r_cell = r_cell.at[:, c1].add(flux_val).at[:, c2].add(-flux_val)
-    diag = diag.at[:, :, c1].add(face_L).at[:, :, c2].add(-face_R)
+            flux_val, fjvp = jax.linearize(flux_of, qL, qR)
+            zL = jax.tree.map(jnp.zeros_like, qL)
+            zR = jax.tree.map(jnp.zeros_like, qR)
+            fL_d = jnp.stack(
+                [fjvp(jax.tree.map(lambda a: sf(a, slL), q3_tan[j]), zR)
+                 for j in range(3)], axis=1)                  # (3,3,nf_d)
+            fR_d = jnp.stack(
+                [fjvp(zL, jax.tree.map(lambda a: sf(a, slR), q3_tan[j]))
+                 for j in range(3)], axis=1)
+            shape_d = r3[(slice(None),) + slL].shape
+            r3 = r3.at[(slice(None),) + slL].add(
+                flux_val.reshape(shape_d))
+            r3 = r3.at[(slice(None),) + slR].add(
+                -flux_val.reshape(shape_d))
+            dshape = diag3[(slice(None), slice(None)) + slL].shape
+            diag3 = diag3.at[(slice(None), slice(None)) + slL].add(
+                fL_d.reshape(dshape))
+            diag3 = diag3.at[(slice(None), slice(None)) + slR].add(
+                -fR_d.reshape(dshape))
+            fL_parts.append(fL_d)
+            fR_parts.append(fR_d)
+            ofs += nf_d
+        face_L = jnp.concatenate(fL_parts, axis=-1)
+        face_R = jnp.concatenate(fR_parts, axis=-1)
+        r_cell = r3.reshape(3, -1)
+        diag = diag3.reshape(3, 3, -1)
+    else:
+        dz = model.depth[c1] - model.depth[c2]
+        auxL = (hc[c1], pvt[c1], sat[c1])
+        auxR = (hc[c2], pvt[c2], sat[c2])
+
+        def flux_all(pL, swL, xL, pR, swR, xR):
+            qL = compute_cell_quantities(props, pL, swL, xL, *auxL)
+            qR = compute_cell_quantities(props, pR, swR, xR, *auxR)
+            return face_flux_from_q(qL, qR, model.trans, dz, model.gravity,
+                                    threshold_dp=thr)   # (3, nf)
+
+        flux_val, flux_jvp = jax.linearize(
+            flux_all, p[c1], sw[c1], x[c1], p[c2], sw[c2], x[c2])
+        ones_f = jnp.ones(nf)
+        zero_f = jnp.zeros(nf)
+
+        def _col(side, j):
+            seeds = [zero_f] * 6
+            seeds[3 * side + j] = ones_f
+            return flux_jvp(*seeds)
+
+        face_L = jnp.stack([_col(0, j) for j in range(3)], axis=1)
+        face_R = jnp.stack([_col(1, j) for j in range(3)], axis=1)
+        r_cell = r_cell.at[:, c1].add(flux_val).at[:, c2].add(-flux_val)
+        diag = diag.at[:, :, c1].add(face_L).at[:, :, c2].add(-face_R)
 
     # ---- wells -----------------------------------------------------------
     nw, mp = wd["perf_cell"].shape
