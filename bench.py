@@ -1,13 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark: SPE1 fully-implicit black-oil on the default JAX backend.
+"""Benchmark: black-oil simulation on the default JAX backend.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-The upstream reference publishes no benchmark numbers (BASELINE.md), so the
-baseline is this framework's round-1 CPU dense-path measurement of the same
-run (96.5 s end-to-end for 120 report steps / 10 years of SPE1, recorded
-2026-08-16). vs_baseline = baseline_wall / measured_wall (>1 is faster).
+Two measurements:
+  * SPE1 end-to-end (120 report steps / 10 years, dense-path Newton) — the
+    headline metric. The upstream reference publishes no benchmark numbers
+    (BASELINE.md), so the baseline is this framework's round-1 CPU
+    dense-path measurement of the same run (96.5 s, 2026-08-16).
+    vs_baseline = baseline_wall / measured_wall (>1 is faster).
+  * SPE10-like waterflood at 132k cells (channelized perm, CPR + structured
+    GMG, fused substeps): ms per Newton iteration — the scaling metric that
+    tracks the BASELINE.md SPE10 north star. CPU reference: 2790 ms/Newton
+    (same code, this machine, round 1).
 """
 
 import json
@@ -21,12 +27,13 @@ import opm_tpu  # noqa: F401  (x64 config)
 from opm_tpu.io.eclstate import load_case
 from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
 
-BASELINE_WALL_S = 96.5  # round-1 CPU dense-path reference (see docstring)
+BASELINE_WALL_S = 96.5        # round-1 CPU dense-path SPE1 (see docstring)
+SPE10_CPU_MS_PER_NEWTON = 2790.0  # round-1 CPU CPR-path, 132k cells
 SPE1 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "data", "SPE1CASE2.DATA")
 
 
-def main():
+def bench_spe1():
     case = load_case(SPE1)
     # warmup: compile all kernels on a copy (2 report steps)
     warm = SimulatorFullyImplicitBlackoil(case)
@@ -38,16 +45,67 @@ def main():
     sim.run()
     wall = time.perf_counter() - t0
     newtons = max(sim.report.newton_iterations, 1)
-    print(json.dumps({
-        "metric": "spe1_e2e_wall",
-        "value": round(wall, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_WALL_S / wall, 3),
-        "newton_iterations": newtons,
-        "ms_per_newton": round(1000.0 * wall / newtons, 2),
-        "substeps": sim.report.substeps,
-        "failed_substeps": sim.report.failed_substeps,
-    }))
+    return dict(
+        metric="spe1_e2e_wall",
+        value=round(wall, 3),
+        unit="s",
+        vs_baseline=round(BASELINE_WALL_S / wall, 3),
+        newton_iterations=newtons,
+        ms_per_newton=round(1000.0 * wall / newtons, 2),
+        substeps=sim.report.substeps,
+        failed_substeps=sim.report.failed_substeps,
+    )
+
+
+def bench_spe10like_132k():
+    import jax
+    import jax.numpy as jnp
+
+    from opm_tpu.models.blackoil import make_well_device_arrays
+    from opm_tpu.sim.init import initial_state
+    from opm_tpu.sim.testcases import spe10like_case
+    from opm_tpu.solver.newton import (LinearSolverProblem, NumericalIssue,
+                                       SolverReport, TooManyIterations)
+
+    case = spe10like_case(nx=60, ny=220, nz=10)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = initial_state(sim.grid, sim.props, case, len(sim.well_names))
+    ws = sim._pad_well_set(sim._well_set_for(sim.schedule.report_steps[0]))
+    wd = make_well_device_arrays(ws, sim.grid.gravity)
+    state = sim._init_well_state(state, ws, True)
+    dt0 = 0.5 * 86400.0
+
+    def try_step(s, dti):
+        for _ in range(8):
+            try:
+                s2, rep = sim.solver.step_fused(s, dti, wd, SolverReport())
+                return s2, rep, dti
+            except (NumericalIssue, TooManyIterations, LinearSolverProblem):
+                dti *= 0.33
+        raise RuntimeError("no stable dt")
+
+    state, rep, dt = try_step(state, dt0)     # warm-up/compile
+    newtons = 0
+    t0 = time.perf_counter()
+    for _ in range(4):
+        state, rep, dt = try_step(state, min(dt * 2, dt0))
+        newtons += rep.iterations
+    wall = time.perf_counter() - t0
+    ms = 1000.0 * wall / max(newtons, 1)
+    return dict(
+        spe10_132k_ms_per_newton=round(ms, 1),
+        spe10_132k_cell_newtons_per_s=round(sim.model.nc * newtons / wall),
+        spe10_132k_vs_cpu=round(SPE10_CPU_MS_PER_NEWTON / ms, 2),
+    )
+
+
+def main():
+    out = bench_spe1()
+    try:
+        out.update(bench_spe10like_132k())
+    except Exception as e:  # never lose the headline metric
+        out["spe10_132k_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
