@@ -124,6 +124,7 @@ REC1_KEYWORDS = {
     "NSTACK", "GRIDFILE", "MINPV", "PLYMAX", "TLMIXPAR", "ROCKCOMP",
     "RPTRST", "RPTSCHED", "RPTSOL", "RPTGRID", "RPTPROPS", "RPTSMRY",
     "DRSDT", "DRVDT", "BOX", "GRIDUNIT", "MAPUNITS", "SATOPTS", "AQUDIMS",
+    "EHYSTR",
     "REGDIMS", "MISCIBLE", "VFPIDIMS", "VFPPDIMS", "FAULTDIM", "PIMTDIMS",
     "NUPCOL", "MESSAGES", "OPTIONS",
 }
@@ -177,12 +178,14 @@ ARRAY_KEYWORDS = {
     "PERMY", "PERMZ", "PORO", "NTG", "ACTNUM", "MULTX", "MULTY", "MULTZ",
     "MULTX-", "MULTY-", "MULTZ-", "MULTPV", "PRESSURE", "SWAT", "SGAS",
     "SOIL", "RS", "RV", "SATNUM", "PVTNUM", "EQLNUM", "FIPNUM", "ROCKNUM",
+    "IMBNUM",
     "SWL", "SWU", "SGL", "SGU", "SWCR", "SGCR", "SOWCR", "SOGCR", "KRW",
     "KRO", "KRG", "PCW", "PCG", "SWATINIT", "TSTEP", "ZCORN", "COORD",
     "SPOLY", "PLYCONC", "SALT", "TEMPI", "MINPVV",
 }
 
-INT_ARRAYS = {"ACTNUM", "SATNUM", "PVTNUM", "EQLNUM", "FIPNUM", "ROCKNUM"}
+INT_ARRAYS = {"ACTNUM", "SATNUM", "PVTNUM", "EQLNUM", "FIPNUM", "ROCKNUM",
+              "IMBNUM"}
 
 
 class _TokenStream:

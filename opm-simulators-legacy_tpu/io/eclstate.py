@@ -28,6 +28,7 @@ _ARRAY_DIMS = {
     "RS": "GasSurfaceVolume/LiquidSurfaceVolume",
     "RV": "LiquidSurfaceVolume/GasSurfaceVolume",
     "SATNUM": "1", "PVTNUM": "1", "EQLNUM": "1", "FIPNUM": "1",
+    "IMBNUM": "1",
     "SWL": "1", "SWU": "1", "SGL": "1", "SGU": "1", "SWCR": "1", "SGCR": "1",
     "SOWCR": "1", "SOGCR": "1", "SWATINIT": "1", "MINPVV": "Length",
     "ZCORN": "Length", "COORD": "Length",
@@ -153,7 +154,8 @@ class EclipseCase:
         def ensure(name, fill=0.0):
             if name not in arrays:
                 dtype = np.int64 if name in ("ACTNUM", "SATNUM", "PVTNUM",
-                                             "EQLNUM", "FIPNUM") else np.float64
+                                             "EQLNUM", "FIPNUM",
+                                             "IMBNUM") else np.float64
                 arrays[name] = np.full(ncg, fill, dtype=dtype)
             return arrays[name]
 
@@ -391,6 +393,8 @@ class EclipseCase:
                 out[name] = self.grid_arrays[name].astype(np.int64)
             else:
                 out[name] = np.ones(ncg, dtype=np.int64)
+        if "IMBNUM" in self.grid_arrays:
+            out["IMBNUM"] = self.grid_arrays["IMBNUM"].astype(np.int64)
         return out
 
     # ------------------------------------------------------------------

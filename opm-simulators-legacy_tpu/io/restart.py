@@ -32,6 +32,8 @@ def save_restart(path: str, state: BlackoilState, *, report_step: int,
         x=np.asarray(state.x), hcstate=np.asarray(state.hcstate),
         bhp=np.asarray(state.bhp), qs=np.asarray(state.qs),
         control=np.asarray(state.control), target=np.asarray(state.target))
+    if state.sgmax is not None:
+        payload["sgmax"] = np.asarray(state.sgmax)
     if extra:
         for k, v in extra.items():
             payload["extra_" + k] = np.asarray(v)
@@ -47,7 +49,8 @@ def load_restart(path: str):
         hcstate=jnp.asarray(z["hcstate"], dtype=jnp.int32),
         bhp=jnp.asarray(z["bhp"]), qs=jnp.asarray(z["qs"]),
         control=jnp.asarray(z["control"], dtype=jnp.int32),
-        target=jnp.asarray(z["target"]))
+        target=jnp.asarray(z["target"]),
+        sgmax=jnp.asarray(z["sgmax"]) if "sgmax" in z.files else None)
     meta = dict(report_step=int(z["report_step"]), time=float(z["time"]),
                 suggested_dt=float(z["suggested_dt"]))
     meta["extra"] = {k[6:]: z[k] for k in z.files if k.startswith("extra_")}

@@ -80,7 +80,7 @@ class Residual(NamedTuple):
 
 
 def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
-                            satnum) -> CellQuantities:
+                            satnum, sgmax=None, ireg=None) -> CellQuantities:
     """Shape-polymorphic secondary-variable evaluation: works for scalars
     (single-cell linearization, models/linearize.py) and (nc,) arrays alike.
     This is the rebuild's SolutionState construction
@@ -103,7 +103,8 @@ def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
     muw = props.mu_water(pw, pvtnum)
     muo = props.mu_oil(p, rs, pvtnum)
     mug = props.mu_gas(pg, rv, pvtnum)
-    krw, kro, krg = props.relperm(sw, so, sg, satnum)
+    krw, kro, krg = props.relperm(sw, so, sg, satnum, sgmax=sgmax,
+                                  ireg=ireg)
     mob = jnp.stack([krw / muw, kro / muo, krg / mug], axis=0)
     # per-phase surface-density gathers keep every intermediate 1-D
     sd_w = props.surface_density[pvtnum, WATER]
@@ -191,6 +192,9 @@ class BlackoilModel:
         self.gravity = grid.gravity
         self.threshold_dp = None  # (nf,) THPRES per face, set by the driver
         self.structured = bool(getattr(grid, "structured", False))
+        sf = getattr(props, "satfunc", None)
+        self.imbnum = (sf.hyst.imbnum if sf is not None
+                       and getattr(sf, "hyst", None) is not None else None)
         if self.structured:
             nx, ny, nz = grid.dims
             self.depth3 = self.depth.reshape(nz, ny, nx)
@@ -199,7 +203,7 @@ class BlackoilModel:
     def cell_quantities(self, state: BlackoilState) -> CellQuantities:
         return compute_cell_quantities(
             self.props, state.pressure, state.sw, state.x, state.hcstate,
-            self.pvtnum, self.satnum)
+            self.pvtnum, self.satnum, sgmax=state.sgmax, ireg=self.imbnum)
 
     # ------------------------------------------------------------------
     def accumulation(self, state: BlackoilState) -> jnp.ndarray:

@@ -100,10 +100,15 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     pvt = model.pvtnum
     sat = model.satnum
     p, sw, x = state.pressure, state.sw, state.x
+    # hysteresis memory is EXPLICIT (frozen within the Newton, updated per
+    # report step like the reference's updateSatHyst) — a constant here
+    smax = state.sgmax
+    ireg = model.imbnum
 
     # ---- accumulation: value + diagonal blocks --------------------------
     def acc_all(pc, swc, xc):
-        q = compute_cell_quantities(props, pc, swc, xc, hc, pvt, sat)
+        q = compute_cell_quantities(props, pc, swc, xc, hc, pvt, sat,
+                                    sgmax=smax, ireg=ireg)
         return accumulation_from_q(q)          # (3, nc)
 
     acc_val, acc_jvp = jax.linearize(acc_all, p, sw, x)
@@ -136,7 +141,8 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         # (2*nf -> nc evaluations) and zero gathers/scatters (all face
         # topology is static shifted slices).
         def q_all(pc, swc, xc):
-            return compute_cell_quantities(props, pc, swc, xc, hc, pvt, sat)
+            return compute_cell_quantities(props, pc, swc, xc, hc, pvt, sat,
+                                           sgmax=smax, ireg=ireg)
 
         q_val, q_jvp = jax.linearize(q_all, p, sw, x)
         ones_c = jnp.ones(nc)
@@ -196,9 +202,16 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         auxL = (hc[c1], pvt[c1], sat[c1])
         auxR = (hc[c2], pvt[c2], sat[c2])
 
+        smaxL = None if smax is None else smax[c1]
+        smaxR = None if smax is None else smax[c2]
+        iregL = None if ireg is None else ireg[c1]
+        iregR = None if ireg is None else ireg[c2]
+
         def flux_all(pL, swL, xL, pR, swR, xR):
-            qL = compute_cell_quantities(props, pL, swL, xL, *auxL)
-            qR = compute_cell_quantities(props, pR, swR, xR, *auxR)
+            qL = compute_cell_quantities(props, pL, swL, xL, *auxL,
+                                         sgmax=smaxL, ireg=iregL)
+            qR = compute_cell_quantities(props, pR, swR, xR, *auxR,
+                                         sgmax=smaxR, ireg=iregR)
             return face_flux_from_q(qL, qR, model.trans, dz, model.gravity,
                                     threshold_dp=thr)   # (3, nf)
 
@@ -225,7 +238,10 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     allow_xflow = model.params.allow_crossflow
 
     def perf_local(u_c, wvars, auxc, wi, cdp_p, comp_frac, is_inj):
-        q = compute_cell_quantities(props, u_c[0], u_c[1], u_c[2], *auxc)
+        q = compute_cell_quantities(
+            props, u_c[0], u_c[1], u_c[2], auxc[0], auxc[1], auxc[2],
+            sgmax=auxc[3] if len(auxc) > 3 else None,
+            ireg=auxc[4] if len(auxc) > 4 else None)
         qs_w = wvars[:3]
         bhp_w = wvars[3]
         cmix = stdwells.wellbore_mixture(qs_w, comp_frac, is_inj)
@@ -236,7 +252,9 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     # flatten (nw, mp) -> (nw*mp,); gather first, stack the tiny result
     pc_f = pc.reshape(-1)
     u_pf = jnp.stack([p[pc_f], sw[pc_f], x[pc_f]], axis=-1)
-    aux_pf = (hc[pc_f], pvt[pc_f], sat[pc_f])
+    aux_pf = ((hc[pc_f], pvt[pc_f], sat[pc_f]) if smax is None
+              else (hc[pc_f], pvt[pc_f], sat[pc_f], smax[pc_f],
+                    ireg[pc_f]))
     wv_f = jnp.repeat(wv, mp, axis=0)
     cf_f = jnp.repeat(wd["comp_frac"], mp, axis=0)
     ii_f = jnp.repeat(wd["is_injector"], mp)

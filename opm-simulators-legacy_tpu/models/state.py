@@ -17,7 +17,7 @@ negative — OPM sign convention) and bhp (nw,).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -40,6 +40,10 @@ class BlackoilState(NamedTuple):
     # StandardWells_impl.hpp updateWellControls)
     control: jnp.ndarray    # (nw,) int32 active control code
     target: jnp.ndarray     # (nw,) active control target
+    # hysteresis memory: per-cell historical max gas saturation, updated
+    # once per report step (the reference's updateSatHyst,
+    # BlackoilPropsAdFromDeck.hpp:201-430). None = hysteresis off.
+    sgmax: Optional[jnp.ndarray] = None
 
     @property
     def nc(self):

@@ -123,8 +123,8 @@ class BlackoilProps:
         return self.rock.pv_mult(p, reg)
 
     # -- saturation functions ----------------------------------------------
-    def relperm(self, sw, so, sg, reg):
-        return self.satfunc.relperm(sw, so, sg, reg)
+    def relperm(self, sw, so, sg, reg, sgmax=None, ireg=None):
+        return self.satfunc.relperm(sw, so, sg, reg, sgmax=sgmax, ireg=ireg)
 
     def capillary(self, sw, sg, reg):
         if self.satfunc is None:

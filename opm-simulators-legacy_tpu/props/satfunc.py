@@ -57,6 +57,9 @@ class SatFuncFamily1:
     # per-cell pcow multiplier (SWATINIT capillary scaling,
     # BlackoilPropsAdFromDeck::setSwatInitScaling)
     pcw_mult: Optional[jnp.ndarray] = None
+    # gas-kr hysteresis (EHYSTR + IMBNUM; the reference's updateSatHyst /
+    # opm-material EclHysteresisTwoPhaseLaw Killough model)
+    hyst: Optional["HysteresisConfig"] = None
 
     @classmethod
     def from_tables(cls, swof_tables, sgof_tables):
@@ -179,12 +182,18 @@ class SatFuncFamily1:
             sg_t = two_point_scale(sg, lo_c, hi_c, sgl_tab, self.sgmax[reg])
         return sw_t, sg_t
 
-    def relperm(self, sw, so, sg, reg):
+    def relperm(self, sw, so, sg, reg, sgmax=None, ireg=None):
         """(krw, kro, krg) with ECL-default three-phase oil interpolation
-        and optional endpoint scaling."""
+        and optional endpoint scaling. With hysteresis configured and
+        `sgmax` (per-cell historical maximum gas saturation, updated per
+        report step like the reference's updateSatHyst), krg follows the
+        Killough scanning curve between the drainage (SATNUM) and
+        imbibition (IMBNUM) tables."""
         sw_t, sg_t = self._scaled_sats(sw, sg, reg)
         krw = _interp_reg(self.sw, self.krw, sw_t, reg)
         krg = _interp_reg(self.sg, self.krg, sg_t, reg)
+        if self.hyst is not None and sgmax is not None:
+            krg = self._krg_killough(sg_t, sgmax, reg, krg, ireg)
         krow = _interp_reg(self.sw, self.krow, sw_t, reg)
         krog = _interp_reg(self.sg, self.krog, sg_t, reg)
         if self.eps is not None:
@@ -209,6 +218,37 @@ class SatFuncFamily1:
             safe, (ssw * krow + sg * krog) / jnp.where(safe, den, 1.0), krow)
         return krw, kro, krg
 
+    def _krg_killough(self, sg, sgmax, reg, krg_drain, ireg=None):
+        """Killough gas-kr scanning curve (opm-material
+        EclHysteresisTwoPhaseLaw semantics, Killough 1976): Land trapping
+        from the drainage/imbibition critical gas saturations, scanning
+        curve = imbibition curve renormalized onto [sg_trap, sgmax] and
+        scaled to meet the drainage curve at the historical maximum."""
+        if ireg is None:
+            ireg = self.hyst.imbnum   # full-cell context only
+        sgcr_d = self.sgcr_[reg]
+        sgcr_i = self.sgcr_[ireg]          # max trapped gas of imb. curve
+        sg_tab_max = self.sgmax[reg]
+        # Land parameter from the bounding curves
+        span_t = jnp.maximum(sgcr_i - sgcr_d, 1e-12)
+        span_m = jnp.maximum(sg_tab_max - sgcr_d, 1e-12)
+        C = 1.0 / span_t - 1.0 / span_m
+        dsg = jnp.maximum(sgmax - sgcr_d, 0.0)
+        sg_trap = sgcr_d + dsg / (1.0 + C * dsg)
+        # normalize [sg_trap, sgmax] -> imbibition axis [sgcr_i, sg_tab_max]
+        span_h = jnp.maximum(sgmax - sg_trap, 1e-12)
+        sg_norm = sgcr_i + jnp.maximum(sg - sg_trap, 0.0) * \
+            (sg_tab_max - sgcr_i) / span_h
+        krg_i = _interp_reg(self.sg, self.krg, sg_norm, ireg)
+        # scale so the scanning curve meets the drainage curve at sgmax
+        krg_d_at_max = _interp_reg(self.sg, self.krg, sgmax, reg)
+        krg_i_top = jnp.maximum(
+            _interp_reg(self.sg, self.krg, sg_tab_max, ireg), 1e-12)
+        krg_scan = krg_i * krg_d_at_max / krg_i_top
+        # on the drainage branch (sg at the historical max) keep drainage
+        on_drainage = sg >= sgmax - 1e-12
+        return jnp.where(on_drainage, krg_drain, krg_scan)
+
     def capillary(self, sw, sg, reg):
         """(pcow, pcgo): po - pw and pg - po (EPS-scaled abscissae,
         SWATINIT pcow multiplier)."""
@@ -228,6 +268,27 @@ class SatFuncFamily1:
         (EquilibrationHelpers.hpp satFromPc). pcow is non-increasing in sw,
         so interpolate on the negated curve (increasing)."""
         return _interp_reg(-self.pcow, self.sw, -pc, reg)
+
+
+@dataclass
+class HysteresisConfig:
+    """EHYSTR + IMBNUM (the reference's hysteresis wiring in
+    BlackoilPropsAdFromDeck::updateSatHyst + MaterialLawManager). imbnum is
+    the per-cell 0-based imbibition table index (into the same stacked
+    table arrays as SATNUM)."""
+
+    imbnum: jnp.ndarray          # (nc,) int
+
+    @classmethod
+    def from_case(cls, case, global_cell):
+        names = [kw.name for kw in case.deck]
+        if "EHYSTR" not in names:
+            return None
+        imb = case.regions.get("IMBNUM")
+        if imb is None:
+            return None
+        return cls(imbnum=jnp.asarray((imb[global_cell] - 1)
+                                      .astype("int32")))
 
 
 @dataclass

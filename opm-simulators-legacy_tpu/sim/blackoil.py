@@ -90,6 +90,13 @@ class SummaryCollector:
         self._totals["FWIT"] += row["FWIR"] * dt
         self._totals["FGIT"] += row["FGIR"] * dt
         row.update(self._totals)
+        # fluid in place (FOIP/FWIP/FGIP field totals; the reference prints
+        # FIP per report step, BlackoilModelBase_impl.hpp:2459 +
+        # SimulatorBase FIP report)
+        fip = fluid_in_place(model, state)
+        row["FWIP"] = float(fip[WATER])
+        row["FOIP"] = float(fip[OIL])
+        row["FGIP"] = float(fip[GAS])
         for iw, name in enumerate(self.well_names):
             row[f"WBHP:{name}"] = bhp[iw]
             row[f"WOPR:{name}"] = prod[iw, OIL]
@@ -117,12 +124,21 @@ class SummaryCollector:
                                  for k in keys) + "\n")
 
 
-def fluid_in_place(model, state: BlackoilState):
+def fluid_in_place(model, state: BlackoilState, regions=None):
     """Surface-volume FIP per phase (computeFluidInPlace,
-    BlackoilModelBase_impl.hpp:2459)."""
+    BlackoilModelBase_impl.hpp:2459). With `regions` (nc,) 0-based FIPNUM,
+    returns (nreg, 3) per-region volumes (the reference's per-FIPNUM
+    report, SimulatorBase_impl.hpp FIPUNIT output); else field totals (3,)."""
     acc = np.asarray(model.accumulation(state)).T    # (nc, 3)
     pv = np.asarray(model.pv)
-    return (acc * pv[:, None]).sum(axis=0)  # (3,) w,o,g surface volumes
+    vol = acc * pv[:, None]
+    if regions is None:
+        return vol.sum(axis=0)  # (3,) w,o,g surface volumes
+    regions = np.asarray(regions)
+    nreg = int(regions.max()) + 1
+    out = np.zeros((nreg, 3))
+    np.add.at(out, regions, vol)
+    return out
 
 
 class SimulatorFullyImplicitBlackoil:
@@ -135,10 +151,16 @@ class SimulatorFullyImplicitBlackoil:
         self.grid = build_grid(case)
         self.props = BlackoilProps.from_case(case)
         if self.props.satfunc is not None:
-            from opm_tpu.props.satfunc import EndpointScaling
+            from opm_tpu.props.satfunc import (EndpointScaling,
+                                               HysteresisConfig)
             eps = EndpointScaling.from_case(case, self.grid.global_cell)
             if eps is not None:
                 self.props.satfunc.eps = eps
+            hyst = HysteresisConfig.from_case(case, self.grid.global_cell)
+            if hyst is not None:
+                self.props.satfunc.hyst = hyst
+        self._hysteresis = (self.props.satfunc is not None
+                            and self.props.satfunc.hyst is not None)
         self.model = BlackoilModel(self.grid, self.props, params)
         if case.solution.thpres:
             # per-face threshold pressures between equilibration regions
@@ -315,7 +337,16 @@ class SimulatorFullyImplicitBlackoil:
             steps = steps[:report_step_limit]
         steps = steps[start_step:]
         first = start_step == 0
+        if self._hysteresis and state.sgmax is None:
+            from opm_tpu.models.state import saturations as _sats
+            state = state._replace(sgmax=_sats(state)[2])
         for step in steps:
+            if self._hysteresis:
+                # hysteresis memory update at report-step start (the
+                # reference's updateSatHyst, SimulatorBase_impl.hpp:146)
+                from opm_tpu.models.state import saturations as _sats
+                state = state._replace(
+                    sgmax=jnp.maximum(state.sgmax, _sats(state)[2]))
             step_wells = step.wells
             if self._econ_shut:
                 # wells shut by economic limits stay shut
@@ -424,6 +455,18 @@ class SimulatorFullyImplicitBlackoil:
                 dims=self.case.runspec.dims,
                 start_date=self.case.runspec.start_date,
                 unit_system=self.case.runspec.unit_system)
+            # per-FIPNUM-region fluid in place (the reference's FIP report
+            # tables, SimulatorBase_impl.hpp FIP output)
+            fip_reg = fluid_in_place(self.model, state,
+                                     regions=self.grid.fipnum)
+            with open(os.path.join(self.output_dir, "fip_report.txt"),
+                      "w") as f:
+                f.write("# FIPNUM  water[sm3]  oil[sm3]  gas[sm3]  (end of "
+                        "run)\n")
+                for r in range(fip_reg.shape[0]):
+                    f.write(f"{r + 1:6d}  {fip_reg[r, WATER]:.6e}  "
+                            f"{fip_reg[r, OIL]:.6e}  "
+                            f"{fip_reg[r, GAS]:.6e}\n")
             # per-step timing breakdown (step_timing.txt / walltime.txt,
             # SimulatorBase_impl.hpp:108,302-304)
             with open(os.path.join(self.output_dir,

@@ -269,18 +269,50 @@ class NonlinearSolver:
         max_welleq_iter iterations on (q_s, bhp) only, Eigen SparseLU there,
         batched dense 4x4-bordered solve here via jacfwd over the well
         variables). Run at the start of each substep when
-        solve_welleq_initially is set — stabilizes control switching."""
+        solve_welleq_initially is set — stabilizes control switching.
+
+        The residual is PERF-LOCAL: cell quantities are evaluated only at
+        the (nw*mp) perforated cells, so the jacfwd over the 4*nw well
+        variables never materializes nc-sized tangents (over the full
+        residual that costs 4*nw copies of every cell intermediate — the
+        difference between fitting and OOMing a 1M-cell case)."""
+        from opm_tpu.models.blackoil import compute_cell_quantities
+
         model = self.model
         nw = state.bhp.shape[0]
         if nw == 0:
             return state
+        pc_f = wd["perf_cell"].reshape(-1)
+        nw_, mp = wd["perf_cell"].shape
+        sg_pf = None if state.sgmax is None else state.sgmax[pc_f]
+        ireg_pf = None if model.imbnum is None else model.imbnum[pc_f]
+        q_pf = compute_cell_quantities(
+            model.props, state.pressure[pc_f], state.sw[pc_f],
+            state.x[pc_f], state.hcstate[pc_f], model.pvtnum[pc_f],
+            model.satnum[pc_f], sgmax=sg_pf, ireg=ireg_pf)
+        b_pf = jnp.moveaxis(q_pf.b, 0, -1).reshape(nw_, mp, 3)
+        mob_pf = jnp.moveaxis(q_pf.mob, 0, -1).reshape(nw_, mp, 3)
+        po_pf = q_pf.po.reshape(nw_, mp)
+        rs_pf = q_pf.rs.reshape(nw_, mp)
+        rv_pf = q_pf.rv.reshape(nw_, mp)
+        mask = wd["perf_mask"] * wd["open"][:, None]
 
         def rfun_w(u, s):
-            st = s._replace(qs=u[:3 * nw].reshape(nw, 3),
-                            bhp=u[3 * nw:])
-            res = model.residual(st, acc0, dt, wd, cdp)
-            return jnp.concatenate([res.well_flux.reshape(-1),
-                                    res.well_ctrl])
+            qs = u[:3 * nw].reshape(nw, 3)
+            bhp = u[3 * nw:]
+            cmix = stdwells.wellbore_mixture(qs, wd["comp_frac"],
+                                             wd["is_injector"])
+            cq_s = stdwells.perf_flux_formula(
+                po_pf, b_pf, mob_pf, rs_pf, rv_pf, wd["perf_wi"],
+                bhp[:, None] + cdp,
+                jnp.broadcast_to(cmix[:, None, :], (nw_, mp, 3)),
+                jnp.broadcast_to(wd["is_injector"][:, None], (nw_, mp)),
+                allow_crossflow=model.params.allow_crossflow)
+            cq_s = cq_s * mask[..., None]
+            flux_res, ctrl_res = stdwells.well_residuals(
+                wd, qs, bhp, cq_s, s.control, s.target,
+                resv_coef=wd.get("resv_coef"), vfp=wd.get("vfp"))
+            return jnp.concatenate([flux_res.reshape(-1), ctrl_res])
 
         def body(carry):
             s, it, rn = carry

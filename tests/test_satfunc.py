@@ -121,3 +121,49 @@ def test_endpoint_scaling():
     expect = float(_interp_reg(f.sw, f.krw, jnp.asarray([sw_tab]),
                                jnp.zeros(1, dtype=jnp.int32))[0]) * 2.0
     assert float(krw[2]) == pytest.approx(expect, rel=1e-9)
+
+
+def test_killough_gas_hysteresis():
+    """Killough scanning curve: on drainage (sg == sgmax) krg equals the
+    drainage table; after gas retreat krg is reduced and vanishes at the
+    Land trapped saturation (EHYSTR/IMBNUM capability,
+    BlackoilPropsAdFromDeck::updateSatHyst + EclHysteresisTwoPhaseLaw)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opm_tpu.props.satfunc import HysteresisConfig, SatFuncFamily1
+
+    # region 0 = drainage (sgcr 0.0), region 1 = imbibition (sgcr 0.3)
+    sgof_d = [[0.0, 0.0, 0.9, 0.0], [0.3, 0.2, 0.4, 0.0],
+              [0.8, 0.9, 0.0, 0.0]]
+    sgof_i = [[0.0, 0.0, 0.9, 0.0], [0.3, 0.0, 0.4, 0.0],
+              [0.8, 0.9, 0.0, 0.0]]
+    swof = [[0.2, 0.0, 0.9, 0.0], [1.0, 1.0, 0.0, 0.0]]
+    sf = SatFuncFamily1.from_tables(
+        [np.asarray(swof), np.asarray(swof)],
+        [np.asarray(sgof_d), np.asarray(sgof_i)])
+    nc = 5
+    sf.hyst = HysteresisConfig(imbnum=jnp.ones(nc, dtype=jnp.int32))
+    reg = jnp.zeros(nc, dtype=jnp.int32)
+    sgmax = jnp.full(nc, 0.6)
+    sg = jnp.asarray([0.6, 0.5, 0.4, 0.3, 0.2])
+    sw = jnp.full(nc, 0.2)
+    so = 1.0 - sw - sg
+
+    _, _, krg_h = sf.relperm(sw, so, sg, reg, sgmax=sgmax)
+    _, _, krg_d = sf.relperm(sw, so, sg, reg)
+    krg_h = np.asarray(krg_h)
+    krg_d = np.asarray(krg_d)
+    # on the drainage branch they agree
+    assert np.isclose(krg_h[0], krg_d[0])
+    # scanning curve lies below drainage after retreat
+    assert (krg_h[1:] <= krg_d[1:] + 1e-12).all()
+    assert krg_h[1] < krg_d[1]
+    # trapped gas: sg_trap for sgmax=0.6 with C from the curves
+    sgcr_d, sgcr_i, sgtab = 0.0, 0.3, 0.8
+    C = 1.0 / (sgcr_i - sgcr_d) - 1.0 / (sgtab - sgcr_d)
+    sg_trap = sgcr_d + (0.6 - sgcr_d) / (1.0 + C * (0.6 - sgcr_d))
+    # below the trapped saturation the scanning krg is ~0
+    assert krg_h[np.asarray(sg) <= sg_trap + 1e-9].max() < 1e-10
+    # monotone in sg
+    assert (np.diff(krg_h[::-1]) >= -1e-12).all()

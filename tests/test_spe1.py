@@ -101,3 +101,26 @@ def test_spe1_full_run():
     fopr = sim.summary.series("FOPR") * DAY / 0.158987294928
     assert fopr[0] == pytest.approx(20000, rel=1e-6)
     assert fopr[-1] < 5000                          # late-time decline
+
+
+def test_fip_per_region():
+    """fluid_in_place with FIPNUM regions partitions the field totals
+    exactly (computeFluidInPlace per-region report)."""
+    import numpy as np
+
+    from opm_tpu.io.eclstate import load_case
+    from opm_tpu.sim.blackoil import (SimulatorFullyImplicitBlackoil,
+                                      fluid_in_place)
+    from opm_tpu.sim.init import initial_state
+
+    case = load_case(SPE1)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = initial_state(sim.grid, sim.props, case, len(sim.well_names))
+    total = fluid_in_place(sim.model, state)
+    # synthetic 2-region split (SPE1 has a single FIPNUM region)
+    regions = np.zeros(sim.model.nc, dtype=np.int32)
+    regions[sim.model.nc // 2:] = 1
+    per_reg = fluid_in_place(sim.model, state, regions=regions)
+    assert per_reg.shape == (2, 3)
+    assert np.allclose(per_reg.sum(axis=0), total, rtol=1e-12)
+    assert (per_reg > 0).all()

