@@ -324,6 +324,15 @@ class EclipseCase:
                     rest[:, 2] *= visc_f
                     recs.append((pg, rest))
                 t["PVTG"].append(recs)
+        kw = deck.get("ROCKTAB")
+        if kw:
+            # (p, pv_mult, trans_mult) per ROCKNUM region
+            t["ROCKTAB"] = []
+            for r in kw.records:
+                a = np.asarray([x for x in r if x is not DEFAULT],
+                               dtype=np.float64).reshape(-1, 3)
+                a[:, 0] *= p_f
+                t["ROCKTAB"].append(a)
         kw = deck.get("ROCK")
         if kw:
             t["ROCK"] = [dict(p_ref=_val(r, 0, 1.0) * p_f,

@@ -37,6 +37,8 @@ def write_keyword(f, name: str, typ: str, values):
     hdr = struct.pack(">8si4s", name.ljust(8).encode(), len(values),
                       typ.encode())
     _write_rec(f, hdr)
+    if typ == "MESS":   # marker keyword: header only, no data records
+        return
     mx = _MAX_BLOCK[typ]
     for i in range(0, len(values), mx):
         chunk = values[i:i + mx]
@@ -188,3 +190,71 @@ def read_summary(base_path: str) -> Dict[str, np.ndarray]:
             for k, v in zip(keys, vals):
                 series[k].append(v)
     return {k: np.asarray(v) for k, v in series.items()}
+
+
+# ---------------------------------------------------------------------------
+# ECL unified restart (UNRST) — minimal SOLUTION-section writer/reader
+# ---------------------------------------------------------------------------
+def write_unrst(base_path: str, steps: List[dict], *, dims=(1, 1, 1),
+                start_date=(1, 1, 2000)):
+    """Unified restart file with per-step SEQNUM + headers + solution
+    arrays (the role the reference fills through EclipseIO restart output,
+    BlackoilOutputWriter::writeTimeStep -> RestartIO; file layout per the
+    ECL unified-restart convention: SEQNUM, INTEHEAD, then cell arrays).
+
+    steps: list of dicts with keys 'seqnum', 'time_days', and cell arrays
+    ('PRESSURE' [bar], 'SWAT', 'SGAS', 'RS', 'RV', ...). Arrays are written
+    as DOUB in the given order.
+    """
+    nx, ny, nz = dims
+    path = base_path + ".UNRST"
+    with open(path, "wb") as f:
+        for st in steps:
+            write_keyword(f, "SEQNUM", "INTE", [int(st["seqnum"])])
+            ih = [0] * 95
+            ih[8] = nx
+            ih[9] = ny
+            ih[10] = nz
+            ih[11] = nx * ny * nz
+            if hasattr(start_date, "day"):      # datetime-like
+                sd = (start_date.day, start_date.month, start_date.year)
+            else:
+                sd = tuple(start_date)
+            ih[64] = sd[0]   # day
+            ih[65] = sd[1]   # month
+            ih[66] = sd[2]   # year
+            ih[94] = 100             # simulator id
+            write_keyword(f, "INTEHEAD", "INTE", ih)
+            write_keyword(f, "DOUBHEAD", "DOUB", [float(st["time_days"])])
+            write_keyword(f, "STARTSOL", "MESS", [])
+            for name, arr in st.items():
+                if name in ("seqnum", "time_days"):
+                    continue
+                write_keyword(f, name[:8].upper(), "DOUB",
+                              np.asarray(arr, dtype=np.float64))
+            write_keyword(f, "ENDSOL", "MESS", [])
+    return path
+
+
+def read_unrst(path: str) -> List[dict]:
+    """Parse a UNRST file back into per-step dicts (restart consumption +
+    the regression-comparison role of the reference's compareECLFiles)."""
+    steps: List[dict] = []
+    cur = None
+    in_sol = False
+    for name, typ, vals in read_ecl_file(path):
+        if name == "SEQNUM":
+            cur = dict(seqnum=int(vals[0]))
+            steps.append(cur)
+            in_sol = False
+        elif cur is None:
+            continue
+        elif name == "DOUBHEAD":
+            cur["time_days"] = float(vals[0])
+        elif name == "STARTSOL":
+            in_sol = True
+        elif name == "ENDSOL":
+            in_sol = False
+        elif in_sol and typ == "DOUB":
+            cur[name] = np.asarray(vals)
+    return steps

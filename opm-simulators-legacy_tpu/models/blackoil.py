@@ -106,6 +106,10 @@ def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
     krw, kro, krg = props.relperm(sw, so, sg, satnum, sgmax=sgmax,
                                   ireg=ireg)
     mob = jnp.stack([krw / muw, kro / muo, krg / mug], axis=0)
+    if getattr(props, "has_trans_mult", False):
+        # ROCKTAB pressure-dependent trans multiplier rides on mobility
+        # (tr_mult, BlackoilModelBase_impl.hpp:1486-1493)
+        mob = mob * props.trans_mult(p, pvtnum)
     # per-phase surface-density gathers keep every intermediate 1-D
     sd_w = props.surface_density[pvtnum, WATER]
     sd_o = props.surface_density[pvtnum, OIL]

@@ -154,7 +154,9 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         q3_tan = [jax.tree.map(model._cells3, t) for t in q_tan]
         nx, ny, nz = model.grid.dims
         r3 = r_cell.reshape(3, nz, ny, nx)
-        diag3 = diag.reshape(3, 3, nz, ny, nx)
+        # (eq, var) kept 9-FLAT: a 5-D (3,3,z,y,x) array tempts XLA into
+        # tiling the (3,3) pair (57x padding, 2.1 GB copies at SPE10-2)
+        diag9 = diag.reshape(9, nz, ny, nx)
         fL_parts, fR_parts = [], []
         ofs = 0
         for slL, slR, nf_d in model._dir_segments():
@@ -174,29 +176,29 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
             flux_val, fjvp = jax.linearize(flux_of, qL, qR)
             zL = jax.tree.map(jnp.zeros_like, qL)
             zR = jax.tree.map(jnp.zeros_like, qR)
-            fL_d = jnp.stack(
+            fL_d = jnp.concatenate(
                 [fjvp(jax.tree.map(lambda a: sf(a, slL), q3_tan[j]), zR)
-                 for j in range(3)], axis=1)                  # (3,3,nf_d)
-            fR_d = jnp.stack(
+                 [:, None] for j in range(3)], axis=1)       # (3,3,nf_d)
+            fR_d = jnp.concatenate(
                 [fjvp(zL, jax.tree.map(lambda a: sf(a, slR), q3_tan[j]))
-                 for j in range(3)], axis=1)
+                 [:, None] for j in range(3)], axis=1)
             shape_d = r3[(slice(None),) + slL].shape
             r3 = r3.at[(slice(None),) + slL].add(
                 flux_val.reshape(shape_d))
             r3 = r3.at[(slice(None),) + slR].add(
                 -flux_val.reshape(shape_d))
-            dshape = diag3[(slice(None), slice(None)) + slL].shape
-            diag3 = diag3.at[(slice(None), slice(None)) + slL].add(
-                fL_d.reshape(dshape))
-            diag3 = diag3.at[(slice(None), slice(None)) + slR].add(
-                -fR_d.reshape(dshape))
+            d9shape = (9,) + shape_d[1:]
+            diag9 = diag9.at[(slice(None),) + slL].add(
+                fL_d.reshape(d9shape))
+            diag9 = diag9.at[(slice(None),) + slR].add(
+                -fR_d.reshape(d9shape))
             fL_parts.append(fL_d)
             fR_parts.append(fR_d)
             ofs += nf_d
         face_L = jnp.concatenate(fL_parts, axis=-1)
         face_R = jnp.concatenate(fR_parts, axis=-1)
         r_cell = r3.reshape(3, -1)
-        diag = diag3.reshape(3, 3, -1)
+        diag = diag9.reshape(3, 3, -1)
     else:
         dz = model.depth[c1] - model.depth[c2]
         auxL = (hc[c1], pvt[c1], sat[c1])
@@ -389,6 +391,21 @@ def matvec(sys: BlockSystem, v_cell, v_well, dims=None):
     return out_c, out_w
 
 
+def _bapply9(blocks9, v):
+    """(9, ...) flattened (eq, var) blocks applied to (3, ...) vectors.
+    The 9-flat leading axis keeps the array 4-D with the LAST TWO dims the
+    large grid dims — a 5-D (3,3,z,y,x) array tempts XLA into a layout that
+    tiles the (3,3) pair, padding 57x (observed 2.1 GB copies at SPE10-2
+    scale)."""
+    outs = []
+    for i in range(3):
+        acc = blocks9[3 * i] * v[0]
+        acc = acc + blocks9[3 * i + 1] * v[1]
+        acc = acc + blocks9[3 * i + 2] * v[2]
+        outs.append(acc)
+    return jnp.stack(outs)
+
+
 def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
     """Cell-block part of the matvec as 7-point stencil slice arithmetic."""
     nx, ny, nz = dims
@@ -398,20 +415,20 @@ def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
     out = _bapply(sys.diag, v_cell).reshape(3, nz, ny, nx)
 
     def seg(a, lo, hi, shape):
-        return a[:, :, lo:hi].reshape(3, 3, *shape)
+        return a[:, :, lo:hi].reshape(9, *shape)
 
     fLx = seg(sys.face_L, 0, nfx, (nz, ny, nx - 1))
     fRx = seg(sys.face_R, 0, nfx, (nz, ny, nx - 1))
-    out = out.at[:, :, :, :-1].add(_bapply(fRx, v3[:, :, :, 1:]))
-    out = out.at[:, :, :, 1:].add(-_bapply(fLx, v3[:, :, :, :-1]))
+    out = out.at[:, :, :, :-1].add(_bapply9(fRx, v3[:, :, :, 1:]))
+    out = out.at[:, :, :, 1:].add(-_bapply9(fLx, v3[:, :, :, :-1]))
     fLy = seg(sys.face_L, nfx, nfx + nfy, (nz, ny - 1, nx))
     fRy = seg(sys.face_R, nfx, nfx + nfy, (nz, ny - 1, nx))
-    out = out.at[:, :, :-1, :].add(_bapply(fRy, v3[:, :, 1:, :]))
-    out = out.at[:, :, 1:, :].add(-_bapply(fLy, v3[:, :, :-1, :]))
+    out = out.at[:, :, :-1, :].add(_bapply9(fRy, v3[:, :, 1:, :]))
+    out = out.at[:, :, 1:, :].add(-_bapply9(fLy, v3[:, :, :-1, :]))
     fLz = seg(sys.face_L, nfx + nfy, None, (nz - 1, ny, nx))
     fRz = seg(sys.face_R, nfx + nfy, None, (nz - 1, ny, nx))
-    out = out.at[:, :-1].add(_bapply(fRz, v3[:, 1:]))
-    out = out.at[:, 1:].add(-_bapply(fLz, v3[:, :-1]))
+    out = out.at[:, :-1].add(_bapply9(fRz, v3[:, 1:]))
+    out = out.at[:, 1:].add(-_bapply9(fLz, v3[:, :-1]))
     return out.reshape(3, -1)
 
 

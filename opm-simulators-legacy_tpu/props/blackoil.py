@@ -17,7 +17,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from opm_tpu.props.pvt import (ConstCompOilPVT, DeadPVT, LiveOilPVT, RockPVT,
+from opm_tpu.props.pvt import (ConstCompOilPVT, DeadPVT, LiveOilPVT,
+                               RockPVT, RockTabPVT,
                                WaterPVT, WetGasPVT)
 from opm_tpu.props.satfunc import SatFuncFamily1
 
@@ -58,7 +59,9 @@ class BlackoilProps:
                       if "PVTO" in t else None),
             gas_dead=DeadPVT.from_tables(t["PVDG"]) if "PVDG" in t else None,
             gas_wet=WetGasPVT.from_tables(t["PVTG"]) if "PVTG" in t else None,
-            rock=RockPVT.from_tables(t["ROCK"]) if "ROCK" in t else None,
+            rock=(RockTabPVT.from_tables(t["ROCKTAB"])
+                  if "ROCKTAB" in t else
+                  RockPVT.from_tables(t["ROCK"]) if "ROCK" in t else None),
             satfunc=SatFuncFamily1.from_case(case),
         )
 
@@ -121,6 +124,19 @@ class BlackoilProps:
         if self.rock is None:
             return jnp.ones_like(p)
         return self.rock.pv_mult(p, reg)
+
+    def trans_mult(self, p, reg):
+        """Pressure-dependent transmissibility multiplier (ROCKTAB col 3;
+        applied to phase mobility like the reference's tr_mult in
+        computeMassFlux, BlackoilModelBase_impl.hpp:1486-1493)."""
+        if self.rock is None:
+            return None
+        tm = self.rock.trans_mult(p, reg)
+        return tm
+
+    @property
+    def has_trans_mult(self):
+        return isinstance(self.rock, RockTabPVT)
 
     # -- saturation functions ----------------------------------------------
     def relperm(self, sw, so, sg, reg, sgmax=None, ireg=None):

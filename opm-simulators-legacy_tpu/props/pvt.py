@@ -29,7 +29,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from opm_tpu.utils.tables import interp, interp2
+from opm_tpu.utils.tables import interp, interp2, reg_row
 
 
 def _pad_rows(arrs, ncol):
@@ -107,11 +107,14 @@ class DeadPVT:
         return cls(jnp.asarray(p), jnp.asarray(inv_b), jnp.asarray(inv_bmu))
 
     def b(self, p, reg=0):
-        return interp(self.p[reg], self.inv_b[reg], p)
+        return interp(reg_row(self.p, reg),
+                      reg_row(self.inv_b, reg), p)
 
     def mu(self, p, reg=0):
-        ib = interp(self.p[reg], self.inv_b[reg], p)
-        ibm = interp(self.p[reg], self.inv_bmu[reg], p)
+        ib = interp(reg_row(self.p, reg),
+                    reg_row(self.inv_b, reg), p)
+        ibm = interp(reg_row(self.p, reg),
+                     reg_row(self.inv_bmu, reg), p)
         return ib / ibm
 
 
@@ -210,18 +213,22 @@ class LiveOilPVT:
     def rs_sat(self, p, reg=0):
         """Saturated (maximum) dissolved gas-oil ratio at pressure p
         (BlackoilPropsAdFromDeck::rsSat)."""
-        return interp(self.pbub_tab[reg], self.rs_tab[reg], p)
+        return interp(reg_row(self.pbub_tab, reg),
+                      reg_row(self.rs_tab, reg), p)
 
     def p_bub(self, rs, reg=0):
-        return interp(self.rs_tab[reg], self.pbub_tab[reg], rs)
+        return interp(reg_row(self.rs_tab, reg),
+                      reg_row(self.pbub_tab, reg), rs)
 
     def _grids(self, p, rs, reg):
         pb = self.p_bub(rs, reg)
         dp = jnp.maximum(p - pb, 0.0)
-        ib = interp2(self.rs_tab[reg], self.dp_grid[reg],
-                     self.inv_b_grid[reg], rs, dp)
-        ibm = interp2(self.rs_tab[reg], self.dp_grid[reg],
-                      self.inv_bmu_grid[reg], rs, dp)
+        ib = interp2(reg_row(self.rs_tab, reg),
+                     reg_row(self.dp_grid, reg),
+                     reg_row(self.inv_b_grid, reg), rs, dp)
+        ibm = interp2(reg_row(self.rs_tab, reg),
+                      reg_row(self.dp_grid, reg),
+                      reg_row(self.inv_bmu_grid, reg), rs, dp)
         return ib, ibm
 
     def b(self, p, rs, reg=0):
@@ -316,15 +323,18 @@ class WetGasPVT:
                    jnp.asarray(ibm_grid))
 
     def rv_sat(self, p, reg=0):
-        return interp(self.pg_tab[reg], self.rv_sat_tab[reg], p)
+        return interp(reg_row(self.pg_tab, reg),
+                      reg_row(self.rv_sat_tab, reg), p)
 
     def _grids(self, p, rv, reg):
         rvs = self.rv_sat(p, reg)
         drv = jnp.maximum(rvs - rv, 0.0)
-        ib = interp2(self.pg_tab[reg], self.drv_grid[reg],
-                     self.inv_b_grid[reg], p, drv)
-        ibm = interp2(self.pg_tab[reg], self.drv_grid[reg],
-                      self.inv_bmu_grid[reg], p, drv)
+        ib = interp2(reg_row(self.pg_tab, reg),
+                     reg_row(self.drv_grid, reg),
+                     reg_row(self.inv_b_grid, reg), p, drv)
+        ibm = interp2(reg_row(self.pg_tab, reg),
+                      reg_row(self.drv_grid, reg),
+                      reg_row(self.inv_bmu_grid, reg), p, drv)
         return ib, ibm
 
     def b(self, p, rv, reg=0):
@@ -354,3 +364,30 @@ class RockPVT:
 
     def trans_mult(self, p, reg=0):
         return jnp.ones_like(p)
+
+
+@dataclass
+class RockTabPVT:
+    """ROCKTAB: tabulated pore-volume AND transmissibility multipliers vs
+    pressure per ROCKNUM region (the reference's RockCompressibility
+    poroMult/transMult, opm/core/props/rock/RockCompressibility.cpp)."""
+
+    p: jnp.ndarray          # (nreg, n)
+    pv_m: jnp.ndarray       # (nreg, n)
+    tr_m: jnp.ndarray       # (nreg, n)
+
+    @classmethod
+    def from_tables(cls, tabs):
+        a = _pad_rows(tabs, 3)
+        return cls(p=jnp.asarray(a[..., 0]), pv_m=jnp.asarray(a[..., 1]),
+                   tr_m=jnp.asarray(a[..., 2]))
+
+    def pv_mult(self, p, reg=0):
+        from opm_tpu.utils.tables import interp
+        return interp(reg_row(self.p, reg),
+                      reg_row(self.pv_m, reg), p)
+
+    def trans_mult(self, p, reg=0):
+        from opm_tpu.utils.tables import interp
+        return interp(reg_row(self.p, reg),
+                      reg_row(self.tr_m, reg), p)

@@ -335,7 +335,12 @@ def two_point_scale(s, s_lo_cell, s_hi_cell, s_lo_tab, s_hi_tab):
 
 
 def _interp_reg(xs_tab, ys_tab, x, reg):
-    """Per-element table selection: xs_tab (nreg, n), reg broadcast with x."""
+    """Per-element table selection: xs_tab (nreg, n), reg broadcast with x.
+    Single-region stacks skip the gather (TPU tile-padding of the
+    constant-folded (nc, n) literal — see utils.tables.reg_row)."""
+    if xs_tab.shape[0] == 1:
+        from opm_tpu.utils.tables import interp
+        return interp(xs_tab[0], ys_tab[0], x, extrap="clamp")
     xs = xs_tab[reg]          # (..., n)
     ys = ys_tab[reg]
     n = xs.shape[-1]

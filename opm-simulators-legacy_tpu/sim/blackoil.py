@@ -22,7 +22,8 @@ from opm_tpu.io.eclstate import EclipseCase, load_case
 from opm_tpu.io.schedule import Schedule, build_schedule
 from opm_tpu.models.blackoil import (BlackoilModel, ModelParams,
                                      make_well_device_arrays)
-from opm_tpu.models.state import GAS, OIL, WATER, BlackoilState, saturations
+from opm_tpu.models.state import (GAS, OIL, WATER, BlackoilState, rs_rv,
+                                  saturations)
 from opm_tpu.props.blackoil import BlackoilProps
 from opm_tpu.sim.init import initial_state
 from opm_tpu.solver.newton import NonlinearSolver, SolverReport
@@ -324,6 +325,7 @@ class SimulatorFullyImplicitBlackoil:
         report step into output_dir."""
         t_start = time.perf_counter()
         nw = len(self.well_names)
+        self._unrst_steps = []
         start_step = 0
         if restart_file is not None:
             from opm_tpu.io.restart import load_restart
@@ -425,6 +427,18 @@ class SimulatorFullyImplicitBlackoil:
                         state, report_step=step.index,
                         time=step.end_time,
                         suggested_dt=self.ts.suggested_dt)
+                    # accumulate ECL unified-restart solution steps
+                    from opm_tpu.models.state import saturations as _sats
+                    sw_, so_, sg_ = _sats(state)
+                    rs_, rv_ = rs_rv(state, self.props, self.model.pvtnum)
+                    p_unit = (1e-5 if self.case.runspec.unit_system
+                              == "METRIC" else 1.0 / 6894.757293168361)
+                    self._unrst_steps.append(dict(
+                        seqnum=step.index,
+                        time_days=step.end_time / DAY,
+                        PRESSURE=np.asarray(state.pressure) * p_unit,
+                        SWAT=np.asarray(sw_), SGAS=np.asarray(sg_),
+                        RS=np.asarray(rs_), RV=np.asarray(rv_)))
                 if write_vtk:
                     from opm_tpu.io.vtk import write_vtr
                     from opm_tpu.models.state import saturations
@@ -455,6 +469,14 @@ class SimulatorFullyImplicitBlackoil:
                 dims=self.case.runspec.dims,
                 start_date=self.case.runspec.start_date,
                 unit_system=self.case.runspec.unit_system)
+            if self._unrst_steps:
+                from opm_tpu.io.eclsum import write_unrst
+                base = (self.case.runspec.title or "CASE").split()[0] \
+                    or "CASE"
+                write_unrst(os.path.join(self.output_dir, base),
+                            self._unrst_steps,
+                            dims=self.case.runspec.dims,
+                            start_date=self.case.runspec.start_date)
             # per-FIPNUM-region fluid in place (the reference's FIP report
             # tables, SimulatorBase_impl.hpp FIP output)
             fip_reg = fluid_in_place(self.model, state,

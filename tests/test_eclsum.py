@@ -63,3 +63,29 @@ def test_char_chunking(tmp_path):
     s = read_summary(base)
     assert len(s) == 151
     assert np.allclose(s["WBHP:W42"], 100.0)  # barsa
+
+
+def test_unrst_roundtrip_from_run(tmp_path):
+    """Unified-restart output: the run writes a UNRST whose last step's
+    PRESSURE matches the final state (EclipseIO restart-output role)."""
+    import numpy as np
+
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.io.eclsum import read_unrst
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.testcases import mini_blackoil_deck
+
+    case = load_case_string(mini_blackoil_deck(nx=5, ny=5, nz=1,
+                                               tsteps="3*10"))
+    sim = SimulatorFullyImplicitBlackoil(case, output_dir=str(tmp_path))
+    state = sim.run(write_restart=True)
+    base = (case.runspec.title or "CASE").split()[0]
+    steps = read_unrst(str(tmp_path / f"{base}.UNRST"))
+    assert len(steps) == 3
+    assert steps[-1]["time_days"] == 30.0
+    # FIELD deck: pressures stored in PSIA
+    psi = 6894.757293168361
+    assert np.allclose(steps[-1]["PRESSURE"],
+                       np.asarray(state.pressure) / psi, rtol=1e-12)
+    assert np.all(steps[0]["SWAT"] >= 0.0)
+    assert "RS" in steps[0]

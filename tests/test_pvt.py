@@ -109,3 +109,19 @@ def test_rock(props):
     p2 = jnp.asarray([1014.7 * PSI])
     x = 3e-6 * 1000
     assert float(props.pv_mult(p2, 0)[0]) == pytest.approx(1 + x + x * x / 2)
+
+
+def test_rocktab():
+    """ROCKTAB pv/trans multipliers (RockCompressibility poroMult/transMult)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opm_tpu.props.pvt import RockTabPVT
+
+    rt = RockTabPVT.from_tables([np.array(
+        [[1e5, 0.9, 0.5], [1e7, 1.0, 1.0], [2e7, 1.05, 1.2]])])
+    p = jnp.asarray([1e5, 1e7, 2e7, 1.5e7])
+    assert np.allclose(np.asarray(rt.pv_mult(p, 0)),
+                       [0.9, 1.0, 1.05, 1.025])
+    assert np.allclose(np.asarray(rt.trans_mult(p, 0)),
+                       [0.5, 1.0, 1.2, 1.1])
