@@ -41,6 +41,7 @@ class PolymerTwophaseModel(TwophaseModel):
         super().__init__(grid, props, **kw)
         self.poly = poly
         self.porosity = jnp.asarray(grid.poro)
+        self.volume = jnp.asarray(grid.volume)
         self._ptsolve = jax.jit(self._polymer_transport,
                                 static_argnames=("sweeps",))
 
@@ -72,13 +73,14 @@ class PolymerTwophaseModel(TwophaseModel):
 
     # -- coupled (s, c) transport -------------------------------------------
     def _polymer_residual(self, s, c, s0, c0, cmax0, influx_w, influx_c,
-                          outflux, src, src_c, dtpv, rock):
+                          outflux, src, src_c, dtpv, rock, v_w=None):
         """(r_s, r_c), shape-generic (whole grid or one cell); `rock` is
-        rho_rock (1-phi)/phi for the matching cells."""
+        rho_rock (1-phi)/phi for the matching cells; `v_w` optional water
+        velocity for PLYSHLOG shear thinning."""
         poly = self.poly
         mu_w, mu_o = self.props.viscosity
         krw, kro = self.props.relperm(s)
-        mob_w = krw / mu_w * poly.water_mob_factor(c, mu_w, cmax0)
+        mob_w = krw / mu_w * poly.water_mob_factor(c, mu_w, cmax0, v_w=v_w)
         mob_o = kro / mu_o
         fw = mob_w / jnp.maximum(mob_w + mob_o, 1e-30)
         q_w = jnp.maximum(src, 0.0) + jnp.minimum(src, 0.0) * fw
@@ -103,13 +105,23 @@ class PolymerTwophaseModel(TwophaseModel):
         outflux = jnp.zeros(self.nc).at[upcell].add(absf)
         mu_w, _ = self.props.viscosity
         poly = self.poly
+        # PLYSHLOG shear velocity: interstitial water-ballpark estimate
+        # from the fixed total flux (the reference uses the per-connection
+        # water velocity; a per-cell estimate at fixed total flux is the
+        # same information after the fractional-flow split)
+        if poly.shear_table is not None:
+            area = jnp.cbrt(self.volume) ** 2
+            v_cell = outflux / jnp.maximum(self.porosity * area, 1e-30)
+        else:
+            v_cell = None
 
         def one_sweep(sc, _):
             s, c = sc
             # upstream water and polymer influx with current values
             krw_u, kro_u = self.props.relperm(s[upcell])
             mobw_u = krw_u / mu_w * poly.water_mob_factor(
-                c[upcell], mu_w, cmax0[upcell])
+                c[upcell], mu_w, cmax0[upcell],
+                v_w=None if v_cell is None else v_cell[upcell])
             mobo_u = kro_u / self.props.viscosity[1]
             fw_u = mobw_u / jnp.maximum(mobw_u + mobo_u, 1e-30)
             mc_u = poly.polymer_frac_in_water(c[upcell], mu_w)
@@ -124,14 +136,15 @@ class PolymerTwophaseModel(TwophaseModel):
                 s_, c_ = sc_
                 rs, rc = self._polymer_residual(
                     s_, c_, s0, c0, cmax0, influx_w, influx_c, outflux, src,
-                    src_c, dtpv, rock_arr)
+                    src_c, dtpv, rock_arr, v_w=v_cell)
                 # 2x2 jacobian per cell via jacfwd of the local residual
                 def local(pair, idx):
                     si, ci = pair[0], pair[1]
                     rsi, rci = self._polymer_residual(
                         si, ci, s0[idx], c0[idx], cmax0[idx],
                         influx_w[idx], influx_c[idx], outflux[idx],
-                        src[idx], src_c[idx], dtpv[idx], rock_arr[idx])
+                        src[idx], src_c[idx], dtpv[idx], rock_arr[idx],
+                        v_w=None if v_cell is None else v_cell[idx])
                     return jnp.stack([rsi, rci])
 
                 idxs = jnp.arange(self.nc)

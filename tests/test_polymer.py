@@ -90,3 +90,30 @@ def test_polymer_slows_water():
     assert f_p <= f_0
     # and saturations behind the polymer front are higher (better sweep)
     assert np.asarray(st_p.sw)[2] > np.asarray(st_0.sw)[2]
+
+
+def test_plyshlog_shear_thinning():
+    """PLYSHLOG: high water velocity reduces the polymer viscosity
+    contribution (PolymerProperties computeShearMultLog capability)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opm_tpu.props.polymer import PolymerProperties
+
+    poly = PolymerProperties(
+        c_max=4.0,
+        visc_table=jnp.asarray([[0.0, 1.0], [4.0, 10.0]]),
+        shear_table=jnp.asarray([[1e-7, 1.0], [1e-5, 0.8], [1e-3, 0.3]]))
+    c = jnp.full(3, 2.0)
+    v = jnp.asarray([1e-7, 1e-5, 1e-3])
+    z = np.asarray(poly.shear_mult(v))
+    assert np.allclose(z, [1.0, 0.8, 0.3])
+    # log interpolation: halfway in log-space between 1e-5 and 1e-3
+    z_mid = float(poly.shear_mult(jnp.asarray([1e-4]))[0])
+    assert abs(z_mid - 0.55) < 1e-12
+    # shear-thinned multiplier stays >= 1 and decreases with velocity
+    m = np.asarray(poly.visc_mult_shear(c, v))
+    assert (np.diff(m) < 0).all() and (m >= 1.0).all()
+    # effective water mobility factor increases (thinner solution)
+    f = np.asarray(poly.water_mob_factor(c, 1e-3, v_w=v))
+    assert (np.diff(f) > 0).all()
