@@ -100,11 +100,38 @@ def bench_spe10like_132k():
 
 
 def main():
-    out = bench_spe1()
-    try:
-        out.update(bench_spe10like_132k())
-    except Exception as e:  # never lose the headline metric
-        out["spe10_132k_error"] = f"{type(e).__name__}: {e}"[:200]
+    # each phase runs in its own subprocess: isolates device/trace state
+    # (a transient tunnel failure mid-trace in one phase must not poison
+    # the other) while sharing the persistent compilation cache
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+        out = bench_spe1() if phase == "spe1" else bench_spe10like_132k()
+        print(json.dumps(out))
+        return
+
+    import subprocess
+
+    def run_phase(name, timeout):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", name],
+                capture_output=True, text=True, timeout=timeout)
+            lines = [ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")]
+            if lines:
+                return json.loads(lines[-1])
+            return {f"{name}_error":
+                    (r.stderr.strip().splitlines() or ["no output"])[-1][:200]}
+        except Exception as e:
+            return {f"{name}_error": f"{type(e).__name__}: {e}"[:200]}
+
+    out = run_phase("spe1", 2400)
+    if "metric" not in out:
+        out.setdefault("metric", "spe1_e2e_wall")
+        out.setdefault("value", -1.0)
+        out.setdefault("unit", "s")
+        out.setdefault("vs_baseline", 0.0)
+    out.update(run_phase("spe10", 1800))
     print(json.dumps(out))
 
 

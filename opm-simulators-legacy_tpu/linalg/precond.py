@@ -120,6 +120,29 @@ def cpr_pressure_system(sys: linearize.BlockSystem, w):
     return diag_p, off
 
 
+def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=1,
+                   dims=None):
+    """CPR preconditioner for the WELL-ELIMINATED (cells-only) system:
+    quasi-IMPES pressure V-cycle + block-Jacobi smoothing on the cell
+    diagonal (the Schur correction is left to the Krylov operator)."""
+    w = quasi_impes_weights(sys.diag)
+    diag_p, off_p = cpr_pressure_system(sys, w)
+    vals = amg.coarsen_values(diag_p, off_p)
+    dinv = inv3x3_t(sys.diag)
+    zero_w = jnp.zeros((sys.nw, 4))
+
+    def apply(rc):
+        rp = jnp.sum(w * rc, axis=0)
+        dp = amg.vcycle(vals, rp)
+        xc = jnp.zeros_like(rc).at[0].set(dp)
+        for _ in range(smoother_steps):
+            ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)
+            xc = xc + linearize._bapply(dinv, rc - ac)
+        return xc
+
+    return apply
+
+
 def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=1,
              dims=None):
     """Two-stage CPR preconditioner closure.

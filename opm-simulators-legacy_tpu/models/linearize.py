@@ -432,5 +432,55 @@ def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
     return out.reshape(3, -1)
 
 
+def well_apply_B(sys: BlockSystem, v_cell):
+    """Well-equation rows x cell vars: B @ v_cell -> (nw, 4) (control rows
+    have no cell dependence)."""
+    nw, mp = sys.perf_cell.shape
+    pc_f = sys.perf_cell.reshape(-1)
+    vc_perf = v_cell[:, pc_f].T                           # (nw*mp, 3)
+    wf = jnp.einsum("pij,pj->pi", sys.wc.reshape(-1, 3, 3), vc_perf)
+    out = jnp.zeros((nw, 4), v_cell.dtype)
+    return out.at[:, :3].add(wf.reshape(nw, mp, 3).sum(axis=1))
+
+
+def well_apply_C(sys: BlockSystem, v_well):
+    """Cell rows x well vars: C @ v_well scattered to cells -> (3, nc)."""
+    nw, mp = sys.perf_cell.shape
+    pc_f = sys.perf_cell.reshape(-1)
+    vw_rep = jnp.repeat(v_well, mp, axis=0)               # (nw*mp, 4)
+    cw_add = jnp.einsum("pij,pj->pi", sys.cw.reshape(-1, 3, 4), vw_rep)
+    nc = sys.nc
+    return jnp.zeros((3, nc), v_well.dtype).at[:, pc_f].add(cw_add.T)
+
+
+def schur_eliminate_wells(sys: BlockSystem, dims=None):
+    """Schur-eliminate the well unknowns (the reference's eliminateVariable
+    on well_flux_eq + well_eq, NewtonIterationUtilities.cpp:45-128: per-well
+    dense solve of D, reduced cell system A - C D^-1 B).
+
+    Returns (matvec_cells(v_cell) closure over the reduced operator,
+    reduced rhs (3, nc), recover(x_cell) -> x_well closure)."""
+    from opm_tpu.linalg.precond import inv4x4
+
+    Dinv = inv4x4(sys.wd_diag)                            # (nw, 4, 4)
+
+    def dinv_apply(rw):
+        return jnp.einsum("wij,wj->wi", Dinv, rw)
+
+    def reduced_matvec(v_cell):
+        out_c = matvec(sys, v_cell,
+                       jnp.zeros((sys.nw, 4), v_cell.dtype), dims=dims)[0]
+        w = dinv_apply(well_apply_B(sys, v_cell))
+        return out_c - well_apply_C(sys, w)
+
+    rhs = sys.r_cell - well_apply_C(sys, dinv_apply(sys.r_well))
+
+    def recover(x_cell):
+        """x_w = D^-1 (r_w - B x_c) (recoverVariable, :134-184)."""
+        return dinv_apply(sys.r_well - well_apply_B(sys, x_cell))
+
+    return reduced_matvec, rhs, recover
+
+
 def residual_norms(sys: BlockSystem):
     return (jnp.max(jnp.abs(sys.r_cell)), jnp.max(jnp.abs(sys.r_well)))

@@ -129,8 +129,16 @@ def fluid_in_place(model, state: BlackoilState, regions=None):
     """Surface-volume FIP per phase (computeFluidInPlace,
     BlackoilModelBase_impl.hpp:2459). With `regions` (nc,) 0-based FIPNUM,
     returns (nreg, 3) per-region volumes (the reference's per-FIPNUM
-    report, SimulatorBase_impl.hpp FIPUNIT output); else field totals (3,)."""
-    acc = np.asarray(model.accumulation(state)).T    # (nc, 3)
+    report, SimulatorBase_impl.hpp FIPUNIT output); else field totals (3,).
+
+    Jitted per model: an eager accumulation() is hundreds of op-by-op
+    dispatches — ruinous through the TPU tunnel when called per report
+    step."""
+    import jax
+
+    if not hasattr(model, "_acc_jit"):
+        model._acc_jit = jax.jit(model.accumulation)
+    acc = np.asarray(model._acc_jit(state)).T        # (nc, 3)
     pv = np.asarray(model.pv)
     vol = acc * pv[:, None]
     if regions is None:
@@ -315,6 +323,22 @@ class SimulatorFullyImplicitBlackoil:
                               control=control, target=target)
 
     # ------------------------------------------------------------------
+    def _well_potentials(self, state):
+        """Phase potentials per well at the BHP limits (guide-rate
+        fallback; computeWellPotentials)."""
+        from opm_tpu.wells import standard as stdwells
+        try:
+            ws = self._pad_well_set(self._well_set_for(
+                self.schedule.report_steps[0]))
+            wd = make_well_device_arrays(ws, self.grid.gravity)
+            q = self.model.cell_quantities(state)
+            cellq = self.model.well_cell_quantities(q)
+            cdp = stdwells.connection_pressure_offsets(wd, cellq, state.qs)
+            pots = np.asarray(stdwells.well_potentials(wd, cellq, cdp))
+            return {n: pots[i] for i, n in enumerate(self.well_names)}
+        except Exception:
+            return None
+
     def run(self, state: Optional[BlackoilState] = None, *,
             report_step_limit: Optional[int] = None, verbose: bool = False,
             restart_file: Optional[str] = None,
@@ -362,8 +386,10 @@ class SimulatorFullyImplicitBlackoil:
                 rates = {n: np.asarray(state.qs)[i]
                          for i, n in enumerate(self.well_names)}
                 voidage = self._field_voidage(state)
+                pots = self._well_potentials(state)
                 step_wells = resolve_group_controls(step_wells, step.groups,
-                                                    rates, voidage)
+                                                    rates, voidage,
+                                                    potentials=pots)
             ws = self._pad_well_set(build_well_set(
                 step_wells, self.grid, max_perf=self.max_perf,
                 name_order=self.well_names))

@@ -119,6 +119,7 @@ class NonlinearSolver:
             _os.environ.get("OPM_TPU_GMG",
                             "1" if jax.default_backend() != "cpu"
                             else "0") == "1"
+        self._schur = _os.environ.get("OPM_TPU_SCHUR", "1") == "1"
         if linear_solver == "cpr":
             if use_gmg:
                 from opm_tpu.linalg.gmg import StructuredGmg
@@ -188,19 +189,31 @@ class NonlinearSolver:
     def _solve_cpr(self, state, acc0, dt, wd, cdp, omega):
         """Block-sparse assembly + BiCGStab/CPR-AMG Newton increment
         (computeNewtonIncrement analogue,
-        NewtonIterationBlackoilCPR.cpp:80-185)."""
+        NewtonIterationBlackoilCPR.cpp:80-185). Well unknowns are
+        Schur-eliminated by default (eliminateVariable/recoverVariable,
+        NewtonIterationUtilities.cpp:45-184) so the Krylov space holds only
+        cell dofs; OPM_TPU_SCHUR=0 keeps wells in the Krylov system."""
         from opm_tpu.linalg.krylov import bicgstab
-        from opm_tpu.linalg.precond import make_cpr
+        from opm_tpu.linalg.precond import make_cpr, make_cpr_cells
         from opm_tpu.models import linearize
 
         model = self.model
         sys = linearize.assemble(model, state, acc0, dt, wd, cdp)
-        M = make_cpr(sys, self.amg, dims=self._dims)
-        res = bicgstab(lambda v: linearize.matvec(sys, *v, dims=self._dims),
-                       (sys.r_cell, sys.r_well), precond=M,
-                       tol=self.linear_tol, maxiter=self.linear_maxiter)
-        du_c, du_w = res.x      # du_c: (3, nc)
-        nc = model.nc
+        if self._schur:
+            mv, rhs, recover = linearize.schur_eliminate_wells(
+                sys, dims=self._dims)
+            M = make_cpr_cells(sys, self.amg, dims=self._dims)
+            res = bicgstab(mv, rhs, precond=M, tol=self.linear_tol,
+                           maxiter=self.linear_maxiter)
+            du_c = res.x
+            du_w = recover(du_c)
+        else:
+            M = make_cpr(sys, self.amg, dims=self._dims)
+            res = bicgstab(
+                lambda v: linearize.matvec(sys, *v, dims=self._dims),
+                (sys.r_cell, sys.r_well), precond=M,
+                tol=self.linear_tol, maxiter=self.linear_maxiter)
+            du_c, du_w = res.x      # du_c: (3, nc)
         du = jnp.concatenate([
             du_c[0], du_c[1], du_c[2],
             du_w[:, 3], du_w[:, :3].reshape(-1)])

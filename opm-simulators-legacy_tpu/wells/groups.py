@@ -39,12 +39,17 @@ def _in_group(well: WellConfig, group: str,
 def resolve_group_controls(step_wells: List[WellConfig],
                            groups: Dict[str, GroupConfig],
                            rates: Dict[str, np.ndarray],
-                           voidage_rate: float = 0.0) -> List[WellConfig]:
+                           voidage_rate: float = 0.0,
+                           potentials: Dict[str, np.ndarray] = None
+                           ) -> List[WellConfig]:
     """Return well configs with GRUP controls replaced by concrete targets.
 
     rates: current surface rates per well name (production negative), used
-    as guide rates. voidage_rate: total reservoir voidage of the field's
-    producers (for VREP), computed by the caller from the rate converter.
+    as guide rates; wells with no flow yet fall back to their production
+    POTENTIALS (computeWellPotentials guide rates,
+    StandardWells_impl.hpp:1005 + WellCollection), then to equal shares.
+    voidage_rate: total reservoir voidage of the field's producers (for
+    VREP), computed by the caller from the rate converter.
     """
     wells = [w.copy() for w in step_wells]
     for gname, g in groups.items():
@@ -61,6 +66,10 @@ def resolve_group_controls(step_wells: List[WellConfig],
                     guides = np.array([
                         max(-rates.get(w.name, np.zeros(3))[ph], 0.0)
                         for w in members])
+                    if guides.sum() <= 0 and potentials:
+                        guides = np.array([
+                            max(potentials.get(w.name, np.zeros(3))[ph], 0.0)
+                            for w in members])
                     if guides.sum() <= 0:
                         guides = np.ones(len(members))
                     shares = guides / guides.sum()

@@ -270,3 +270,37 @@ def test_cpr_gmg_solves_newton_system(spe1_system):
                    maxiter=50)
     assert bool(res.converged)
     assert int(res.iterations) <= 25, int(res.iterations)
+
+
+def test_schur_well_elimination(spe1_system):
+    """Schur-eliminated Newton increment == full-system increment
+    (eliminateVariable/recoverVariable, NewtonIterationUtilities.cpp)."""
+    from opm_tpu.linalg.precond import make_cpr, make_cpr_cells
+    from opm_tpu.models import linearize
+
+    model, state, acc0, dt, wd, cdp, sys = spe1_system
+    dims = tuple(model.grid.dims)
+    hier = build_hierarchy(model.nc, model.grid.face_cells, model.grid.trans)
+    amg = hier.device()
+
+    # full system, tight tolerance
+    M = make_cpr(sys, amg)
+    full = bicgstab(lambda v: linearize.matvec(sys, *v),
+                    (sys.r_cell, sys.r_well), precond=M, tol=1e-10,
+                    maxiter=200)
+    assert bool(full.converged)
+    # schur-eliminated
+    mv, rhs, recover = linearize.schur_eliminate_wells(sys, dims=dims)
+    Mc = make_cpr_cells(sys, amg, dims=dims)
+    red = bicgstab(mv, rhs, precond=Mc, tol=1e-10, maxiter=200)
+    assert bool(red.converged)
+    du_w = recover(red.x)
+    scale = np.abs(np.asarray(full.x[0])).max()
+    assert np.allclose(np.asarray(red.x), np.asarray(full.x[0]),
+                       atol=1e-7 * scale)
+    wscale = np.abs(np.asarray(full.x[1])).max() + 1e-30
+    assert np.allclose(np.asarray(du_w), np.asarray(full.x[1]),
+                       atol=1e-6 * wscale)
+    # iteration count stays in the reference's budget at its tolerance
+    quick = bicgstab(mv, rhs, precond=Mc, tol=1e-2, maxiter=50)
+    assert int(quick.iterations) <= 25
