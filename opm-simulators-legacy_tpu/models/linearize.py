@@ -38,7 +38,13 @@ from opm_tpu.wells.wells import (CTRL_BHP, CTRL_RESERVOIR_RATE, CTRL_RESV,
                                  CTRL_THP)
 
 
-_EYE_GX = jnp.zeros((3, 3)).at[2, 2].set(1.0)
+import numpy as _np
+
+# plain numpy: a module-level jnp OP would become a leaked tracer when this
+# module is first imported inside a jit trace (solver methods import it
+# lazily) — the bench's UnexpectedTracerError
+_EYE_GX = _np.zeros((3, 3))
+_EYE_GX[2, 2] = 1.0
 
 
 def degenerate_x_mask(model, state):

@@ -106,3 +106,42 @@ def test_sharded_newton_step_matches_single(mesh8):
     assert np.allclose(np.asarray(out.pressure), np.asarray(ref.pressure),
                        rtol=1e-10)
     assert np.allclose(np.asarray(out.sw), np.asarray(ref.sw), atol=1e-12)
+
+
+def test_sharded_cpr_solve_matches_single(mesh8):
+    """The production CPR Newton increment (structured GMG + Schur) under
+    global-view cell sharding must equal the unsharded increment — XLA
+    partitions the stencil slice ops with halo collectives."""
+    import os
+
+    import __graft_entry__ as ge
+    os.environ["OPM_TPU_GMG"] = "1"
+    try:
+        model, state, acc0, wd, cdp = ge._build(8, 8, 4)
+        dt = jnp.asarray(43200.0)
+        from opm_tpu.solver.newton import NonlinearSolver
+        solver = NonlinearSolver(model, linear_solver="cpr")
+        step = jax.jit(lambda s, a: solver._solve_cpr(
+            s, a, dt, wd, cdp, jnp.asarray(1.0))[0])
+        ref = step(state, acc0)
+
+        cell_sh = NamedSharding(mesh8, P("cells"))
+        repl = NamedSharding(mesh8, P())
+        state_sh = state._replace(
+            pressure=jax.device_put(state.pressure, cell_sh),
+            sw=jax.device_put(state.sw, cell_sh),
+            x=jax.device_put(state.x, cell_sh),
+            hcstate=jax.device_put(state.hcstate, cell_sh),
+            bhp=jax.device_put(state.bhp, repl),
+            qs=jax.device_put(state.qs, repl),
+            control=jax.device_put(state.control, repl),
+            target=jax.device_put(state.target, repl))
+        acc0_sh = jax.device_put(
+            acc0, NamedSharding(mesh8, P(None, "cells")))
+        out = step(state_sh, acc0_sh)
+        assert np.allclose(np.asarray(out.pressure),
+                           np.asarray(ref.pressure), rtol=1e-9)
+        assert np.allclose(np.asarray(out.sw), np.asarray(ref.sw),
+                           atol=1e-11)
+    finally:
+        os.environ.pop("OPM_TPU_GMG", None)
