@@ -14,6 +14,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -350,6 +351,11 @@ class SimulatorFullyImplicitBlackoil:
         t_start = time.perf_counter()
         nw = len(self.well_names)
         self._unrst_steps = []
+        # async output worker (the reference's BlackoilOutputWriter
+        # asyncOutput_ / ThreadHandle): report-step writes overlap the next
+        # step's device work
+        from opm_tpu.utils.threadhandle import ThreadHandle
+        writer = ThreadHandle()
         start_step = 0
         if restart_file is not None:
             from opm_tpu.io.restart import load_restart
@@ -447,10 +453,12 @@ class SimulatorFullyImplicitBlackoil:
                 os.makedirs(self.output_dir, exist_ok=True)
                 if write_restart:
                     from opm_tpu.io.restart import save_restart
-                    save_restart(
+                    host_state = jax.tree.map(np.asarray, state)
+                    writer.submit(
+                        save_restart,
                         os.path.join(self.output_dir,
                                      f"restart_{step.index:04d}.npz"),
-                        state, report_step=step.index,
+                        host_state, report_step=step.index,
                         time=step.end_time,
                         suggested_dt=self.ts.suggested_dt)
                     # accumulate ECL unified-restart solution steps
@@ -469,7 +477,8 @@ class SimulatorFullyImplicitBlackoil:
                     from opm_tpu.io.vtk import write_vtr
                     from opm_tpu.models.state import saturations
                     sw, so, sg = saturations(state)
-                    write_vtr(
+                    writer.submit(
+                        write_vtr,
                         os.path.join(self.output_dir,
                                      f"step_{step.index:04d}.vtr"),
                         self.grid,
@@ -481,6 +490,7 @@ class SimulatorFullyImplicitBlackoil:
                       f"newton={subrep.total_newton:3d} "
                       f"FPR={r['FPR'] / 1e5:8.2f} bar "
                       f"FOPR={r['FOPR'] * DAY:10.1f} FGOR={r['FGOR']:8.2f}")
+        writer.close()
         self.report.total_time = time.perf_counter() - t_start
         if self.output_dir:
             import os
