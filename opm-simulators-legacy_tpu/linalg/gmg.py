@@ -244,7 +244,7 @@ class StructuredGmg:
         idx = jnp.arange(n).reshape(cz, cy, cx)
         A = jnp.zeros((n, n), diag3.dtype)
         A = A.at[jnp.arange(n), jnp.arange(n)].set(diag3.reshape(-1))
-        for ax, stride in ((0, cy * cx), (1, cx), (2, 1)):
+        for ax in range(3):
             aL, aR = offs[ax]
             if aL.shape[ax] == 0:
                 continue
