@@ -120,6 +120,8 @@ class NonlinearSolver:
                             "1" if jax.default_backend() != "cpu"
                             else "0") == "1"
         self._schur = _os.environ.get("OPM_TPU_SCHUR", "1") == "1"
+        # f32 Krylov solve (reference singlePrecision path); f64 elsewhere
+        self._f32_solve = _os.environ.get("OPM_TPU_F32_SOLVE", "0") == "1"
         if linear_solver == "cpr":
             if use_gmg:
                 from opm_tpu.linalg.gmg import StructuredGmg
@@ -199,6 +201,16 @@ class NonlinearSolver:
 
         model = self.model
         sys = linearize.assemble(model, state, acc0, dt, wd, cdp)
+        if self._f32_solve:
+            # single-precision linear solve (the reference's
+            # LinearisedBlackoilResidual singlePrecision path,
+            # maxSinglePrecisionDays): the Krylov loop is bandwidth-bound
+            # and the 1e-2 reduction target is far above f32 resolution;
+            # the Newton update is applied in f64
+            sys = jax.tree.map(
+                lambda a: (a.astype(jnp.float32)
+                           if jnp.issubdtype(a.dtype, jnp.floating) else a),
+                sys)
         if self._schur:
             mv, rhs, recover = linearize.schur_eliminate_wells(
                 sys, dims=self._dims)
@@ -217,7 +229,7 @@ class NonlinearSolver:
         du = jnp.concatenate([
             du_c[0], du_c[1], du_c[2],
             du_w[:, 3], du_w[:, :3].reshape(-1)])
-        du = omega * du
+        du = (omega * du).astype(state.pressure.dtype)
         return update_state(model, state, du), res.iterations, res.converged
 
     # -- host loop ---------------------------------------------------------
