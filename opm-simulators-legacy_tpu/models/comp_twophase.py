@@ -88,14 +88,16 @@ class CompressibleTwophaseModel:
         return self.pv_ref
 
     # -- local physics ------------------------------------------------------
-    def _face_surface_fluxes(self, pL, pR, sL, sR, dz):
-        """(F_w^s, F_o^s, v_total) through one face, shape-generic."""
+    def _face_surface_fluxes(self, pL, pR, sL, sR, dz, wfL=1.0, wfR=1.0):
+        """(F_w^s, F_o^s, v_total) through one face, shape-generic. wfL/wfR
+        are water-mobility multipliers (polymer effects; 1 for plain
+        two-phase — CompressibleTpfaPolymer's modified total mobility)."""
         props = self.props
         rw_L, ro_L = props.density(pL)
         rw_R, ro_R = props.density(pR)
         krwL, kroL = props.relperm(sL)
         krwR, kroR = props.relperm(sR)
-        mobs = ((krwL / props.mu_w(pL), krwR / props.mu_w(pR),
+        mobs = ((wfL * krwL / props.mu_w(pL), wfR * krwR / props.mu_w(pR),
                  props.b_w, 0.5 * (rw_L + rw_R)),
                 (kroL / props.mu_o(pL), kroR / props.mu_o(pR),
                  props.b_o, 0.5 * (ro_L + ro_R)))
@@ -110,35 +112,38 @@ class CompressibleTwophaseModel:
             vtot = vtot + vf
         return out[0], out[1], vtot
 
-    def _cell_surface_sources(self, p, s, src):
+    def _cell_surface_sources(self, p, s, src, wf=1.0):
         """Surface-volume phase rates from the reservoir-volume source
         `src` (positive = water injection, negative = total production
         split by fractional flow — the examples' convention)."""
         props = self.props
-        fw = props.fractional_flow(s, p)
+        krw, kro = props.relperm(s)
+        mw = wf * krw / props.mu_w(p)
+        mo = kro / props.mu_o(p)
+        fw = mw / jnp.maximum(mw + mo, 1e-30)
         q_w_res = jnp.maximum(src, 0.0) + jnp.minimum(src, 0.0) * fw
         q_o_res = jnp.minimum(src, 0.0) * (1.0 - fw)
         return props.b_w(p) * q_w_res, props.b_o(p) * q_o_res
 
     # -- pressure Newton ----------------------------------------------------
-    def _pressure_residual(self, p, sw0, z0, pv0, src, dt):
+    def _pressure_residual(self, p, sw0, z0, pv0, src, dt, wf):
         """Volume-discrepancy residual (units m3)."""
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
         dz = self.depth[c1] - self.depth[c2]
         fw, fo, _ = self._face_surface_fluxes(p[c1], p[c2], sw0[c1], sw0[c2],
-                                              dz)
+                                              dz, wf[c1], wf[c2])
         fw = self.trans * fw
         fo = self.trans * fo
         div_w = jnp.zeros(self.nc).at[c1].add(fw).at[c2].add(-fw)
         div_o = jnp.zeros(self.nc).at[c1].add(fo).at[c2].add(-fo)
-        qw, qo = self._cell_surface_sources(p, sw0, src)
+        qw, qo = self._cell_surface_sources(p, sw0, src, wf)
         mass_w = pv0 * z0[0] + dt * (qw - div_w)
         mass_o = pv0 * z0[1] + dt * (qo - div_o)
         return (self.pore_volume(p) - mass_w / self.props.b_w(p)
                 - mass_o / self.props.b_o(p))
 
-    def _pressure_jacobian_stencil(self, p, sw0, z0, pv0, src, dt):
+    def _pressure_jacobian_stencil(self, p, sw0, z0, pv0, src, dt, wf):
         """Exact scalar TPFA-stencil Jacobian (diag, off) via jacfwd of the
         shared local functions."""
         c1 = self.face_cells[:, 0]
@@ -147,8 +152,10 @@ class CompressibleTwophaseModel:
         bw = self.props.b_w(p)
         bo = self.props.b_o(p)
 
-        def face_masses(pLv, pRv, sLv, sRv, dzv, bwLv, boLv, bwRv, boRv):
-            fwv, fov, _ = self._face_surface_fluxes(pLv, pRv, sLv, sRv, dzv)
+        def face_masses(pLv, pRv, sLv, sRv, dzv, bwLv, boLv, bwRv, boRv,
+                        wfLv, wfRv):
+            fwv, fov, _ = self._face_surface_fluxes(pLv, pRv, sLv, sRv, dzv,
+                                                    wfLv, wfRv)
             # contribution of this face to (r_L, r_R): -dt*(+-F)/b(cell)
             rL = dt * (fwv / bwLv + fov / boLv)
             rR = -dt * (fwv / bwRv + fov / boRv)
@@ -156,14 +163,14 @@ class CompressibleTwophaseModel:
 
         dface = jax.vmap(jax.jacfwd(face_masses, argnums=(0, 1)))(
             p[c1], p[c2], sw0[c1], sw0[c2], dz, bw[c1], bo[c1], bw[c2],
-            bo[c2])
+            bo[c2], wf[c1], wf[c2])
         dL, dR = dface                     # each (nf, 2)
         dL = dL * self.trans[:, None]
         dR = dR * self.trans[:, None]
 
         def cell_local(pi, pv_refi, sw0i, z0wi, z0oi, pv0i, srci, divwi,
-                       divoi):
-            qwi, qoi = self._cell_surface_sources(pi, sw0i, srci)
+                       divoi, wfi):
+            qwi, qoi = self._cell_surface_sources(pi, sw0i, srci, wfi)
             mass_w = pv0i * z0wi + dt * (qwi - divwi)
             mass_o = pv0i * z0oi + dt * (qoi - divoi)
             pvi = pv_refi * (self.rock.pv_mult(pi) if self.rock is not None
@@ -174,13 +181,13 @@ class CompressibleTwophaseModel:
         # div terms frozen for the diagonal-cell derivative (their own p
         # dependence is already in dface)
         fw, fo, _ = self._face_surface_fluxes(p[c1], p[c2], sw0[c1], sw0[c2],
-                                              dz)
+                                              dz, wf[c1], wf[c2])
         fw = self.trans * fw
         fo = self.trans * fo
         div_w = jnp.zeros(self.nc).at[c1].add(fw).at[c2].add(-fw)
         div_o = jnp.zeros(self.nc).at[c1].add(fo).at[c2].add(-fo)
         dcell = jax.vmap(jax.jacfwd(cell_local))(
-            p, self.pv_ref, sw0, z0[0], z0[1], pv0, src, div_w, div_o)
+            p, self.pv_ref, sw0, z0[0], z0[1], pv0, src, div_w, div_o, wf)
 
         diag = dcell
         diag = diag.at[c1].add(dL[:, 0])
@@ -189,13 +196,14 @@ class CompressibleTwophaseModel:
         off_RL = dL[:, 1]                  # row c2, col c1
         return diag, off_RL, off_LR
 
-    def _pressure_newton(self, p0, sw0, z0, src, dt, tol=1e-8, maxiter=25):
+    def _pressure_newton(self, p0, sw0, z0, src, dt, wf, tol=1e-8,
+                         maxiter=25):
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
         pv0 = self.pore_volume(p0)
 
         def rfun(p):
-            return self._pressure_residual(p, sw0, z0, pv0, src, dt)
+            return self._pressure_residual(p, sw0, z0, pv0, src, dt, wf)
 
         # volume-discrepancy residual measured relative to pore volume
         # (tol 1e-8 => max |r| below 1e-8 * max pv, far below any physical
@@ -206,7 +214,7 @@ class CompressibleTwophaseModel:
             p, it, _, lin = carry
             r = rfun(p)
             diag, off_RL, off_LR = self._pressure_jacobian_stencil(
-                p, sw0, z0, pv0, src, dt)
+                p, sw0, z0, pv0, src, dt, wf)
             if self.pin_cell is not None:
                 pen = 1e3 * jnp.max(jnp.abs(diag))
                 r = r.at[self.pin_cell].add(
@@ -239,15 +247,18 @@ class CompressibleTwophaseModel:
         # total Darcy flux for the transport stage
         dz = self.depth[c1] - self.depth[c2]
         _, _, vtot = self._face_surface_fluxes(p[c1], p[c2], sw0[c1],
-                                               sw0[c2], dz)
+                                               sw0[c2], dz, wf[c1], wf[c2])
         return p, self.trans * vtot, iters, rn, lin
 
-    def pressure_solve(self, p0, sw0, z0, src, dt):
+    def pressure_solve(self, p0, sw0, z0, src, dt, wf=None):
         """Newton on the pressure equation; returns
-        (p, total_flux, newton_iters, final_scaled_residual, linear_iters)."""
+        (p, total_flux, newton_iters, final_scaled_residual, linear_iters).
+        wf: optional per-cell water-mobility multiplier (polymer)."""
+        if wf is None:
+            wf = jnp.ones(self.nc)
         return self._psolve(jnp.asarray(p0), jnp.asarray(sw0),
                             jnp.asarray(z0), jnp.asarray(src),
-                            jnp.asarray(dt))
+                            jnp.asarray(dt), jnp.asarray(wf))
 
     # -- transport ----------------------------------------------------------
     def _transport_sweeps(self, s_init, p, z0, pv0, pv, flux, src, dt,

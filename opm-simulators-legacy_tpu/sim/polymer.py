@@ -14,6 +14,8 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from opm_tpu.models.comp_polymer import (CompPolymerState,
+                                         CompressiblePolymerModel)
 from opm_tpu.models.polymer import PolymerState, PolymerTwophaseModel
 from opm_tpu.props.polymer import PolymerProperties
 
@@ -76,3 +78,59 @@ class SimulatorPolymer:
             rep.water_prod.append(float(-(prod * fw).sum()))
         return PolymerState(pressure=p, sw=sw, c=c, cmax=cmax, flux=flux), \
             rep
+
+
+class SimulatorCompressiblePolymer:
+    """SimulatorCompressiblePolymer.cpp: CompressibleTpfaPolymer pressure
+    Newton + compressible reordered (s, c) transport."""
+
+    def __init__(self, grid, props, poly: PolymerProperties, src,
+                 inflow: PolymerInflow, *, gravity_on=False, rock=None,
+                 pin_cell=None, pin_val=0.0):
+        self.model = CompressiblePolymerModel(grid, props, poly,
+                                              gravity_on=gravity_on,
+                                              rock=rock, pin_cell=pin_cell,
+                                              pin_val=pin_val)
+        self.src = np.asarray(src)
+        self.inflow = inflow
+
+    def initial_state(self, p0, sw0, c0=None) -> CompPolymerState:
+        model = self.model
+        p0 = jnp.asarray(p0)
+        sw0 = jnp.asarray(sw0)
+        c = jnp.zeros(model.nc) if c0 is None else jnp.asarray(c0)
+        z = jnp.stack([model.props.b_w(p0) * sw0,
+                       model.props.b_o(p0) * (1.0 - sw0)])
+        return CompPolymerState(pressure=p0, sw=sw0, c=c, cmax=c, z=z,
+                                flux=jnp.zeros(model.grid.nf))
+
+    def run(self, state: CompPolymerState, dt, num_steps):
+        model = self.model
+        poly = model.poly
+        rep = PolymerReport()
+        t = 0.0
+        for _ in range(num_steps):
+            p_old = state.pressure
+            p, flux, _, _, _ = model.pressure_solve_polymer(
+                p_old, state.sw, state.c, state.cmax, state.z, self.src, dt)
+            c_inj = self.inflow.at(t)
+            c_inflow = jnp.where(jnp.asarray(self.src) > 0, c_inj, 0.0)
+            sw, c, cmax, z, _ = model.transport_polymer(
+                state.sw, state.c, state.cmax, p_old, p, flux, self.src,
+                c_inflow, dt)
+            state = CompPolymerState(pressure=p, sw=sw, c=c, cmax=cmax, z=z,
+                                     flux=flux)
+            t += dt
+            rep.times.append(t)
+            mu_w = np.asarray(model.props.mu_w(p))
+            src_c = np.maximum(self.src, 0.0) * c_inj
+            rep.injected_polymer += float(src_c.sum()) * dt
+            ff = np.asarray(model._frac_flow_poly(sw, c, cmax,
+                                                  model.props.mu_w(p),
+                                                  model.props.mu_o(p)))
+            mc = np.asarray(poly.polymer_frac_in_water(c, mu_w))
+            prod = np.minimum(self.src, 0.0)
+            rep.produced_polymer += float(
+                -(prod * ff * np.asarray(c) * mc).sum()) * dt
+            rep.water_prod.append(float(-(prod * ff).sum()))
+        return state, rep
