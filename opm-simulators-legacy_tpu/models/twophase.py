@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from opm_tpu.linalg.amg import build_hierarchy
 from opm_tpu.linalg.krylov import bicgstab
+from opm_tpu.models.bc import assemble_bc_arrays
 
 
 class TwophaseState(NamedTuple):
@@ -39,7 +40,7 @@ class TwophaseState(NamedTuple):
 
 
 class TwophaseModel:
-    def __init__(self, grid, props, *, gravity_on=True):
+    def __init__(self, grid, props, *, gravity_on=True, bcs=None):
         self.grid = grid
         self.props = props
         self.nc = grid.nc
@@ -49,6 +50,13 @@ class TwophaseModel:
         self.pv = f(grid.pore_volume)
         self.depth = f(grid.depth)
         self.gravity = grid.gravity if gravity_on else 0.0
+        # boundary conditions (FlowBCManager role, models/bc.py); default
+        # all-noflow
+        pc, pvl, qf = assemble_bc_arrays(bcs, grid.nc)
+        self.bc_p_coef = f(pc)
+        self.bc_p_val = f(pvl)
+        self.bc_q = f(qf)
+        self.has_pressure_bc = bool((pc != 0).any())
         self._amg = build_hierarchy(grid.nc, grid.face_cells,
                                     grid.trans).device()
         self._psolve = jax.jit(self._pressure_solve)
@@ -93,6 +101,9 @@ class TwophaseModel:
         mt_f = 0.5 * (mt[c1] + mt[c2])
         a_off = self.trans * mt_f
         diag = jnp.zeros(self.nc).at[c1].add(a_off).at[c2].add(a_off)
+        # Dirichlet-pressure boundary faces: T_b lam_t (p - p_bc)
+        bc_coef = self.bc_p_coef * mt
+        diag = diag + bc_coef
         # gravity drive: total gravity flux through faces -> rhs divergence
         rho_w, rho_o = self.props.density
         gm = mw * rho_w + mo * rho_o
@@ -100,12 +111,13 @@ class TwophaseModel:
         dz = self.depth[c1] - self.depth[c2]
         # Darcy with downward z: F = T lam_t dp - T (lam.rho)_f g dz
         grav_flux = -self.trans * gm_f * self.gravity * dz
-        rhs = jnp.asarray(src)
+        rhs = jnp.asarray(src) + bc_coef * self.bc_p_val + self.bc_q
         rhs = rhs.at[c1].add(-grav_flux).at[c2].add(grav_flux)
-        # pure-Neumann singularity: pin one cell with a diagonal penalty
-        pen = 1e3 * jnp.max(diag)
-        diag = diag.at[p_fix_cell].add(pen)
-        rhs = rhs.at[p_fix_cell].add(pen * p_fix_val)
+        if not self.has_pressure_bc:
+            # pure-Neumann singularity: pin one cell with a diagonal penalty
+            pen = 1e3 * jnp.max(diag)
+            diag = diag.at[p_fix_cell].add(pen)
+            rhs = rhs.at[p_fix_cell].add(pen * p_fix_val)
 
         def matvec(x):
             y = diag * x
@@ -120,7 +132,9 @@ class TwophaseModel:
                        tol=1e-10, maxiter=300)
         p = res.x
         flux = a_off * (p[c1] - p[c2]) + grav_flux
-        return p, flux, res.iterations
+        # realized boundary influx per cell (positive = into the domain)
+        q_bc = bc_coef * (self.bc_p_val - p) + self.bc_q
+        return p, flux, q_bc, res.iterations
 
     def pressure_solve(self, sw, src, *, p_fix_cell=0, p_fix_val=1e7):
         return self._psolve(jnp.asarray(sw), jnp.asarray(src),

@@ -59,7 +59,8 @@ class SimulatorPolymer:
         t = 0.0
         p = flux = None
         for _ in range(num_steps):
-            p, flux, _ = model.pressure_solve_polymer(sw, c, cmax, self.src)
+            p, flux, _, _ = model.pressure_solve_polymer(sw, c, cmax,
+                                                         self.src)
             c_inj = self.inflow.at(t)
             src_c = np.maximum(self.src, 0.0) * c_inj
             sw, c, cmax, sweeps, ds = model.transport_solve_polymer(

@@ -27,8 +27,9 @@ class TwophaseReport:
 
 
 class SimulatorIncompTwophase:
-    def __init__(self, grid, props, src, *, gravity_on=True):
-        self.model = TwophaseModel(grid, props, gravity_on=gravity_on)
+    def __init__(self, grid, props, src, *, gravity_on=True, bcs=None):
+        self.model = TwophaseModel(grid, props, gravity_on=gravity_on,
+                                   bcs=bcs)
         self.src = np.asarray(src)
 
     def run(self, sw0, dt, num_steps, *, p_fix_val=1e7) -> tuple:
@@ -39,9 +40,11 @@ class SimulatorIncompTwophase:
         p = None
         flux = None
         for _ in range(num_steps):
-            p, flux, pit = model.pressure_solve(sw, self.src,
-                                                p_fix_val=p_fix_val)
-            sw, tit, rn = model.transport_solve(sw, flux, self.src, dt)
+            p, flux, q_bc, pit = model.pressure_solve(
+                sw, self.src, p_fix_val=p_fix_val)
+            # boundary fluxes act as transport sources (inflow = water)
+            src_t = self.src + np.asarray(q_bc)
+            sw, tit, rn = model.transport_solve(sw, flux, src_t, dt)
             rep.pressure_iters += int(pit)
             rep.transport_iters += int(tit)
             t += dt

@@ -23,7 +23,7 @@ def test_pressure_linear_1d():
     src[0] = q
     src[-1] = -q
     sw = jnp.full(g.nc, 0.5)
-    p, flux, it = model.pressure_solve(sw, src)
+    p, flux, _, it = model.pressure_solve(sw, src)
     p = np.asarray(p)
     dp = np.diff(p)
     assert np.allclose(dp, dp[0], rtol=1e-6)     # linear profile
