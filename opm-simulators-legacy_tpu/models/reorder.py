@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from opm_tpu.models import gravity as gravmod
 from opm_tpu.native.graph import upwind_levels
 
 _BISECT_ITERS = 60  # 2^-60 saturation resolution
@@ -38,6 +39,7 @@ class ReorderTwophaseTransport:
         self.face_cells = f(grid.face_cells)
         self.pv = f(grid.pore_volume)
         self._solve = jax.jit(self._sweep_solve, static_argnames=("sweeps",))
+        self._columns = None
 
     # -- the per-cell residual (vectorized over all cells) -----------------
     def _residual_all(self, s, s0, influx_w, outflux, src, dtpv):
@@ -102,3 +104,24 @@ class ReorderTwophaseTransport:
         dtpv = jnp.asarray(dt) / self.pv
         return self._solve(jnp.asarray(s0), jnp.asarray(flux),
                            jnp.asarray(src), dtpv, sweeps=int(budget))
+
+    def solve_gravity(self, s, dt):
+        """Column-wise gravity segregation
+        (TransportSolverTwophaseReorder::solveGravity/solveGravityColumn,
+        TransportSolverTwophaseReorder.cpp:589-698): constant densities and
+        viscosities, shared models/gravity.py column machinery."""
+        if self._columns is None:
+            self._columns = gravmod.build_columns(self.grid)
+        cols = self._columns
+        mu_w, mu_o = self.props.viscosity
+        rho_w, rho_o = self.props.density
+        nc = self.nc
+        ones = jnp.ones(nc)
+        s_new, sweeps = gravmod.segregate(
+            jnp.asarray(cols.cells), jnp.asarray(cols.faces),
+            jnp.asarray(self.grid.trans), jnp.asarray(self.grid.depth),
+            jnp.asarray(self.grid.dz) * 0.5, jnp.asarray(s),
+            jnp.asarray(dt) / self.pv, mu_w * ones, mu_o * ones,
+            rho_w * ones, rho_o * ones, jnp.asarray(self.grid.gravity),
+            self.props.relperm)
+        return s_new, int(sweeps)

@@ -78,3 +78,35 @@ def test_gravity_segregation():
     assert sw[-1] > 0.95 and sw[0] < 0.05
     assert sw.mean() == pytest.approx(0.5, abs=1e-8)
     assert np.all(np.diff(sw) >= -1e-8)  # monotone with depth
+
+
+def test_reorder_gravity_columns_match_implicit():
+    """The reorder family's column-wise segregation
+    (TransportSolverTwophaseReorder::solveGravity) agrees with the implicit
+    transport's gravity path on a closed column."""
+    from opm_tpu.models.reorder import ReorderTwophaseTransport
+    g = cartesian_grid((2, 1, 24), (2.0, 1.0, 24.0), perm=1e-12, poro=0.3)
+    props = IncompProps(viscosity=(1e-3, 2e-3), density=(1000.0, 750.0),
+                        exponent=2.0)
+    src = np.zeros(g.nc)
+    dt = 5 * DAY
+
+    reorder = ReorderTwophaseTransport(g, props)
+    s_r = jnp.full(g.nc, 0.5)
+    for _ in range(40):
+        s_r, _ = reorder.solve_gravity(s_r, dt)
+    s_r = np.asarray(s_r)
+
+    model = TwophaseModel(g, props, gravity_on=True)
+    s_i = jnp.full(g.nc, 0.5)
+    for _ in range(40):
+        s_i, _, _ = model.transport_solve(s_i, jnp.zeros(g.nf), src, dt)
+    s_i = np.asarray(s_i)
+
+    # both fully segregated and conservative
+    assert (s_r * g.pore_volume).sum() == pytest.approx(
+        0.5 * g.pore_volume.sum(), rel=1e-8)
+    assert s_r.reshape(24, 2)[-1].min() > 0.95
+    assert s_r.reshape(24, 2)[0].max() < 0.05
+    # end states agree (same implicit equations, different solvers)
+    assert np.max(np.abs(s_r - s_i)) < 5e-2
