@@ -249,3 +249,199 @@ def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
     a0 = jnp.zeros((4,) + shape3)
     a = jax.lax.fori_loop(0, int(nsweeps), sweep, a0)
     return jnp.moveaxis(a.reshape(4, -1), 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# Degree-2 discontinuous Galerkin TOF
+# ---------------------------------------------------------------------------
+
+_DG2_EXPS = np.array([(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                      (2, 0, 0), (0, 2, 0), (0, 0, 2),
+                      (1, 1, 0), (1, 0, 1), (0, 1, 1)])
+# mean-center the pure quadratics so every non-constant function has zero
+# cell average (diagonal-friendly mass matrix)
+_DG2_CENTER = np.array([0, 0, 0, 0, 1 / 12, 1 / 12, 1 / 12, 0, 0, 0])
+_G3 = 0.5 * np.sqrt(3.0 / 5.0)
+_GAUSS_X = np.array([-_G3, 0.0, _G3])            # on [-1/2, 1/2]
+_GAUSS_W = np.array([5.0, 8.0, 5.0]) / 18.0
+
+
+def _dg2_phi(xi):
+    """Basis values at points xi (..., 3) -> (..., 10)."""
+    xi = np.asarray(xi)
+    out = np.ones(xi.shape[:-1] + (10,))
+    for k, e in enumerate(_DG2_EXPS):
+        v = np.ones(xi.shape[:-1])
+        for d in range(3):
+            v = v * xi[..., d] ** e[d]
+        out[..., k] = v - _DG2_CENTER[k]
+    return out
+
+
+def _dg2_dphi(xi):
+    """Basis gradients at xi (..., 3) -> (..., 10, 3)."""
+    xi = np.asarray(xi)
+    out = np.zeros(xi.shape[:-1] + (10, 3))
+    for k, e in enumerate(_DG2_EXPS):
+        for d in range(3):
+            if e[d] == 0:
+                continue
+            v = np.full(xi.shape[:-1], float(e[d]))
+            for dd in range(3):
+                p = e[dd] - (1 if dd == d else 0)
+                v = v * xi[..., dd] ** p
+            out[..., k, d] = v
+    return out
+
+
+def _dg2_matrices():
+    """Constant 10x10 integral matrices over the unit reference cell
+    [-1/2,1/2]^3 (uniform cartesian cells => identical for every cell):
+      Mass[i,j]      = int phi_i phi_j
+      AdvL/R[d][i,j] = int phi_j (1/2 -+/+ xi_d) dphi_i/dxi_d
+      Fown[d][s][i,j]= int_{xi_d=s/2} phi_i phi_j            (own trace)
+      Tnb[d][s][i,j] = int_{xi_d=s/2} phi_i phi_j^{nb}       (nb at -s/2)
+    """
+    # 3-D quadrature grid (3-pt Gauss per dim, exact to degree 5)
+    pts = np.array(np.meshgrid(_GAUSS_X, _GAUSS_X, _GAUSS_X,
+                               indexing="ij")).reshape(3, -1).T
+    w = np.einsum("i,j,k->ijk", _GAUSS_W, _GAUSS_W, _GAUSS_W).ravel()
+    P = _dg2_phi(pts)                      # (m, 10)
+    D = _dg2_dphi(pts)                     # (m, 10, 3)
+    mass = np.einsum("m,mi,mj->ij", w, P, P)
+    advL, advR = [], []
+    for d in range(3):
+        wl = w * (0.5 - pts[:, d])
+        wr = w * (0.5 + pts[:, d])
+        advL.append(np.einsum("m,mj,mi->ij", wl, P, D[:, :, d]))
+        advR.append(np.einsum("m,mj,mi->ij", wr, P, D[:, :, d]))
+    # 2-D face quadrature
+    f2 = np.array(np.meshgrid(_GAUSS_X, _GAUSS_X, indexing="ij"))
+    f2 = f2.reshape(2, -1).T               # (9, 2)
+    w2 = np.einsum("i,j->ij", _GAUSS_W, _GAUSS_W).ravel()
+    fown = [[None, None] for _ in range(3)]
+    tnb = [[None, None] for _ in range(3)]
+    for d in range(3):
+        tr = [e for e in range(3) if e != d]
+        for si, s in enumerate((-1.0, 1.0)):
+            xi_own = np.zeros((9, 3))
+            xi_nb = np.zeros((9, 3))
+            xi_own[:, d] = s / 2
+            xi_nb[:, d] = -s / 2
+            for a, e in enumerate(tr):
+                xi_own[:, e] = f2[:, a]
+                xi_nb[:, e] = f2[:, a]
+            Po = _dg2_phi(xi_own)
+            Pn = _dg2_phi(xi_nb)
+            fown[d][si] = np.einsum("m,mi,mj->ij", w2, Po, Po)
+            tnb[d][si] = np.einsum("m,mi,mj->ij", w2, Po, Pn)
+    return mass, advL, advR, fown, tnb
+
+
+_DG2_CACHE = None
+
+
+def solve_tof_dg2(grid, flux, source, *, nsweeps=None):
+    """Degree-2 discontinuous-Galerkin time-of-flight on a fully-active
+    cartesian grid — the order-2 capability of TofDiscGalReorder
+    (/root/reference/opm/core/flowdiagnostics/TofDiscGalReorder.hpp:49-190,
+    DGBasis.hpp:44-259: bounded-total-degree basis, dim 10 in 3D).
+
+    Design: with the mean-centered monomial basis on uniform cells every
+    cell/face integral is a CONSTANT 10x10 matrix scaled by that cell's
+    face fluxes, so assembly is 10 scalar-field x constant-matrix
+    products; the serial reordered cell loop becomes wavefront sweeps of
+    batched dense 10x10 solves (solver/newton.dense_solve: f64 on CPU,
+    equilibrated f32 + refinement on TPU). In-cell velocity varies
+    linearly per direction between the two face fluxes (the reference's
+    velocity interpolation).
+
+    Returns (nc, 10) coefficients over the basis
+    {1, x, y, z, x^2-1/12, y^2-1/12, z^2-1/12, xy, xz, yz} in cell-width
+    units; column 0 is the cell-mean TOF.
+    """
+    global _DG2_CACHE
+    if _DG2_CACHE is None:
+        _DG2_CACHE = _dg2_matrices()
+    mass, advL, advR, fown, tnb = _DG2_CACHE
+
+    nx, ny, nz = grid.dims
+    assert getattr(grid, "structured", False), "DG TOF needs cartesian grid"
+    nc = grid.nc
+    shape3 = (nz, ny, nx)
+    nfx = (nx - 1) * ny * nz
+    nfy = nx * (ny - 1) * nz
+    flux = jnp.asarray(flux)
+    f3 = [flux[:nfx].reshape(nz, ny, max(nx - 1, 0)),
+          flux[nfx:nfx + nfy].reshape(nz, max(ny - 1, 0), nx),
+          flux[nfx + nfy:].reshape(max(nz - 1, 0), ny, nx)]
+    axis_of = {0: 2, 1: 1, 2: 0}
+    fpad = []
+    for d in range(3):
+        ax = axis_of[d]
+        pads = [(0, 0)] * 3
+        pads[ax] = (1, 1)
+        fpad.append(jnp.pad(f3[d], pads))
+    pv = jnp.asarray(grid.pore_volume)
+    q_prod = jnp.maximum(-jnp.asarray(source), 0.0)
+
+    def take(a, ax, sl):
+        idx = [slice(None)] * 3
+        idx[ax] = sl
+        return a[tuple(idx)].reshape(-1)
+
+    # per-cell face fluxes fL[d], fR[d] (flattened)
+    fL, fR = [], []
+    for d in range(3):
+        ax = axis_of[d]
+        fL.append(take(fpad[d], ax, slice(None, -1)))
+        fR.append(take(fpad[d], ax, slice(1, None)))
+
+    J = jnp.asarray
+    M = q_prod[:, None, None] * J(mass)[None]
+    for d in range(3):
+        M = M - (fL[d][:, None, None] * J(advL[d])[None]
+                 + fR[d][:, None, None] * J(advR[d])[None])
+        q_out_R = jnp.maximum(fR[d], 0.0)
+        q_out_L = jnp.maximum(-fL[d], 0.0)
+        M = M + q_out_R[:, None, None] * J(fown[d][1])[None]
+        M = M + q_out_L[:, None, None] * J(fown[d][0])[None]
+    # stagnant-cell regularization: unit diagonal where the row is empty
+    diag = jnp.einsum("nii->ni", M)
+    M = M + jnp.where(jnp.abs(diag) < 1e-300, 1.0,
+                      0.0)[:, :, None] * jnp.eye(10)[None]
+
+    if nsweeps is None:
+        sched = upwind_levels(nc, np.asarray(grid.face_cells),
+                              np.asarray(flux))
+        nsweeps = sched.nlevels + (30 if sched.max_scc > 1 else 1)
+
+    def shift_nb(a3, ax, s):
+        """Coefficients of the neighbor on side s (s=-1: the -d neighbor)."""
+        pads = [(0, 0)] * 4
+        pads[ax] = (1, 0) if s < 0 else (0, 1)
+        ap = jnp.pad(a3, pads)
+        idx = [slice(None)] * 4
+        idx[ax] = slice(None, -1) if s < 0 else slice(1, None)
+        return ap[tuple(idx)]
+
+    import jax as _jax
+    from opm_tpu.solver.newton import dense_solve
+    dtype = jnp.float32 if _jax.default_backend() == "tpu" else None
+
+    def sweep(_, a):
+        a3 = a.reshape(shape3 + (10,))
+        b = jnp.zeros((nc, 10)).at[:, 0].set(pv)
+        for d in range(3):
+            ax = axis_of[d]
+            for si, s in ((0, -1.0), (1, 1.0)):
+                a_nb = shift_nb(a3, ax, int(s)).reshape(nc, 10)
+                f = fR[d] if s > 0 else fL[d]
+                q_in = jnp.maximum(-s * f, 0.0)
+                b = b + q_in[:, None] * jnp.einsum(
+                    "ij,nj->ni", J(tnb[d][si]), a_nb)
+        return _jax.vmap(lambda Mi, bi: dense_solve(Mi, bi, dtype=dtype))(
+            M, b)
+
+    a = jax.lax.fori_loop(0, int(nsweeps), sweep, jnp.zeros((nc, 10)))
+    return a

@@ -20,6 +20,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="compute_tof", description=__doc__)
     ap.add_argument("deck")
     ap.add_argument("--dg", action="store_true", help="also run degree-1 DG TOF (TofDiscGalReorder)")
+    ap.add_argument("--dg2", action="store_true", help="also run degree-2 DG TOF")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -33,7 +34,7 @@ def main(argv=None):
     from opm_tpu.diagnostics.fphi import (compute_f_phi, compute_lorenz,
                                           compute_sweep)
     from opm_tpu.diagnostics.tof import (solve_tof, solve_tof_dg1,
-                                         solve_tof_tracer)
+                                         solve_tof_dg2, solve_tof_tracer)
     from opm_tpu.io.eclstate import load_case
     from opm_tpu.models.blackoil import make_well_device_arrays
     from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
@@ -73,6 +74,11 @@ def main(argv=None):
         print(f"DG(1) forward TOF [days]: min {a_dg[:, 0].min() / 86400.0:.2f}  "
               f"median {np.median(a_dg[:, 0]) / 86400.0:.2f}  "
               f"max {a_dg[:, 0].max() / 86400.0:.2f}")
+    if getattr(args, "dg2", False) and getattr(g, "structured", False):
+        a_dg2 = np.asarray(solve_tof_dg2(g, flux, src))
+        print(f"DG(2) forward TOF [days]: min {a_dg2[:, 0].min() / 86400.0:.2f}  "
+              f"median {np.median(a_dg2[:, 0]) / 86400.0:.2f}  "
+              f"max {a_dg2[:, 0].max() / 86400.0:.2f}")
     F, phi = compute_f_phi(g.pore_volume, ftof, btof)
     lc = compute_lorenz(F, phi)
     Ev, tD = compute_sweep(F, phi)

@@ -217,3 +217,67 @@ def test_dg1_tof_matches_fv_on_2d():
     v_fv = g.pore_volume[fv <= t_ref].sum()
     v_dg = g.pore_volume[a[:, 0] <= t_ref].sum()
     assert abs(v_dg / v_fv - 1.0) < 0.10, (v_fv, v_dg)
+
+
+def test_dg2_tof_exact_on_uniform_flow():
+    """DG(2) TOF (TofDiscGalReorder degree 2): exact mean and slope on
+    uniform flow with vanishing quadratic coefficients; agrees with DG(1)
+    on the linear field, along every axis."""
+    import numpy as np
+
+    from opm_tpu.diagnostics.tof import solve_tof_dg1, solve_tof_dg2
+    from opm_tpu.grid import cartesian_grid
+
+    q = 2.0e-3
+    for dims, slope_col in (((16, 1, 1), 1), ((1, 16, 1), 2),
+                            ((1, 1, 16), 3)):
+        g = cartesian_grid(dims, tuple(float(d) for d in dims), poro=0.25)
+        src = np.zeros(g.nc)
+        src[0] = q
+        src[-1] = -q
+        a = np.asarray(solve_tof_dg2(g, np.full(g.nf, q), src))
+        pv = g.pore_volume[0]
+        exact_mean = pv * (np.arange(16) + 0.5) / q
+        assert np.allclose(a[1:-1, 0], exact_mean[1:-1], rtol=1e-11)
+        assert np.allclose(a[1:-1, slope_col], pv / q, rtol=1e-11)
+        # quadratic/cross terms vanish on the exactly-linear field
+        assert np.abs(a[1:-1, 4:]).max() < 1e-8 * pv / q
+        # matches DG(1) where the field is linear
+        a1 = np.asarray(solve_tof_dg1(g, np.full(g.nf, q), src))
+        assert np.allclose(a[1:-1, 0], a1[1:-1, 0], rtol=1e-11)
+
+
+def test_dg2_tof_quarter_five_spot():
+    """2-D quarter-five-spot: DG(2) mean TOF is finite, positive, and
+    volume-consistent with the FV solution."""
+    import numpy as np
+
+    from opm_tpu.diagnostics.tof import (solve_tof, solve_tof_dg1,
+                                         solve_tof_dg2)
+    from opm_tpu.grid import cartesian_grid
+    from opm_tpu.models.twophase import TwophaseModel
+    from opm_tpu.props.incomp import IncompProps
+    import jax.numpy as jnp
+
+    g = cartesian_grid((12, 12, 1), (12.0, 12.0, 1.0), perm=1e-13, poro=0.2)
+    props = IncompProps(viscosity=(1e-3, 1e-3), density=(1000.0, 1000.0),
+                        exponent=1.0)
+    model = TwophaseModel(g, props, gravity_on=False)
+    src = np.zeros(g.nc)
+    q = 1e-5
+    src[0] = q
+    src[-1] = -q
+    _, flux, _, _ = model.pressure_solve(jnp.full(g.nc, 0.5), src)
+    a = np.asarray(solve_tof_dg2(g, np.asarray(flux), src))
+    fv = np.asarray(solve_tof(g.face_cells, jnp.asarray(flux),
+                              g.pore_volume, src))
+    assert np.isfinite(a).all()
+    assert (a[:, 0] > 0).all()
+    # tracks the FV field closely; swept volume matches DG(1) (both are
+    # sharper than the smearing FV scheme at the same contour)
+    assert np.corrcoef(a[:, 0], fv)[0, 1] > 0.98
+    a1 = np.asarray(solve_tof_dg1(g, np.asarray(flux), src))
+    t_ref = np.percentile(fv, 30)
+    v_dg2 = g.pore_volume[a[:, 0] <= t_ref].sum()
+    v_dg1 = g.pore_volume[a1[:, 0] <= t_ref].sum()
+    assert abs(v_dg2 / v_dg1 - 1.0) < 0.05
