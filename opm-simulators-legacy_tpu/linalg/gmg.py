@@ -78,18 +78,22 @@ class StructuredGmg:
     C-ordered, then y-faces (nz, ny-1, nx), then z-faces (nz-1, ny, nx).
     """
 
-    def __init__(self, dims, trans=None, *, coarsest=512, max_levels=40):
+    def __init__(self, dims, trans=None, *, coarsest=512, max_levels=40,
+                 strength=None):
         """trans: optional (nf,) static transmissibilities in grid face
         order — used on the host, once, to pick each level's coarsening
         axis by coupling strength (aggregating along STRONG connections,
         the structured analogue of heavy-edge pairwise aggregation;
-        essential on channelized/anisotropic perm fields)."""
+        essential on channelized/anisotropic perm fields). `strength`
+        overrides with precomputed per-axis arrays [z, y, x] (used by the
+        Schwarz wrapper to share one level structure across shards)."""
         nx, ny, nz = dims
         self.dims = (nz, ny, nx)               # internal (z, y, x) order
         self.nc = nx * ny * nz
         self.levels: List[_Level] = []
         d = list(self.dims)
-        st = self._host_strength(dims, trans)
+        st = strength if strength is not None \
+            else self._host_strength(dims, trans)
         while int(np.prod(d)) > coarsest and len(self.levels) < max_levels \
                 and max(d) > 1:
             if st is not None:

@@ -1,0 +1,130 @@
+"""Shard-local CPR pressure preconditioning: additive-Schwarz GMG.
+
+The reference's distributed CPR applies its AMG/ILU preconditioner on
+owner+ghost rows per MPI rank (overlapping Schwarz:
+Dune::OverlappingSchwarzOperator + ParallelOverlappingILU0,
+/root/reference/opm/autodiff/ISTLSolver.hpp:195-340,
+NewtonIterationBlackoilCPR.cpp:141-156) so each preconditioner apply is
+rank-local; only Krylov matvecs and dot products communicate.
+
+TPU-native counterpart: cells are slab-partitioned along z (the slowest
+axis of the structured layout, so shards are contiguous), and each shard
+runs the structured semicoarsened GMG V-cycle (linalg/gmg.py) on its LOCAL
+slab inside `shard_map` — zero collectives per preconditioner apply.
+Cross-slab z-couplings are dropped from the local hierarchies (Dirichlet
+interfaces, block-Jacobi Schwarz); the global diagonal keeps their
+contribution, so the local problems stay SPD-ish and the outer Krylov
+absorbs the interface error. Under global-view sharding XLA would instead
+insert all-gather/halo collectives inside every smoother and transfer of
+the V-cycle; here the only remaining collectives in a CPR solve are the
+BiCGStab dots (psum) and the matvec halos.
+
+The level structure is shared across shards (required: shard_map traces one
+program) by choosing coarsening axes from the shard-averaged coupling
+strength.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from opm_tpu.linalg.gmg import StructuredGmg
+
+
+class SchwarzGmg:
+    """Drop-in for StructuredGmg/DeviceAmg (coarsen_values / vcycle) whose
+    V-cycles run shard-local under shard_map."""
+
+    def __init__(self, dims, mesh, axis_name, trans=None, *, coarsest=256):
+        nx, ny, nz = dims
+        self.dims = dims
+        nsh = int(mesh.shape[axis_name])
+        if nz % nsh != 0:
+            raise ValueError(
+                f"nz={nz} must be divisible by the {axis_name!r} mesh axis "
+                f"({nsh}) for slab Schwarz")
+        self.n_shards = nsh
+        self.nzl = nz // nsh
+        self.mesh = mesh
+        self.axis = axis_name
+        self.nc = nx * ny * nz
+
+        # shared level structure from shard-averaged strength
+        strength = None
+        if trans is not None:
+            st = StructuredGmg._host_strength(dims, np.asarray(trans))
+            stz, sty, stx = st
+            nzl = self.nzl
+            stz_p = np.concatenate(
+                [stz, np.zeros((1, ny, nx))], axis=0).reshape(
+                    nsh, nzl, ny, nx)[:, : nzl - 1]
+            strength = [stz_p.mean(axis=0),
+                        sty.reshape(nsh, nzl, max(ny - 1, 0), nx).mean(0),
+                        stx.reshape(nsh, nzl, ny, max(nx - 1, 0)).mean(0)]
+        self.local = StructuredGmg((nx, ny, self.nzl), coarsest=coarsest,
+                                   strength=strength)
+
+        spec = P(axis_name)
+
+        def _sq(a):
+            return a.reshape(a.shape[1:])
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(spec,) * 7,
+                 out_specs=spec)
+        def _coarsen(diag_b, xL, xR, yL, yR, zL, zR):
+            nzl = self.nzl
+            # drop the cross-slab z face (last padded row)
+            zLl = _sq(zL)[: nzl - 1]
+            zRl = _sq(zR)[: nzl - 1]
+            aL = jnp.concatenate([_sq(xL).ravel(), _sq(yL).ravel(),
+                                  zLl.ravel()])
+            aR = jnp.concatenate([_sq(xR).ravel(), _sq(yR).ravel(),
+                                  zRl.ravel()])
+            vals = self.local.coarsen_values(_sq(diag_b).ravel(),
+                                             jnp.concatenate([aL, aR]))
+            return jax.tree.map(lambda a: a[None], vals)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec),
+                 out_specs=spec)
+        def _vcycle(vals, b_b):
+            vals_l = jax.tree.map(_sq, vals)
+            x = self.local.vcycle(vals_l, b_b.ravel())
+            return x[None]
+
+        self._coarsen_sm = _coarsen
+        self._vcycle_sm = _vcycle
+
+    def coarsen_values(self, diag0, off0):
+        """Same signature as StructuredGmg.coarsen_values: diag0 (nc,),
+        off0 (2*nf,) = [aLR | aRL] in grid face order."""
+        nx, ny, nz = self.dims
+        nzl = self.nzl
+        nsh = self.n_shards
+        nfx = (nx - 1) * ny * nz
+        nfy = nx * (ny - 1) * nz
+        nf = nfx + nfy + nx * ny * (nz - 1)
+        aL, aR = off0[:nf], off0[nf:]
+
+        def blocks(v):
+            x = v[:nfx].reshape(nsh, nzl, ny, max(nx - 1, 0))
+            y = v[nfx:nfx + nfy].reshape(nsh, nzl, max(ny - 1, 0), nx)
+            z = v[nfx + nfy:].reshape(max(nz - 1, 0), ny, nx)
+            # pad one zero row so that row k = face below layer k exists
+            # for every k; the last row per slab is the cross face
+            z = jnp.concatenate([z, jnp.zeros((1, ny, nx), v.dtype)],
+                                axis=0).reshape(nsh, nzl, ny, nx)
+            return x, y, z
+
+        xL, yL, zL = blocks(aL)
+        xR, yR, zR = blocks(aR)
+        diag_b = diag0.reshape(nsh, nzl, ny, nx)
+        return self._coarsen_sm(diag_b, xL, xR, yL, yR, zL, zR)
+
+    def vcycle(self, vals, b, **_):
+        out = self._vcycle_sm(vals, b.reshape(self.n_shards, -1))
+        return out.reshape(-1)

@@ -91,7 +91,8 @@ class NonlinearSolver:
                  max_iter: Optional[int] = None, min_iter: int = 1,
                  relax_max: float = 0.5, relax_increment: float = 0.1,
                  relax_rel_tol: float = 0.2,
-                 linear_tol: float = 1e-2, linear_maxiter: int = 50):
+                 linear_tol: float = 1e-2, linear_maxiter: int = 50,
+                 schwarz=None):
         self.model = model
         if linear_solver == "auto":
             linear_solver = "dense" if model.nc <= self.DENSE_LIMIT else "cpr"
@@ -123,7 +124,16 @@ class NonlinearSolver:
         # f32 Krylov solve (reference singlePrecision path); f64 elsewhere
         self._f32_solve = _os.environ.get("OPM_TPU_F32_SOLVE", "0") == "1"
         if linear_solver == "cpr":
-            if use_gmg:
+            if schwarz is not None and self._dims is not None:
+                # shard-local additive-Schwarz GMG: V-cycles inside
+                # shard_map, zero collectives per preconditioner apply
+                # (parallel/schwarz.py). schwarz = (mesh, axis_name).
+                from opm_tpu.parallel.schwarz import SchwarzGmg
+
+                mesh, ax = schwarz
+                self.amg = SchwarzGmg(tuple(model.grid.dims), mesh, ax,
+                                      model.grid.trans)
+            elif use_gmg:
                 from opm_tpu.linalg.gmg import StructuredGmg
 
                 self.amg = StructuredGmg(self._dims, model.grid.trans)
