@@ -74,6 +74,7 @@ class WellConfig:
     econ_min_grat: float = np.nan
     econ_max_wct: float = np.nan
     econ_max_gor: float = np.nan
+    econ_workover: str = "NONE"       # item 7: NONE | CON | +CON | WELL
     completions: List[Completion] = field(default_factory=list)
 
     def copy(self):
@@ -244,6 +245,9 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     w.econ_max_wct = float(_val(r, 3, np.nan)) \
                         if _val(r, 3, None) is not None else np.nan
                     w.econ_max_gor = _sival(r, 4, gas_f / liq_f)
+                    wo = _val(r, 6, None)
+                    if wo is not None:
+                        w.econ_workover = str(wo).upper()
         elif name == "WELOPEN":
             for r in kw.records:
                 for w in _match_wells(wells, str(r[0])):

@@ -197,6 +197,8 @@ class SimulatorFullyImplicitBlackoil:
         self.well_names = names
         self.max_perf = max_perf
         self._econ_shut: set = set()
+        # (i, j, k) completions closed by WECON workover, per well name
+        self._econ_closed_conns: Dict[str, set] = {}
         self.ts = AdaptiveTimeStepping(ts_params, tuning=self.schedule.tuning)
         self.solver = NonlinearSolver(self.model)
         from opm_tpu.utils.events import EventSource
@@ -213,14 +215,27 @@ class SimulatorFullyImplicitBlackoil:
         self.report = SimulatorReportTotals()
 
     # ------------------------------------------------------------------
-    def _check_econ_limits(self, step_wells, state):
-        """WECON rate/ratio economic limits: shut violating producers for
-        the rest of the run (checkRateEconLimits,
-        StandardWells_impl.hpp:1209)."""
+    def _check_econ_limits(self, step_wells, state, ws=None, wd=None):
+        """WECON economic limits: rate violations shut the producer; a
+        max-water-cut violation follows the workover procedure, closing
+        the worst-offending connection (checkRateEconLimits /
+        checkMaxWaterCutLimit, StandardWells_impl.hpp:1209-1380,
+        wells/econ.py)."""
+        from opm_tpu.wells import standard as stdwells
+        from opm_tpu.wells.econ import check_econ_limits
+
         qs = np.asarray(state.qs)
         idx = {n: i for i, n in enumerate(self.well_names)}
+        cq = None
+        if ws is not None and wd is not None:
+            q = self.model.cell_quantities(state)
+            cellq = self.model.well_cell_quantities(q)
+            cdp = stdwells.connection_pressure_offsets(wd, cellq, state.qs)
+            cq = np.asarray(stdwells.perforation_fluxes(
+                wd, cellq, state.bhp, state.qs, cdp))    # (nw, mp, 3)
         for w in step_wells:
-            if w.type != "PRODUCER" or w.status.upper() != "OPEN":
+            if w.type != "PRODUCER" or w.status.upper() != "OPEN" or \
+                    w.name in self._econ_shut:
                 continue
             i = idx.get(w.name)
             if i is None:
@@ -228,19 +243,31 @@ class SimulatorFullyImplicitBlackoil:
             qo = max(-qs[i, OIL], 0.0)
             qw = max(-qs[i, WATER], 0.0)
             qg = max(-qs[i, GAS], 0.0)
-            shut = False
-            if np.isfinite(w.econ_min_orat) and qo < w.econ_min_orat:
-                shut = True
-            if np.isfinite(w.econ_min_grat) and qg < w.econ_min_grat:
-                shut = True
-            if np.isfinite(w.econ_max_wct) and qo + qw > 1e-12 and \
-                    qw / (qo + qw) > w.econ_max_wct:
-                shut = True
-            if np.isfinite(w.econ_max_gor) and qo > 1e-12 and \
-                    qg / qo > w.econ_max_gor:
-                shut = True
-            if shut:
+            if cq is not None:
+                perf_qw = np.clip(-cq[i, :, WATER], 0.0, None)
+                perf_qo = np.clip(-cq[i, :, OIL], 0.0, None)
+                open_mask = np.asarray(ws.perf_mask[i])
+            else:
+                perf_qw = np.array([qw])
+                perf_qo = np.array([qo])
+                open_mask = np.array([True])
+            res = check_econ_limits(
+                qo, qw, qg, perf_qw, perf_qo, open_mask,
+                min_orat=w.econ_min_orat, min_grat=w.econ_min_grat,
+                max_wct=w.econ_max_wct, max_gor=w.econ_max_gor,
+                workover=w.econ_workover)
+            if res.shut_well:
                 self._econ_shut.add(w.name)
+            elif res.closed_connections:
+                comps = [c for c in w.completions
+                         if c.status.upper() == "OPEN"]
+                closed = self._econ_closed_conns.setdefault(w.name, set())
+                for k in res.closed_connections:
+                    if k < len(comps):
+                        c = comps[k]
+                        closed.add((c.i, c.j, c.k))
+                if len(closed) >= len(w.completions):
+                    self._econ_shut.add(w.name)
 
     # ------------------------------------------------------------------
     def _field_voidage(self, state) -> float:
@@ -380,12 +407,17 @@ class SimulatorFullyImplicitBlackoil:
                 state = state._replace(
                     sgmax=jnp.maximum(state.sgmax, _sats(state)[2]))
             step_wells = step.wells
-            if self._econ_shut:
-                # wells shut by economic limits stay shut
+            if self._econ_shut or self._econ_closed_conns:
+                # wells/connections shut by economic limits stay shut
                 step_wells = [w.copy() for w in step_wells]
                 for w in step_wells:
                     if w.name in self._econ_shut:
                         w.status = "SHUT"
+                    closed = self._econ_closed_conns.get(w.name)
+                    if closed:
+                        for c in w.completions:
+                            if (c.i, c.j, c.k) in closed:
+                                c.status = "SHUT"
             if step.groups and any(w.control == "GRUP" for w in step_wells):
                 # distribute group targets to GRUP wells
                 from opm_tpu.wells.groups import resolve_group_controls
@@ -447,7 +479,7 @@ class SimulatorFullyImplicitBlackoil:
             self.report.newton_iterations += subrep.total_newton
             self.report.linear_iterations += subrep.total_linear
             self.summary.record(step.end_time, state, self.model)
-            self._check_econ_limits(step_wells, state)
+            self._check_econ_limits(step_wells, state, ws, wd)
             if (write_restart or write_vtk) and self.output_dir:
                 import os
                 os.makedirs(self.output_dir, exist_ok=True)
