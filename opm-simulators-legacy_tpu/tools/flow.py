@@ -7,7 +7,7 @@ flow_sequential.cpp, flow_reorder.cpp) and FlowMain's setup pipeline
 flags mirroring setupLinearSolver (:806-830).
 
     python -m opm_tpu.tools.flow CASE.DATA [--output-dir out]
-        [--model fi|sequential] [--linear-solver auto|dense|cpr]
+        [--model fi|sequential|reorder] [--linear-solver auto|dense|cpr]
         [--report-steps N] [--vtk] [--restart-file F] [--write-restart]
 """
 
@@ -23,7 +23,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="flow", description=__doc__)
     ap.add_argument("deck")
     ap.add_argument("--output-dir", default="output")
-    ap.add_argument("--model", choices=["fi", "sequential"], default="fi")
+    ap.add_argument("--model", choices=["fi", "sequential", "reorder"],
+                    default="fi")
     ap.add_argument("--linear-solver", choices=["auto", "dense", "cpr"],
                     default="auto")
     ap.add_argument("--report-steps", type=int, default=None)
@@ -51,9 +52,17 @@ def main(argv=None):
               f"{case.runspec.dims} {'/'.join(case.runspec.phases)}"
               f"{' DISGAS' if case.runspec.disgas else ''}"
               f"{' VAPOIL' if case.runspec.vapoil else ''}")
-    cls = (SimulatorSequentialBlackoil if args.model == "sequential"
-           else SimulatorFullyImplicitBlackoil)
-    sim = cls(case, output_dir=args.output_dir)
+    if args.model in ("sequential", "reorder"):
+        # flow_reorder = the sequential pair with the reordering transport
+        # model (examples/flow_reorder.cpp:33-43)
+        from opm_tpu.models.sequential import SequentialParams
+        sp = SequentialParams(transport="reorder") \
+            if args.model == "reorder" else None
+        sim = SimulatorSequentialBlackoil(case, seq_params=sp,
+                                          output_dir=args.output_dir)
+    else:
+        sim = SimulatorFullyImplicitBlackoil(case,
+                                             output_dir=args.output_dir)
     if args.linear_solver != "auto" and args.model == "fi":
         sim.solver = NonlinearSolver(sim.model,
                                      linear_solver=args.linear_solver)

@@ -71,7 +71,7 @@ def test_incompressible_limit_matches_twophase():
     model_i = TwophaseModel(g, incomp, gravity_on=False)
     sw = jnp.zeros(g.nc)
     for _ in range(10):
-        _, flux, _ = model_i.pressure_solve(sw, src)
+        _, flux, _, _ = model_i.pressure_solve(sw, src)
         sw, _, _ = model_i.transport_solve(sw, flux, src, dt)
 
     # same physics; the two stacks differ only in the face-mobility
