@@ -51,6 +51,32 @@ class BlackoilReorderingTransport:
         self.seq = seq_model
         self.model = seq_model.model
         self._solve = jax.jit(self._sweep_solve, static_argnames=("sweeps",))
+        # proper coloring of the cell adjacency: cells sharing a face never
+        # share a color, so a jvp seeded with one color's indicator returns
+        # the EXACT own-variable derivative on that color's rows (an
+        # all-ones seed mixes in upstream-neighbor columns, which left the
+        # local Newton with a corrupted Jacobian and limit-cycled at gas
+        # fronts). Cartesian grids are bipartite: 2 colors.
+        self._color_masks = self._build_coloring()
+
+    def _build_coloring(self):
+        m = self.model
+        nc = m.nc
+        fc = np.asarray(m.face_cells)
+        adj = [[] for _ in range(nc)]
+        for a, b in fc:
+            adj[a].append(b)
+            adj[b].append(a)
+        color = np.full(nc, -1, dtype=np.int64)
+        for c in range(nc):
+            used = {color[n] for n in adj[c] if color[n] >= 0}
+            k = 0
+            while k in used:
+                k += 1
+            color[c] = k
+        ncol = int(color.max()) + 1
+        return [jnp.asarray((color == k).astype(np.float64))
+                for k in range(ncol)]
 
     def _cellq(self, state):
         m = self.model
@@ -78,19 +104,20 @@ class BlackoilReorderingTransport:
             def r_of_vars(sw, x):
                 return residual_wg(s._replace(sw=sw, x=x))
 
+            def diag_jvp(fun, v):
+                """Exact per-cell own-variable derivative rows via
+                color-seeded jvps (2 colors on cartesian grids)."""
+                out = jnp.zeros((2, v.shape[0]), v.dtype)
+                for mask in self._color_masks:
+                    _, t = jax.jvp(fun, (v,), (mask,))
+                    out = out + t * mask[None, :]
+                return out
+
             def newton(i, st):
                 sw, x = st
                 r = r_of_vars(sw, x)
-                _, dsw_col = jax.jvp(lambda v: r_of_vars(v, x), (sw,),
-                                     (jnp.ones_like(sw),))
-                _, dx_col = jax.jvp(lambda v: r_of_vars(sw, v), (x,),
-                                    (jnp.ones_like(x),))
-                # NOTE: one-hot-sum tangents give column sums; for the
-                # wavefront scheme the off-diagonal (upstream) columns are
-                # frozen by construction of the sweep, so the dominant
-                # diagonal contribution drives the local update; clipped
-                # steps + extra sweeps absorb the rest (the reference's
-                # Gauss-Seidel-with-damping, :410-448 analogue).
+                dsw_col = diag_jvp(lambda v: r_of_vars(v, x), sw)
+                dx_col = diag_jvp(lambda v: r_of_vars(sw, v), x)
                 a, b_ = dsw_col[0], dx_col[0]
                 c_, d_ = dsw_col[1], dx_col[1]
                 det = a * d_ - b_ * c_

@@ -48,7 +48,13 @@ class _SequentialSolverAdapter:
                                              state.control, state.target)
         state = state._replace(control=ctrl, target=tgt)
         state, info = self.seq.step(state, dt, wd)
-        rep.iterations = info["pressure_iters"] + info["transport_iters"]
+        # dt control sees the OUTER sequential iterations (the reference's
+        # NonlinearSolver counts BlackoilSequentialModel::nonlinearIteration
+        # calls, not the stages' inner Newton/sweep counts — reporting
+        # stage iterations here made the iteration-count controller chop
+        # dt towards min_dt)
+        rep.iterations = max(int(info.get("outer_iters", 1)), 1)
+        rep.linear_iterations += int(info.get("pressure_iters", 0))
         rep.converged = True
         rep.assemble_time += _time.perf_counter() - t0
         return state, rep
