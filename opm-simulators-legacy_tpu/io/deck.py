@@ -102,6 +102,7 @@ FLAG_KEYWORDS = {
     "VAPOIL", "POLYMER", "BRINE", "METRIC", "FIELD", "LAB", "NONNC", "ECHO",
     "NOECHO", "NOSIM", "UNIFOUT", "UNIFIN", "FMTIN", "FMTOUT", "RUNSUM",
     "SEPARATE", "SKIPREST", "NOGRAV", "EXCEL", "IMPES", "NOGGF", "NEWTRAN",
+    "THERMAL", "TEMP",
     "OLDTRAN", "NOINSPEC", "NORSSPEC", "MONITOR", "RSSPEC", "MSGFILE",
     "ALL", "FOPR", "FWPR", "FGPR", "FOPT", "FWPT", "FGPT", "FWCT", "FGOR",
     "FVPR", "FVPT", "FPR", "FWIR", "FGIR", "FWIT", "FGIT", "FOE",
@@ -126,7 +127,8 @@ REC1_KEYWORDS = {
     "DRSDT", "DRVDT", "BOX", "GRIDUNIT", "MAPUNITS", "SATOPTS", "AQUDIMS",
     "EHYSTR",
     "REGDIMS", "MISCIBLE", "VFPIDIMS", "VFPPDIMS", "FAULTDIM", "PIMTDIMS",
-    "NUPCOL", "MESSAGES", "OPTIONS",
+    "NUPCOL", "MESSAGES", "OPTIONS", "RTEMP", "RTEMPA", "THERMEX1",
+    "TREF",
 }
 
 LIST_KEYWORDS = {
@@ -145,6 +147,7 @@ REC_COUNTED = {
     "GRAVITY": "ntpvt",
     "ROCK": "ntpvt",
     "VISCREF": "ntpvt",
+    "WATDENT": "ntpvt",
     "EQUIL": "nteql",
     "PLYROCK": "ntsfun",
     "PLYMAX": "ntmix",
@@ -166,6 +169,9 @@ TABLE_LIST = {
     "PBVD": "nteql",
     "PDVD": "nteql",
     "PLYVISC": "ntpvt",
+    "OILVISCT": "ntpvt",
+    "WATVISCT": "ntpvt",
+    "GASVISCT": "ntpvt",
     "PLYADS": "ntsfun",
     "PLYSHLOG": "ntpvt",
     "ROCKTAB": "ntrocc",

@@ -324,6 +324,55 @@ class EclipseCase:
                     rest[:, 2] *= visc_f
                     recs.append((pg, rest))
                 t["PVTG"].append(recs)
+        # thermal keywords (ThermalWaterPvtWrapper / ThermalOilPvtWrapper,
+        # /root/reference/opm/core/props/pvt/Thermal*PvtWrapper.hpp):
+        # VISCREF reference pressure, *VISCT temperature-viscosity tables,
+        # WATDENT / THERMEX1 thermal expansion
+        def to_kelvin(a):
+            us = self.runspec.unit_system
+            a = np.asarray(a, dtype=np.float64)
+            if us == "FIELD":
+                return (a - 32.0) * (5.0 / 9.0) + 273.15
+            if us == "LAB":
+                return a + 273.15
+            return a + 273.15      # METRIC degC
+        kw = deck.get("VISCREF")
+        if kw:
+            t["VISCREF"] = [dict(p_ref=_val(r, 0, 1.0) * p_f,
+                                 rs_ref=_val(r, 1, 0.0) * rs_f)
+                            for r in kw.records]
+        for name in ("OILVISCT", "WATVISCT", "GASVISCT"):
+            kw = deck.get(name)
+            if kw:
+                t[name] = []
+                for r in kw.records:
+                    a = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+                    a[:, 0] = to_kelvin(a[:, 0])
+                    a[:, 1] *= visc_f
+                    t[name].append(a)
+        kw = deck.get("WATDENT")
+        if kw:
+            t["WATDENT"] = [dict(t_ref=to_kelvin(_val(r, 0, 20.0)),
+                                 c1=_val(r, 1, 3e-4) * (9.0 / 5.0 if
+                                 self.runspec.unit_system == "FIELD"
+                                 else 1.0),
+                                 c2=_val(r, 2, 3e-6) * ((9.0 / 5.0) ** 2 if
+                                 self.runspec.unit_system == "FIELD"
+                                 else 1.0))
+                            for r in kw.records]
+        kw = deck.get("THERMEX1")
+        if kw:
+            c = _val(kw.records[0], 0, 0.0)
+            if self.runspec.unit_system == "FIELD":
+                c *= 9.0 / 5.0
+            t["THERMEX1"] = c
+            tr = deck.get("TREF")
+            t["TREF"] = to_kelvin(_val(tr.records[0], 0, 20.0)) if tr \
+                else 293.15
+        kw = deck.get("RTEMP") or deck.get("RTEMPA")
+        if kw:
+            t["RTEMP"] = float(to_kelvin(_val(kw.records[0], 0, 15.56)))
+
         kw = deck.get("ROCKTAB")
         if kw:
             # (p, pv_mult, trans_mult) per ROCKNUM region
