@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from opm_tpu.models import gravity as gravmod
 from opm_tpu.models.twophase import TwophaseModel
 from opm_tpu.native.graph import upwind_levels
 from opm_tpu.props.polymer import PolymerProperties
@@ -44,6 +45,28 @@ class PolymerTwophaseModel(TwophaseModel):
         self.volume = jnp.asarray(grid.volume)
         self._ptsolve = jax.jit(self._polymer_transport,
                                 static_argnames=("sweeps",))
+        self._columns = None
+        # stable closures for segregate_polymer's static function args
+        # (fresh lambdas per call would retrace every step)
+        poly_, props_ = self.poly, self.props
+        mu_w_, mu_o_ = props_.viscosity
+
+        def _gseg_water_mob(s_, c_, cmax_, cell_sel):
+            krw, _ = props_.relperm(s_)
+            return krw / mu_w_ * poly_.water_mob_factor(c_, mu_w_, cmax_)
+
+        def _gseg_oil_mob(s_, cell_sel):
+            _, kro = props_.relperm(s_)
+            return kro / mu_o_
+
+        def _gseg_mc(c_, cell_sel):
+            return c_ * poly_.polymer_frac_in_water(c_, mu_w_)
+
+        def _gseg_ads(c_, cmax_):
+            return poly_.adsorption(c_, cmax_)
+
+        self._gseg_fns = (_gseg_water_mob, _gseg_oil_mob, _gseg_mc,
+                          _gseg_ads)
 
     # -- pressure with polymer-modified mobility ---------------------------
     def polymer_mobility(self, sw, c, cmax):
@@ -190,3 +213,28 @@ class PolymerTwophaseModel(TwophaseModel):
                              jnp.asarray(cmax0), jnp.asarray(flux),
                              jnp.asarray(src), jnp.asarray(src_c), dtpv,
                              sweeps=int(budget))
+
+    # -- gravity segregation (GravityColumnSolverPolymer role) -------------
+    def gravity_segregation_polymer(self, s, c, cmax, dt):
+        """Coupled (s, c) column segregation
+        (TransportSolverTwophasePolymer::solveGravity, models/gravity.py
+        segregate_polymer)."""
+        if self.gravity == 0.0:
+            return s, c, 0
+        if self._columns is None:
+            self._columns = gravmod.build_columns(self.grid)
+        cols = self._columns
+        poly = self.poly
+        rho_w, rho_o = self.props.density
+        ones = jnp.ones(self.nc)
+        water_mob, oil_mob, mc_fn, ads_fn = self._gseg_fns
+        rock = poly.rock_density * (1.0 - self.porosity) / self.porosity
+        s_new, c_new, sweeps = gravmod.segregate_polymer(
+            jnp.asarray(cols.cells), jnp.asarray(cols.faces),
+            jnp.asarray(self.grid.trans), self.depth,
+            jnp.asarray(self.grid.dz) * 0.5, jnp.asarray(s),
+            jnp.asarray(c), jnp.asarray(cmax), jnp.asarray(dt) / self.pv,
+            rho_w * ones, rho_o * ones, jnp.asarray(self.gravity), rock,
+            poly.dead_pore_vol, poly.c_max * 1.1, water_mob, oil_mob,
+            mc_fn, ads_fn)
+        return s_new, c_new, int(sweeps)

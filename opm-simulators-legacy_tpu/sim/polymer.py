@@ -65,6 +65,9 @@ class SimulatorPolymer:
             src_c = np.maximum(self.src, 0.0) * c_inj
             sw, c, cmax, sweeps, ds = model.transport_solve_polymer(
                 sw, c, cmax, flux, self.src, src_c, dt)
+            if model.gravity != 0.0:
+                sw, c, _ = model.gravity_segregation_polymer(sw, c, cmax, dt)
+                cmax = jnp.maximum(cmax, c)
             t += dt
             rep.times.append(t)
             rep.injected_polymer += float(src_c.sum()) * dt

@@ -117,3 +117,52 @@ def test_plyshlog_shear_thinning():
     # effective water mobility factor increases (thinner solution)
     f = np.asarray(poly.water_mob_factor(c, 1e-3, v_w=v))
     assert (np.diff(f) > 0).all()
+
+
+def test_polymer_gravity_segregation():
+    """Coupled (s, c) column segregation (solveGravity /
+    GravityColumnSolverPolymer role): water sinks carrying its polymer,
+    polymer mass (solution + adsorbed) is conserved, and c stays inside
+    the water."""
+    import jax.numpy as jnp
+
+    from opm_tpu.models.polymer import PolymerTwophaseModel
+
+    g = cartesian_grid((1, 1, 12), (1.0, 1.0, 24.0), perm=1e-12, poro=0.25)
+    props, poly = _props()
+    model = PolymerTwophaseModel(g, props, poly, gravity_on=True)
+    nc = g.nc
+    # mixed column, polymer only in the upper half's water
+    s = jnp.full(nc, 0.5)
+    c = jnp.asarray(np.where(np.arange(nc) < 6, 2.0, 0.0))
+    cmax = c
+    rock = poly.rock_density * (1 - g.poro) / g.poro
+
+    def poly_mass(s_, c_):
+        sol = (1 - poly.dead_pore_vol) * np.asarray(s_) * np.asarray(c_) \
+            * g.pore_volume
+        ads = np.asarray(poly.adsorption(jnp.asarray(c_),
+                                         jnp.maximum(cmax, c_))) * rock \
+            * g.pore_volume
+        return sol.sum() + ads.sum()
+
+    m0 = poly_mass(s, c)
+    DAY = 86400.0
+    for _ in range(25):
+        s, c, _ = model.gravity_segregation_polymer(s, c, cmax, 5 * DAY)
+        cmax = jnp.maximum(cmax, c)
+    s_np = np.asarray(s)
+    c_np = np.asarray(c)
+    # water segregated downward (slower than clean water: the polymer
+    # thickens it)
+    assert s_np[-1] > 0.85 and s_np[0] < 0.15
+    # polymer followed the water down: the initially-clean bottom half now
+    # holds a substantial share of the dissolved polymer (counter-current
+    # migration is slow; initially it held none)
+    bottom = (c_np[-6:] * s_np[-6:] * g.pore_volume[-6:]).sum()
+    total = (c_np * s_np * g.pore_volume).sum()
+    assert bottom > 0.25 * total
+    assert c_np.max() <= poly.c_max * 1.1 + 1e-9
+    # total polymer conserved through the segregation
+    m1 = poly_mass(s, c)
+    assert m1 == pytest.approx(m0, rel=5e-2)
