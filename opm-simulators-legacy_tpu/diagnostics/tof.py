@@ -445,3 +445,117 @@ def solve_tof_dg2(grid, flux, source, *, nsweeps=None):
 
     a = jax.lax.fori_loop(0, int(nsweeps), sweep, jnp.zeros((nc, 10)))
     return a
+
+
+_LIMITER_JIT_CACHE = {}
+
+
+def dg1_limit_min_upwind(grid, flux, a, *, method="face", threshold=1e-3):
+    """Jit-dispatching wrapper for `_dg1_limit_min_upwind` (this box's
+    XLA:CPU eager op path corrupts the heap on the shift/pad pattern;
+    under jit it is also simply faster)."""
+    key = (id(grid), method, float(threshold))
+    fn = _LIMITER_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda aa, ff: _dg1_limit_min_upwind(
+            grid, ff, aa, method=method, threshold=threshold))
+        _LIMITER_JIT_CACHE[key] = fn
+    return fn(jnp.asarray(a), jnp.asarray(flux))
+
+
+def _dg1_limit_min_upwind(grid, flux, a, *, method="face", threshold=1e-3):
+    """Min-upwind slope limiter for the DG(1) TOF field
+    (TofDiscGalReorder::applyMinUpwindLimiter, /root/reference/opm/core/
+    flowdiagnostics/TofDiscGalReorder.cpp:594-678; post-process usage
+    :560-590). For each cell, the TOF anywhere inside the cell is forced
+    to be at least M = the minimum upstream-face corner value ('face',
+    MinUpwindFace) or the minimum upstream cell average ('average',
+    MinUpwindAverage), by scaling the cell's slopes with
+    lambda = (mean - M) / (mean - min_corner); a mean below M flattens and
+    shifts the cell. Upstream faces carrying less than `threshold` of the
+    cell's total outflux are ignored. Vectorized over all cells via the
+    same padded-flux layout as solve_tof_dg1.
+
+    a: (nc, 4) DG(1) coefficients; returns the limited copy."""
+    nx, ny, nz = grid.dims
+    assert getattr(grid, "structured", False)
+    nc = grid.nc
+    shape3 = (nz, ny, nx)
+    nfx = (nx - 1) * ny * nz
+    nfy = nx * (ny - 1) * nz
+    flux = jnp.asarray(flux)
+    f3 = [flux[:nfx].reshape(nz, ny, max(nx - 1, 0)),
+          flux[nfx:nfx + nfy].reshape(nz, max(ny - 1, 0), nx),
+          flux[nfx + nfy:].reshape(max(nz - 1, 0), ny, nx)]
+    axis_of = {0: 2, 1: 1, 2: 0}
+    fpad = []
+    for d in range(3):
+        ax = axis_of[d]
+        pads = [(0, 0)] * 3
+        pads[ax] = (1, 1)
+        fpad.append(jnp.pad(f3[d], pads))
+
+    a = jnp.asarray(a)
+    a3 = a.reshape(shape3 + (4,))
+    mean = a3[..., 0]
+
+    def take(arr, ax, sl):
+        idx = [slice(None)] * 3
+        idx[ax] = sl
+        return arr[tuple(idx)]
+
+    def corner_min(coefs, d, s):
+        """Min over the 4 corners of the face at side s (+-1) along d."""
+        out = coefs[..., 0] + (s / 2.0) * coefs[..., 1 + d]
+        for e in range(3):
+            if e != d:
+                out = out - 0.5 * jnp.abs(coefs[..., 1 + e])
+        return out
+
+    def shift_nb(arr, ax, s):
+        pads = [(0, 0)] * arr.ndim
+        pads[ax] = (1, 0) if s < 0 else (0, 1)
+        ap = jnp.pad(arr, pads)
+        idx = [slice(None)] * arr.ndim
+        idx[ax] = slice(None, -1) if s < 0 else slice(1, None)
+        return ap[tuple(idx)]
+
+    big = jnp.asarray(1e100)
+    min_here = jnp.full(shape3, big)
+    min_up = jnp.full(shape3, big)
+    n_up = jnp.zeros(shape3)
+    # total outflux per cell for the relative threshold
+    tot_out = jnp.zeros(shape3)
+    for d in range(3):
+        ax = axis_of[d]
+        fL = take(fpad[d], ax, slice(None, -1))
+        fR = take(fpad[d], ax, slice(1, None))
+        tot_out = tot_out + jnp.maximum(fR, 0.0) + jnp.maximum(-fL, 0.0)
+    for d in range(3):
+        ax = axis_of[d]
+        fL = take(fpad[d], ax, slice(None, -1))
+        fR = take(fpad[d], ax, slice(1, None))
+        for s, f in ((-1.0, fL), (1.0, fR)):
+            outward = s * f
+            min_here = jnp.minimum(min_here, corner_min(a3, d, s))
+            upstream = -outward > tot_out * threshold
+            nb = shift_nb(a3, ax, int(s))
+            if method == "face":
+                up_val = corner_min(nb, d, -s)
+            else:
+                up_val = nb[..., 0]
+            min_up = jnp.where(upstream, jnp.minimum(min_up, up_val),
+                               min_up)
+            n_up = n_up + jnp.where(upstream, 1.0, 0.0)
+    no_up = n_up == 0
+    min_up = jnp.where(no_up, 0.0, jnp.maximum(min_up, 0.0))
+    min_here = jnp.where(no_up, 0.0, min_here)
+
+    denom = mean - min_here
+    lam = jnp.where(jnp.abs(denom) > 1e-300,
+                    (mean - min_up) / denom, 1.0)
+    flat = mean < min_up
+    lam = jnp.clip(jnp.where(flat, 0.0, lam), 0.0, 1.0)
+    out = a3.at[..., 1:].multiply(lam[..., None])
+    out = out.at[..., 0].add(jnp.where(flat, min_up - mean, 0.0))
+    return out.reshape(nc, 4)

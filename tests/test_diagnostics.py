@@ -281,3 +281,40 @@ def test_dg2_tof_quarter_five_spot():
     v_dg2 = g.pore_volume[a[:, 0] <= t_ref].sum()
     v_dg1 = g.pore_volume[a1[:, 0] <= t_ref].sum()
     assert abs(v_dg2 / v_dg1 - 1.0) < 0.05
+
+
+def test_dg1_min_upwind_limiter():
+    """MinUpwindFace/MinUpwindAverage limiter: inactive on the exact
+    linear field, enforces lower bounds where the reconstruction
+    undershoots its upstream values."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opm_tpu.diagnostics.tof import dg1_limit_min_upwind, solve_tof_dg1
+    from opm_tpu.grid import cartesian_grid
+
+    g = cartesian_grid((16, 1, 1), (16.0, 1.0, 1.0), poro=0.25)
+    q = 2.0e-3
+    src = np.zeros(g.nc)
+    src[0] = q
+    src[-1] = -q
+    flux = np.full(g.nf, q)
+    a = np.asarray(solve_tof_dg1(g, flux, src))
+    for method in ("face", "average"):
+        lim = np.asarray(dg1_limit_min_upwind(g, flux, a, method=method))
+        # exact linear interior: untouched
+        assert np.allclose(lim[1:-1], a[1:-1], rtol=1e-12)
+        # limited field respects the bound everywhere: corner minima are
+        # at least the upstream face value (within fp noise)
+        corner_min = lim[:, 0] - 0.5 * np.abs(lim[:, 1]) \
+            - 0.5 * np.abs(lim[:, 2]) - 0.5 * np.abs(lim[:, 3])
+        up_face = a[:-1, 0] + 0.5 * a[:-1, 1]      # exporting trace
+        assert np.all(corner_min[1:] >= np.minimum(up_face, a[:-1, 0])
+                      - 1e-9)
+    # artificial overshoot: a steep negative slope gets flattened
+    a_bad = a.copy()
+    a_bad[8, 1] = -10 * a[8, 0]
+    lim = np.asarray(dg1_limit_min_upwind(g, flux, a_bad))
+    assert abs(lim[8, 1]) < abs(a_bad[8, 1])
+    cm = lim[8, 0] - 0.5 * abs(lim[8, 1])
+    assert cm >= -1e-9
