@@ -304,3 +304,45 @@ def test_schur_well_elimination(spe1_system):
     # iteration count stays in the reference's budget at its tolerance
     quick = bicgstab(mv, rhs, precond=Mc, tol=1e-2, maxiter=50)
     assert int(quick.iterations) <= 25
+
+
+def test_linear_solver_factory_csr():
+    """LinearSolverFactory CSR contract (LinearSolverInterface.hpp:43-91):
+    each backend solves a 2-D Poisson CSR system to tolerance."""
+    import numpy as np
+
+    from opm_tpu.linalg.factory import LinearSolverFactory
+
+    # 2-D 5-point Poisson on a 12x12 grid in CSR
+    n1 = 12
+    n = n1 * n1
+    ia = [0]
+    ja = []
+    sa = []
+    for j in range(n1):
+        for i in range(n1):
+            row = j * n1 + i
+            cols = [(row, 4.0)]
+            for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < n1 and 0 <= jj < n1:
+                    cols.append((jj * n1 + ii, -1.0))
+            cols.sort()
+            for cidx, v in cols:
+                ja.append(cidx)
+                sa.append(v)
+            ia.append(len(ja))
+    rng = np.random.default_rng(3)
+    x_true = rng.normal(size=n)
+    # b = A x_true
+    b = np.zeros(n)
+    for r in range(n):
+        for k in range(ia[r], ia[r + 1]):
+            b[r] += sa[k] * x_true[ja[k]]
+
+    for solver, pc in (("bicgstab", "amg"), ("bicgstab", "jacobi"),
+                       ("gmres", "jacobi"), ("direct", "amg")):
+        f = LinearSolverFactory(solver, precond=pc, tol=1e-12, maxiter=800)
+        x, rep = f.solve(ia, ja, sa, b)
+        assert rep.converged, (solver, pc, rep)
+        assert np.allclose(np.asarray(x), x_true, atol=1e-6), (solver, pc)
