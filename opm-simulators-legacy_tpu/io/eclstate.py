@@ -493,8 +493,10 @@ class EclipseCase:
         kw = deck.get("THPRES")
         if kw:
             for r in kw.records:
+                v = _val(r, 2, None)
+                # defaulted value => computeMaxDp at runtime
                 sol.thpres.append((int(_val(r, 0, 1)), int(_val(r, 1, 1)),
-                                   _val(r, 2, 0.0) * p_f))
+                                   None if v is None else v * p_f))
         return sol
 
     # ------------------------------------------------------------------

@@ -172,6 +172,7 @@ class SimulatorFullyImplicitBlackoil:
         self._hysteresis = (self.props.satfunc is not None
                             and self.props.satfunc.hyst is not None)
         self.model = BlackoilModel(self.grid, self.props, params)
+        self._thpres_default_pairs = []
         if case.solution.thpres:
             # per-face threshold pressures between equilibration regions
             # (thresholdPressures.hpp:47,321; applied in the flux assembly)
@@ -182,7 +183,12 @@ class SimulatorFullyImplicitBlackoil:
                 m = (((eql[fc[:, 0]] == r1 - 1) & (eql[fc[:, 1]] == r2 - 1))
                      | ((eql[fc[:, 0]] == r2 - 1)
                         & (eql[fc[:, 1]] == r1 - 1)))
-                thp[m] = val
+                if val is None:
+                    # defaulted: computeMaxDp (thresholdPressures.hpp:47)
+                    # — filled from the equilibrated initial state
+                    self._thpres_default_pairs.append(m)
+                else:
+                    thp[m] = val
             self.model.threshold_dp = jnp.asarray(thp)
         self.schedule = build_schedule(case)
         self.output_dir = output_dir
@@ -391,6 +397,20 @@ class SimulatorFullyImplicitBlackoil:
             self.ts.suggested_dt = meta["suggested_dt"]
         elif state is None:
             state = initial_state(self.grid, self.props, self.case, nw)
+        if self._thpres_default_pairs:
+            # defaulted THPRES: the sustained equilibrium pressure jump
+            # across the barrier — max |p1 - p2| over the region interface
+            # (computeMaxDp from equilibrated columns,
+            # thresholdPressures.hpp:47)
+            fc = self.grid.face_cells
+            p0 = np.asarray(state.pressure)
+            dp_face = np.abs(p0[fc[:, 0]] - p0[fc[:, 1]])
+            thp = np.asarray(self.model.threshold_dp)
+            for m in self._thpres_default_pairs:
+                if m.any():
+                    thp = np.where(m, dp_face[m].max(), thp)
+            self.model.threshold_dp = jnp.asarray(thp)
+            self._thpres_default_pairs = []
         steps = self.schedule.report_steps
         if report_step_limit is not None:
             steps = steps[:report_step_limit]

@@ -124,3 +124,97 @@ def test_fip_per_region():
     assert per_reg.shape == (2, 3)
     assert np.allclose(per_reg.sum(axis=0), total, rtol=1e-12)
     assert (per_reg > 0).all()
+
+
+def test_thpres_defaulted_compute_max_dp():
+    """Defaulted THPRES values are computed from the equilibrated initial
+    state (computeMaxDp, thresholdPressures.hpp:47): the threshold equals
+    the maximum initial pressure jump across the region interface."""
+    import numpy as np
+
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+
+    deck = """
+RUNSPEC
+TITLE
+ THPRES-DEFAULT
+DIMENS
+ 8 1 1 /
+OIL
+WATER
+GAS
+DISGAS
+FIELD
+EQLDIMS
+ 2 /
+TABDIMS
+ 1 1 /
+WELLDIMS
+ 1 1 1 1 /
+GRID
+DXV
+ 8*100 /
+DYV
+ 100 /
+DZV
+ 50 /
+TOPS
+ 8*8300 /
+PORO
+ 8*0.3 /
+PERMX
+ 8*100 /
+REGIONS
+EQLNUM
+ 4*1 4*2 /
+PROPS
+PVTW
+ 4000 1.0 3.0E-6 0.5 0 /
+ROCK
+ 4000 4.0E-6 /
+SWOF
+ 0.12 0    1   0
+ 0.8  0.9  0.0 0 /
+SGOF
+ 0    0    1   0
+ 0.85 0.9  0.0 0 /
+DENSITY
+ 53.66 64.49 0.0533 /
+PVDG
+ 14.7   166.666 0.008
+ 9014.7 0.386   0.0470 /
+PVTO
+ 0.20 1014.7 1.20 0.90 /
+ 1.27 4014.7 1.695 0.51
+      9014.7 1.579 0.74 /
+/
+SOLUTION
+EQUIL
+ 8325 4000 8600 0 8200 0 1 0 0 /
+ 8325 4400 8600 0 8200 0 1 0 0 /
+THPRES
+ 1 2 /
+/
+SUMMARY
+FOPR
+SCHEDULE
+TSTEP
+ 1 /
+END
+"""
+    case = load_case_string(deck)
+    assert case.solution.thpres == [(1, 2, None)]
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = sim.run(report_step_limit=0)
+    thp = np.asarray(sim.model.threshold_dp)
+    fc = sim.grid.face_cells
+    eql = np.asarray(sim.grid.eqlnum)
+    iface = eql[fc[:, 0]] != eql[fc[:, 1]]
+    assert iface.sum() == 1
+    p0 = np.asarray(state.pressure)
+    dp_iface = abs(p0[fc[iface, 0]] - p0[fc[iface, 1]])[0]
+    # regions differ by ~400 psi at the interface
+    assert dp_iface > 1e6
+    assert thp[iface][0] == pytest.approx(dp_iface, rel=1e-12)
+    assert np.all(thp[~iface] == 0.0)
