@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--write-restart", action="store_true")
     ap.add_argument("--restart-file", default=None)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--param", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="ParameterGroup override (repeatable; "
+                         "param_file=FILE loads key=value lines) — e.g. "
+                         "tolerance_cnv=1e-3, max_iter=12, initial_dt=2.0")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
     args = ap.parse_args(argv)
@@ -42,9 +47,22 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from opm_tpu.io.eclstate import load_case
+    from opm_tpu.models.blackoil import ModelParams
     from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
     from opm_tpu.sim.sequential import SimulatorSequentialBlackoil
     from opm_tpu.solver.newton import NonlinearSolver
+    from opm_tpu.solver.timestepping import TimeStepControlParams
+    from opm_tpu.utils.param import ParameterGroup
+
+    pg = ParameterGroup.from_args(args.param)
+    mparams = pg.apply_to_dataclass(ModelParams())
+    DAY = 86400.0
+    tsp = TimeStepControlParams()
+    for f in ("initial_dt", "max_dt", "min_dt"):
+        if pg.has(f):
+            tsp = __import__("dataclasses").replace(
+                tsp, **{f: pg.get_default(f, getattr(tsp, f) / DAY) * DAY})
+    tsp = pg.apply_to_dataclass(tsp)
 
     case = load_case(args.deck)
     if not args.quiet:
@@ -59,9 +77,11 @@ def main(argv=None):
         sp = SequentialParams(transport="reorder") \
             if args.model == "reorder" else None
         sim = SimulatorSequentialBlackoil(case, seq_params=sp,
+                                          params=mparams, ts_params=tsp,
                                           output_dir=args.output_dir)
     else:
-        sim = SimulatorFullyImplicitBlackoil(case,
+        sim = SimulatorFullyImplicitBlackoil(case, params=mparams,
+                                             ts_params=tsp,
                                              output_dir=args.output_dir)
     if args.linear_solver != "auto" and args.model == "fi":
         sim.solver = NonlinearSolver(sim.model,
@@ -71,6 +91,10 @@ def main(argv=None):
             verbose=not args.quiet, restart_file=args.restart_file,
             write_restart=args.write_restart, write_vtk=args.vtk)
     wall = time.perf_counter() - t0
+    unused = pg.unused()
+    if unused:
+        # warnIfUnusedParams (FlowMain.hpp:862-868)
+        print(f"WARNING: unused parameters: {', '.join(unused)}")
     rep = sim.report
     print(json.dumps(dict(
         wall_s=round(wall, 2), substeps=rep.substeps,

@@ -65,3 +65,31 @@ def test_regula_falsi_batched():
     # reversed bracket orientation also works
     x_rev = regula_falsi(f, b, a, iterations=30)
     assert np.allclose(np.asarray(x_rev), np.asarray(c), atol=1e-10)
+
+
+def test_parameter_group():
+    """ParameterGroup: typed getDefault, file loading, unused audit,
+    dataclass mapping (FlowMain.hpp:327-352, :862-868)."""
+    import os
+    import tempfile
+
+    from opm_tpu.models.blackoil import ModelParams
+    from opm_tpu.utils.param import ParameterGroup
+
+    with tempfile.TemporaryDirectory() as d:
+        pf = os.path.join(d, "run.param")
+        with open(pf, "w") as f:
+            f.write("tolerance_cnv=1e-3   # tighter\nmax_iter=12\n")
+        pg = ParameterGroup.from_args(
+            [f"param_file={pf}", "ds_max=0.1", "mystery_knob=7"])
+    assert pg.get_default("tolerance_cnv", 1e-2) == 1e-3
+    assert pg.get_default("max_iter", 15) == 12
+    assert isinstance(pg.get_default("max_iter", 15), int)
+    assert pg.get_default("absent", 0.5) == 0.5
+    mp = pg.apply_to_dataclass(ModelParams())
+    assert mp.tolerance_cnv == 1e-3 and mp.max_iter == 12 \
+        and mp.ds_max == 0.1
+    assert pg.unused() == ["mystery_knob"]
+    # bool parsing
+    pg2 = ParameterGroup.from_args(["solve_welleq_initially=false"])
+    assert pg2.get_default("solve_welleq_initially", True) is False
