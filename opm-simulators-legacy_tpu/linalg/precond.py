@@ -120,20 +120,35 @@ def cpr_pressure_system(sys: linearize.BlockSystem, w):
     return diag_p, off
 
 
-def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=1,
+def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
                    dims=None):
     """CPR preconditioner for the WELL-ELIMINATED (cells-only) system:
     quasi-IMPES pressure V-cycle + block-Jacobi smoothing on the cell
-    diagonal (the Schur correction is left to the Krylov operator)."""
+    diagonal (the Schur correction is left to the Krylov operator).
+    Tuning env knobs (profiling levers): OPM_TPU_CPR_SMOOTH (stage-2
+    steps, default 1), OPM_TPU_GMG_PRE / OPM_TPU_GMG_POST (pressure
+    V-cycle smoothing, default 1/1)."""
+    import os as _os
+
+    if smoother_steps is None:
+        smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "1"))
+    pre = int(_os.environ.get("OPM_TPU_GMG_PRE", "1"))
+    post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
     w = quasi_impes_weights(sys.diag)
     diag_p, off_p = cpr_pressure_system(sys, w)
     vals = amg.coarsen_values(diag_p, off_p)
     dinv = inv3x3_t(sys.diag)
     zero_w = jnp.zeros((sys.nw, 4))
 
+    def vcyc(rp):
+        try:
+            return amg.vcycle(vals, rp, pre=pre, post=post)
+        except TypeError:   # preconditioners without pre/post knobs
+            return amg.vcycle(vals, rp)
+
     def apply(rc):
         rp = jnp.sum(w * rc, axis=0)
-        dp = amg.vcycle(vals, rp)
+        dp = vcyc(rp)
         xc = jnp.zeros_like(rc).at[0].set(dp)
         for _ in range(smoother_steps):
             ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)

@@ -237,10 +237,11 @@ def connection_pressure_offsets(wd, cellq, qs, perf_rates=None):
 
     z = wd["perf_depth"]
     zprev = jnp.concatenate([wd["ref_depth"][:, None], z[:, :-1]], axis=1)
-    rho_prev = jnp.concatenate([rho_mix[:, :1], rho_mix[:, :-1]], axis=1)
-    rho_seg = 0.5 * (rho_mix + rho_prev)
+    # segment density = the deeper connection's mixture density
+    # (computeConnectionPressureDelta semantics, pinned by the reference's
+    # tests/test_welldensitysegmented.cpp expected values)
     dz = (z - zprev) * mask
-    dp = wd["gravity"] * rho_seg * dz
+    dp = wd["gravity"] * rho_mix * dz
     return jnp.cumsum(dp, axis=1)
 
 
