@@ -89,3 +89,30 @@ def test_unrst_roundtrip_from_run(tmp_path):
                        np.asarray(state.pressure) / psi, rtol=1e-12)
     assert np.all(steps[0]["SWAT"] >= 0.0)
     assert "RS" in steps[0]
+
+
+def test_compare_ecl_tool(tmp_path):
+    """compare_ecl (run-regressionTest.sh / compare_ecl role): identical
+    runs pass, a perturbed vector fails with the named deviation."""
+    import numpy as np
+
+    from opm_tpu.io.eclsum import write_summary
+    from opm_tpu.tools.compare_ecl import main as compare_main
+
+    rows = [dict(time=t * 86400.0, FOPR=100.0 - t, FPR=2e7 + 1e4 * t,
+                 FWCT=0.01 * t) for t in range(10)]
+    b1 = str(tmp_path / "RUN1")
+    b2 = str(tmp_path / "RUN2")
+    b3 = str(tmp_path / "RUN3")
+    write_summary(b1, rows)
+    write_summary(b2, rows)
+    rows_bad = [dict(r) for r in rows]
+    rows_bad[5]["FOPR"] *= 1.2
+    write_summary(b3, rows_bad)
+
+    assert compare_main([b1, b2]) == 0
+    assert compare_main([b1, b3]) == 1
+    # tolerant enough: passes
+    assert compare_main([b1, b3, "--rel-tol", "0.5"]) == 0
+    # key filtering: FPR-only comparison ignores the FOPR deviation
+    assert compare_main([b1, b3, "--keys", "FPR"]) == 0
