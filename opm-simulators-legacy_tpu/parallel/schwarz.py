@@ -101,7 +101,12 @@ class SchwarzGmg:
 
     def coarsen_values(self, diag0, off0):
         """Same signature as StructuredGmg.coarsen_values: diag0 (nc,),
-        off0 (2*nf,) = [aLR | aRL] in grid face order."""
+        off0 (2*nf,) = [aLR | aRL] in grid face order. The returned pytree
+        carries the per-shard local hierarchies plus the two-level coarse
+        operator (one DOF per slab — the Nicolaides-style coarse space of
+        two-level additive Schwarz, arXiv:1401.7227): A_c = R A R^T with R
+        the slab indicator, which re-inserts exactly the cross-slab
+        couplings the local hierarchies drop."""
         nx, ny, nz = self.dims
         nzl = self.nzl
         nsh = self.n_shards
@@ -109,6 +114,37 @@ class SchwarzGmg:
         nfy = nx * (ny - 1) * nz
         nf = nfx + nfy + nx * ny * (nz - 1)
         aL, aR = off0[:nf], off0[nf:]
+
+        # ---- two-level coarse operator over slabs: A_c = R A R^T ------
+        zL = aL[nfx + nfy:].reshape(max(nz - 1, 0), ny, nx)
+        zR = aR[nfx + nfy:].reshape(max(nz - 1, 0), ny, nx)
+        diag_slab = diag0.reshape(nsh, -1).sum(axis=1)
+        # per-layer x/y off sums (both orientations) fold into the slab
+        # diagonal entirely (those faces never cross slabs)
+        xy_layer = (aL[:nfx].reshape(nz, -1).sum(axis=1)
+                    + aR[:nfx].reshape(nz, -1).sum(axis=1)
+                    + aL[nfx:nfx + nfy].reshape(nz, -1).sum(axis=1)
+                    + aR[nfx:nfx + nfy].reshape(nz, -1).sum(axis=1))
+        xy_slab = xy_layer.reshape(nsh, nzl).sum(axis=1)
+        # z faces: within-slab rows fold into the diagonal, the row at the
+        # slab boundary couples p <-> p+1
+        zpad = jnp.concatenate([zL + zR,
+                                jnp.zeros((1, ny, nx), diag0.dtype)])
+        z_in_slab = zpad.reshape(nsh, nzl, ny, nx)[:, : nzl - 1] \
+            .reshape(nsh, -1).sum(axis=1)
+        Ac = jnp.diag(diag_slab + xy_slab + z_in_slab)
+        if nsh > 1:
+            cross_rows = jnp.arange(nzl - 1, nz - 1, nzl)
+            idx = jnp.arange(nsh - 1)
+            Ac = Ac.at[idx, idx + 1].add(
+                zL[cross_rows].reshape(nsh - 1, -1).sum(axis=1))
+            Ac = Ac.at[idx + 1, idx].add(
+                zR[cross_rows].reshape(nsh - 1, -1).sum(axis=1))
+        # regularize (near-singular for pure-Neumann pressure systems)
+        Ac = Ac + jnp.eye(nsh, dtype=Ac.dtype) * (
+            1e-12 * jnp.max(jnp.abs(jnp.diagonal(Ac))))
+        coarse_inv = jnp.linalg.inv(
+            Ac if Ac.dtype != jnp.float64 else Ac)
 
         def blocks(v):
             x = v[:nfx].reshape(nsh, nzl, ny, max(nx - 1, 0))
@@ -120,11 +156,19 @@ class SchwarzGmg:
                                 axis=0).reshape(nsh, nzl, ny, nx)
             return x, y, z
 
-        xL, yL, zL = blocks(aL)
-        xR, yR, zR = blocks(aR)
+        xLb, yLb, zLb = blocks(aL)
+        xRb, yRb, zRb = blocks(aR)
         diag_b = diag0.reshape(nsh, nzl, ny, nx)
-        return self._coarsen_sm(diag_b, xL, xR, yL, yR, zL, zR)
+        local_vals = self._coarsen_sm(diag_b, xLb, xRb, yLb, yRb, zLb, zRb)
+        return (local_vals, coarse_inv)
 
     def vcycle(self, vals, b, **_):
-        out = self._vcycle_sm(vals, b.reshape(self.n_shards, -1))
-        return out.reshape(-1)
+        local_vals, coarse_inv = vals
+        b2 = b.reshape(self.n_shards, -1)
+        out = self._vcycle_sm(local_vals, b2).reshape(-1)
+        # additive coarse correction: x += R^T A_c^{-1} R r — one tiny
+        # global reduce per apply restores slab-count-independent
+        # convergence (two-level additive Schwarz)
+        rc = b2.sum(axis=1)
+        ec = coarse_inv @ rc
+        return out + jnp.repeat(ec, b2.shape[1])
