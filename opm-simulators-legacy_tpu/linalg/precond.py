@@ -158,7 +158,7 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     return apply
 
 
-def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=1,
+def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
              dims=None):
     """Two-stage CPR preconditioner closure.
 
@@ -168,17 +168,32 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=1,
              structured GMG of linalg/gmg.py), prolong into pressure slots;
     stage 2: block-Jacobi smoothing of the full (cells+wells) system on the
              corrected residual.
+
+    Same OPM_TPU_CPR_SMOOTH / OPM_TPU_GMG_PRE / OPM_TPU_GMG_POST knobs as
+    make_cpr_cells.
     """
+    import os as _os
+
+    if smoother_steps is None:
+        smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "1"))
+    pre = int(_os.environ.get("OPM_TPU_GMG_PRE", "1"))
+    post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
     w = quasi_impes_weights(sys.diag)
     diag_p, off_p = cpr_pressure_system(sys, w)
     vals = amg.coarsen_values(diag_p, off_p)
     bj = block_jacobi(sys)
 
+    def vcyc(rp):
+        try:
+            return amg.vcycle(vals, rp, pre=pre, post=post)
+        except TypeError:
+            return amg.vcycle(vals, rp)
+
     def apply(v):
         rc, rw = v          # rc: (3, nc)
         # stage 1: pressure correction
         rp = jnp.sum(w * rc, axis=0)
-        dp = amg.vcycle(vals, rp)
+        dp = vcyc(rp)
         xc = jnp.zeros_like(rc).at[0].set(dp)
         xw = jnp.zeros_like(rw)
         # stage 2: block-Jacobi on the updated residual

@@ -215,3 +215,19 @@ def test_schwarz_cpr_newton_increment(mesh8):
     dp = np.asarray(out.pressure) - np.asarray(state.pressure)
     denom = np.linalg.norm(dp_ref) + 1e-30
     assert np.linalg.norm(dp - dp_ref) / denom < 5e-2
+
+def test_io_gather(mesh8):
+    """ParallelDebugOutput role (parallel/io_gather.py): a cell-sharded
+    state pytree gathers to full host arrays."""
+    from opm_tpu.parallel.io_gather import gather_to_host, is_io_process
+
+    x = np.arange(64.0)
+    xs = jax.device_put(x, NamedSharding(mesh8, P("cells")))
+    tree = dict(pressure=xs, sw=jax.device_put(x * 2,
+                                               NamedSharding(mesh8,
+                                                             P("cells"))))
+    out = gather_to_host(tree)
+    assert isinstance(out["pressure"], np.ndarray)
+    assert np.array_equal(out["pressure"], x)
+    assert np.array_equal(out["sw"], x * 2)
+    assert is_io_process()
