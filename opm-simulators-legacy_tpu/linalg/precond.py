@@ -134,11 +134,26 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
         smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "1"))
     pre = int(_os.environ.get("OPM_TPU_GMG_PRE", "1"))
     post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
+    # stage-2 smoother: 'jacobi' (default) or 'rbgs' (red-black block
+    # Gauss-Seidel — the TPU-native stand-in for the reference's ILU0
+    # smoothing: two masked half-sweeps on the checkerboard coloring,
+    # all stencil arithmetic, no triangular solves)
+    smoother = _os.environ.get("OPM_TPU_CPR_SMOOTHER", "jacobi")
     w = quasi_impes_weights(sys.diag)
     diag_p, off_p = cpr_pressure_system(sys, w)
     vals = amg.coarsen_values(diag_p, off_p)
     dinv = inv3x3_t(sys.diag)
     zero_w = jnp.zeros((sys.nw, 4))
+    red = None
+    if smoother == "rbgs" and dims is not None:
+        import numpy as _np
+
+        nx, ny, nz = dims
+        ii = _np.arange(nx * ny * nz)
+        i = ii % nx
+        j = (ii // nx) % ny
+        k = ii // (nx * ny)
+        red = jnp.asarray(((i + j + k) % 2 == 0).astype(_np.float64))
 
     def vcyc(rp):
         try:
@@ -151,8 +166,15 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
         dp = vcyc(rp)
         xc = jnp.zeros_like(rc).at[0].set(dp)
         for _ in range(smoother_steps):
-            ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)
-            xc = xc + linearize._bapply(dinv, rc - ac)
+            if red is not None:
+                ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)
+                xc = xc + red[None, :] * linearize._bapply(dinv, rc - ac)
+                ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)
+                xc = xc + (1.0 - red)[None, :] * linearize._bapply(
+                    dinv, rc - ac)
+            else:
+                ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)
+                xc = xc + linearize._bapply(dinv, rc - ac)
         return xc
 
     return apply
