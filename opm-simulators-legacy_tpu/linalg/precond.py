@@ -131,7 +131,7 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     import os as _os
 
     if smoother_steps is None:
-        smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "1"))
+        smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "2"))
     pre = int(_os.environ.get("OPM_TPU_GMG_PRE", "1"))
     post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
     # stage-2 smoother: 'jacobi' (default) or 'rbgs' (red-black block
@@ -197,7 +197,7 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     import os as _os
 
     if smoother_steps is None:
-        smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "1"))
+        smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "2"))
     pre = int(_os.environ.get("OPM_TPU_GMG_PRE", "1"))
     post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
     w = quasi_impes_weights(sys.diag)
