@@ -100,3 +100,29 @@ END
     mu = float(props.mu_w(jnp.asarray(200.0e5)))
     table_mu = np.interp(80.0 + 273.15, [293.15, 373.15], [0.6e-3, 0.3e-3])
     assert mu == pytest.approx(table_mu, rel=1e-9)
+
+
+def test_thermal_props_in_compressible_sim():
+    """Integration: hotter (less viscous) injected water advances further
+    through the full compressible simulator."""
+    from opm_tpu.grid import cartesian_grid
+    from opm_tpu.sim.comp_twophase import SimulatorCompressibleTwophase
+
+    DAY = 86400.0
+    g = cartesian_grid((24, 1, 1), (24.0, 1.0, 1.0), perm=1e-13, poro=0.25)
+    visct = np.array([[300.0, 1.0e-3], [450.0, 0.25e-3]])
+    fronts = {}
+    for T in (300.0, 430.0):
+        props = CompTwophaseProps.analytic(c_w=4e-10, c_o=1e-9,
+                                           mu=(1e-3, 3e-3), p_ref=2e7)
+        props.water = ThermalWrapper.wrap(props.water, T, visct=visct,
+                                          viscref_p=2e7)
+        src = np.zeros(g.nc)
+        q = g.pore_volume.sum() / (200 * DAY)
+        src[0] = q
+        src[-1] = -q
+        sim = SimulatorCompressibleTwophase(g, props, src, gravity_on=False)
+        st = sim.initial_state(np.full(g.nc, 2e7), np.zeros(g.nc))
+        st, _ = sim.run(st, dt=2 * DAY, num_steps=12)
+        fronts[T] = int(np.argmax(np.asarray(st.sw) < 0.05))
+    assert fronts[430.0] > fronts[300.0]
