@@ -95,6 +95,19 @@ def resolve_group_controls(step_wells: List[WellConfig],
                     for w in members:
                         w.control = RESERVOIR_RATE
                         w.resv_inj_rate = per
+                elif g.inj_control == "REIN" and np.isfinite(g.inj_target):
+                    # re-inject a fraction of the group's produced volume
+                    # of the injection phase (GCONINJE REIN)
+                    ph = {"WATER": 0, "OIL": 1,
+                          "GAS": 2}.get(g.inj_fluid or "GAS", 2)
+                    produced = sum(
+                        max(-rates.get(w.name, np.zeros(3))[ph], 0.0)
+                        for w in wells if w.type == PRODUCER
+                        and _in_group(w, gname, groups))
+                    per = g.inj_target * produced / len(members)
+                    for w in members:
+                        w.control = SURFACE_RATE
+                        w.surf_inj_rate = per
                 elif g.inj_control == "VREP":
                     # replace the group's production voidage
                     per = g.voidage_frac * voidage_rate / len(members)

@@ -116,3 +116,29 @@ def test_group_orat_distribution():
     # group ORAT 4000 stb/d shared between P1 and P2
     assert total == pytest.approx(4000, rel=1e-4), prod_o
     assert all(v > 100 for v in prod_o.values()), prod_o
+
+
+def test_group_rein_reinjection():
+    """GCONINJE REIN: the injector's target is the reinjection fraction of
+    the group's produced gas (resolve_group_controls unit-level)."""
+    from opm_tpu.io.schedule import (GRUP, INJECTOR, PRODUCER, SURFACE_RATE,
+                                     GroupConfig, WellConfig)
+    from opm_tpu.wells.groups import resolve_group_controls
+
+    wells = [
+        WellConfig(name="P1", group="PLAT", type=PRODUCER, control="ORAT"),
+        WellConfig(name="P2", group="PLAT", type=PRODUCER, control="ORAT"),
+        WellConfig(name="I1", group="PLAT", type=INJECTOR,
+                   injector_fluid="GAS", control=GRUP),
+    ]
+    groups = {"PLAT": GroupConfig(name="PLAT", inj_fluid="GAS",
+                                  inj_control="REIN", inj_target=0.5)}
+    rates = {
+        "P1": np.array([0.0, -0.01, -2.0]),   # producing 2 m3/s gas
+        "P2": np.array([0.0, -0.02, -4.0]),
+        "I1": np.array([0.0, 0.0, 0.0]),
+    }
+    out = resolve_group_controls(wells, groups, rates)
+    inj = next(w for w in out if w.name == "I1")
+    assert inj.control == SURFACE_RATE
+    assert inj.surf_inj_rate == pytest.approx(0.5 * 6.0)
