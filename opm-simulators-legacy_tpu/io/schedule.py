@@ -42,6 +42,7 @@ class Completion:
     direction: str = "Z"
     sat_table: int = 0
     status: str = "OPEN"
+    wi_mult: float = 1.0      # WPIMULT productivity-index multiplier
 
 
 @dataclass
@@ -69,6 +70,10 @@ class WellConfig:
     surf_inj_rate: float = np.nan
     resv_inj_rate: float = np.nan
     polymer_conc: float = 0.0
+    # WGRUPCON guide rate (NaN = derive from rates/potentials)
+    guide_rate: float = np.nan
+    guide_phase: str = "OIL"
+    avail_group_control: bool = True
     # WECON economic limits (NaN = unset)
     econ_min_orat: float = np.nan
     econ_min_grat: float = np.nan
@@ -248,6 +253,32 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     wo = _val(r, 6, None)
                     if wo is not None:
                         w.econ_workover = str(wo).upper()
+        elif name == "WGRUPCON":
+            for r in kw.records:
+                for w in _match_wells(wells, str(r[0])):
+                    w.avail_group_control = str(_val(r, 1, "YES")).upper() \
+                        in ("YES", "Y", "1", "TRUE")
+                    gr = _val(r, 2, None)
+                    w.guide_rate = float(gr) if gr is not None else np.nan
+                    w.guide_phase = str(_val(r, 3, "OIL")).upper()
+        elif name == "WPIMULT":
+            for r in kw.records:
+                f = float(_val(r, 1, 1.0))
+                for w in _match_wells(wells, str(r[0])):
+                    # multiply connection factors (all connections; the
+                    # optional I/J/K filters restrict when present)
+                    ci = _val(r, 2, None)
+                    cj = _val(r, 3, None)
+                    ck = _val(r, 4, None)
+                    for c in w.completions:
+                        if ci is not None and c.i != int(ci) - 1:
+                            continue
+                        if cj is not None and c.j != int(cj) - 1:
+                            continue
+                        if ck is not None and c.k != int(ck) - 1:
+                            continue
+                        c.wi_mult *= f
+                    pending_events.append("WELL_CHANGE")
         elif name == "WELOPEN":
             for r in kw.records:
                 for w in _match_wells(wells, str(r[0])):

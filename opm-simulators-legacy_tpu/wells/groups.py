@@ -63,9 +63,15 @@ def resolve_group_controls(step_wells: List[WellConfig],
                 target = g.prod_targets.get(ctl, np.nan)
                 if np.isfinite(target):
                     ph = _PHASE_OF.get(ctl, 1)
-                    guides = np.array([
-                        max(-rates.get(w.name, np.zeros(3))[ph], 0.0)
-                        for w in members])
+                    # explicit WGRUPCON guide rates take precedence
+                    explicit = np.array([getattr(w, "guide_rate", np.nan)
+                                         for w in members])
+                    if np.isfinite(explicit).all() and explicit.sum() > 0:
+                        guides = explicit
+                    else:
+                        guides = np.array([
+                            max(-rates.get(w.name, np.zeros(3))[ph], 0.0)
+                            for w in members])
                     if guides.sum() <= 0 and potentials:
                         guides = np.array([
                             max(potentials.get(w.name, np.zeros(3))[ph], 0.0)

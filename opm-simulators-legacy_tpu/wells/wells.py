@@ -135,14 +135,12 @@ def build_well_set(wells: List[WellConfig], grid, *, max_perf=None,
             perf_cell[iw, ip] = a
             perf_mask[iw, ip] = True
             perf_depth[iw, ip] = grid.depth[a]
-            if c.cf is not None:
-                perf_wi[iw, ip] = c.cf
-            else:
-                perf_wi[iw, ip] = peaceman_wi(
-                    grid.permx[a], grid.permy[a], grid.permz[a],
-                    grid.dx[a], grid.dy[a], grid.dz[a], grid.ntg[a],
-                    rw=0.5 * c.diameter, skin=c.skin, direction=c.direction,
-                    kh=c.kh)
+            wi = c.cf if c.cf is not None else peaceman_wi(
+                grid.permx[a], grid.permy[a], grid.permz[a],
+                grid.dx[a], grid.dy[a], grid.dz[a], grid.ntg[a],
+                rw=0.5 * c.diameter, skin=c.skin, direction=c.direction,
+                kh=c.kh)
+            perf_wi[iw, ip] = wi * c.wi_mult   # WPIMULT
         is_inj[iw] = w.type == INJECTOR
         if is_inj[iw]:
             fl = w.injector_fluid.upper()

@@ -142,3 +142,49 @@ def test_group_rein_reinjection():
     inj = next(w for w in out if w.name == "I1")
     assert inj.control == SURFACE_RATE
     assert inj.surf_inj_rate == pytest.approx(0.5 * 6.0)
+
+
+def test_wgrupcon_guide_rates_and_wpimult():
+    """WGRUPCON explicit guide rates steer the group-target split;
+    WPIMULT scales connection factors."""
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.io.schedule import build_schedule
+    from opm_tpu.wells.groups import resolve_group_controls
+    from opm_tpu.wells.wells import build_well_set
+    from opm_tpu.grid import build_grid
+
+    deck = DECK.replace("""WCONPROD
+ 'P1' 'OPEN' 'GRUP' 5* 500 /
+ 'P2' 'OPEN' 'GRUP' 5* 500 /
+/""", """WCONPROD
+ 'P1' 'OPEN' 'GRUP' 5* 500 /
+ 'P2' 'OPEN' 'GRUP' 5* 500 /
+/
+WGRUPCON
+ 'P1' 'YES' 3.0 'OIL' /
+ 'P2' 'YES' 1.0 'OIL' /
+/
+WPIMULT
+ 'P1' 0.25 /
+/""")
+    case = load_case_string(deck)
+    sched = build_schedule(case)
+    step = sched.report_steps[0]
+    wells = {w.name: w for w in step.wells}
+    assert wells["P1"].guide_rate == 3.0
+    assert wells["P2"].guide_rate == 1.0
+    assert wells["P1"].completions[0].wi_mult == pytest.approx(0.25)
+    assert wells["P2"].completions[0].wi_mult == pytest.approx(1.0)
+    # guide-rate split: 3:1
+    out = resolve_group_controls(
+        step.wells, step.groups,
+        {n: np.zeros(3) for n in wells})
+    tgt = {w.name: w.orat for w in out if w.type == "PRODUCER"}
+    assert tgt["P1"] == pytest.approx(3 * tgt["P2"], rel=1e-12)
+    # WPIMULT reaches the built WI arrays
+    g = build_grid(case)
+    ws = build_well_set(step.wells, g)
+    i1 = ws.names.index("P1")
+    i2 = ws.names.index("P2")
+    assert np.asarray(ws.perf_wi)[i1, 0] == pytest.approx(
+        0.25 * np.asarray(ws.perf_wi)[i2, 0], rel=1e-6)
