@@ -205,9 +205,16 @@ class NonlinearSolver:
         Schur-eliminated by default (eliminateVariable/recoverVariable,
         NewtonIterationUtilities.cpp:45-184) so the Krylov space holds only
         cell dofs; OPM_TPU_SCHUR=0 keeps wells in the Krylov system."""
-        from opm_tpu.linalg.krylov import bicgstab
+        import os as _os
+
+        from opm_tpu.linalg.krylov import bicgstab, gmres
         from opm_tpu.linalg.precond import make_cpr, make_cpr_cells
         from opm_tpu.models import linearize
+
+        # linear_solver_use_gmres analogue (ISTLSolver.hpp:263-268)
+        krylov = gmres if _os.environ.get("OPM_TPU_KRYLOV",
+                                          "bicgstab") == "gmres" \
+            else bicgstab
 
         model = self.model
         sys = linearize.assemble(model, state, acc0, dt, wd, cdp)
@@ -225,13 +232,13 @@ class NonlinearSolver:
             mv, rhs, recover = linearize.schur_eliminate_wells(
                 sys, dims=self._dims)
             M = make_cpr_cells(sys, self.amg, dims=self._dims)
-            res = bicgstab(mv, rhs, precond=M, tol=self.linear_tol,
-                           maxiter=self.linear_maxiter)
+            res = krylov(mv, rhs, precond=M, tol=self.linear_tol,
+                         maxiter=self.linear_maxiter)
             du_c = res.x
             du_w = recover(du_c)
         else:
             M = make_cpr(sys, self.amg, dims=self._dims)
-            res = bicgstab(
+            res = krylov(
                 lambda v: linearize.matvec(sys, *v, dims=self._dims),
                 (sys.r_cell, sys.r_well), precond=M,
                 tol=self.linear_tol, maxiter=self.linear_maxiter)
