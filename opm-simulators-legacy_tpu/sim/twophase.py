@@ -1,8 +1,11 @@
 """SimulatorIncompTwophase: IMPES-style driver for incompressible 2-phase.
 
 Counterpart of /root/reference/opm/simulators/SimulatorIncompTwophaseAd.cpp
-(also the shape of SimulatorCompressibleTwophase): per step, solve TPFA
-pressure, then implicit water transport, collect watercut/production report.
+(implicit transport; the `sim_2p_incomp_ad` main) and, with
+transport="reorder", of the reorder-transport SimulatorIncompTwophase
+(`sim_2p_incomp`): per step, solve TPFA pressure, then water transport
+(implicit Newton or wavefront reorder sweeps + gravity-segregation
+columns), collect watercut/production report.
 """
 
 from __future__ import annotations
@@ -27,10 +30,16 @@ class TwophaseReport:
 
 
 class SimulatorIncompTwophase:
-    def __init__(self, grid, props, src, *, gravity_on=True, bcs=None):
+    def __init__(self, grid, props, src, *, gravity_on=True, bcs=None,
+                 transport="implicit"):
         self.model = TwophaseModel(grid, props, gravity_on=gravity_on,
                                    bcs=bcs)
         self.src = np.asarray(src)
+        self.transport = transport
+        self._reorder = None
+        if transport == "reorder":
+            from opm_tpu.models.reorder import ReorderTwophaseTransport
+            self._reorder = ReorderTwophaseTransport(grid, props)
 
     def run(self, sw0, dt, num_steps, *, p_fix_val=1e7) -> tuple:
         model = self.model
@@ -44,7 +53,13 @@ class SimulatorIncompTwophase:
                 sw, self.src, p_fix_val=p_fix_val)
             # boundary fluxes act as transport sources (inflow = water)
             src_t = self.src + np.asarray(q_bc)
-            sw, tit, rn = model.transport_solve(sw, flux, src_t, dt)
+            if self._reorder is not None:
+                sw, tit, rn = self._reorder.solve(sw, flux, src_t, dt)
+                if model.gravity != 0.0:
+                    sw, git = self._reorder.solve_gravity(sw, dt)
+                    tit = int(tit) + git
+            else:
+                sw, tit, rn = model.transport_solve(sw, flux, src_t, dt)
             rep.pressure_iters += int(pit)
             rep.transport_iters += int(tit)
             t += dt

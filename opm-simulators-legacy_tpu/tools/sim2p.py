@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--dt-days", type=float, default=2.0)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--gravity", action="store_true")
+    ap.add_argument("--transport", choices=["implicit", "reorder"],
+                    default="implicit",
+                    help="incomp mode: implicit Newton (sim_2p_incomp_ad) "
+                         "or reorder sweeps + gravity columns "
+                         "(sim_2p_incomp)")
     ap.add_argument("--poly-conc", type=float, default=2.0)
     ap.add_argument("--poly-days", type=float, default=1e30,
                     help="polymer slug duration")
@@ -89,7 +94,8 @@ def main(argv=None):
     if args.mode == "incomp":
         from opm_tpu.sim.twophase import SimulatorIncompTwophase
         sim = SimulatorIncompTwophase(g, iprops, src,
-                                      gravity_on=args.gravity)
+                                      gravity_on=args.gravity,
+                                      transport=args.transport)
         state, rep = sim.run(np.zeros(g.nc), dt=dt, num_steps=args.steps)
         hist = dict(times=rep.times, water_prod=rep.water_prod,
                     oil_prod=rep.oil_prod)

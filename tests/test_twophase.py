@@ -110,3 +110,24 @@ def test_reorder_gravity_columns_match_implicit():
     assert s_r.reshape(24, 2)[0].max() < 0.05
     # end states agree (same implicit equations, different solvers)
     assert np.max(np.abs(s_r - s_i)) < 5e-2
+
+
+def test_incomp_reorder_driver_matches_implicit():
+    """SimulatorIncompTwophase(transport='reorder') reproduces the
+    implicit driver on the quarter-five-spot (sim_2p_incomp vs
+    sim_2p_incomp_ad equivalence)."""
+    g = cartesian_grid((10, 10, 1), (100.0, 100.0, 1.0), perm=1e-13,
+                       poro=0.2)
+    props = IncompProps(viscosity=(1e-3, 3e-3), density=(1000.0, 850.0),
+                        exponent=2.0)
+    src = np.zeros(g.nc)
+    q = g.pore_volume.sum() / (300 * DAY)
+    src[0] = q
+    src[-1] = -q
+    outs = []
+    for tr in ("implicit", "reorder"):
+        sim = SimulatorIncompTwophase(g, props, src, gravity_on=False,
+                                      transport=tr)
+        state, _ = sim.run(np.zeros(g.nc), dt=3 * DAY, num_steps=8)
+        outs.append(np.asarray(state.sw))
+    assert np.max(np.abs(outs[0] - outs[1])) < 1e-6
