@@ -338,3 +338,38 @@ def cartesian_grid(dims, physdims=None, *, poro=0.3, perm=100e-15 * 0.9869233,
     case.minpv = 0.0
     case.regions = {}
     return build_grid(case)
+
+
+def estimate_cell_velocity(grid: Grid, face_flux):
+    """Cell-centered Darcy velocity vectors (nc, 3) from signed face fluxes
+    — the miscUtilities estimateCellVelocity capability
+    (/root/reference/opm/core/utility/miscUtilities.hpp: flux ->
+    cell-velocity interpolation for output/visualization). Per direction,
+    the velocity is the average of the two bounding faces' fluxes divided
+    by the face area (sealed boundary faces contribute zero flux)."""
+    import numpy as np
+
+    flux = np.asarray(face_flux)
+    v = np.zeros((grid.nc, 3))
+    area = {0: np.asarray(grid.dy) * np.asarray(grid.dz)
+            * np.asarray(grid.ntg),
+            1: np.asarray(grid.dx) * np.asarray(grid.dz)
+            * np.asarray(grid.ntg),
+            2: np.asarray(grid.dx) * np.asarray(grid.dy)}
+    cnt = np.zeros((grid.nc, 3))
+    fd = np.asarray(grid.face_dir)
+    fc = np.asarray(grid.face_cells)
+    for d in range(3):
+        sel = fd == d
+        c1 = fc[sel, 0]
+        c2 = fc[sel, 1]
+        f = flux[sel]
+        np.add.at(v[:, d], c1, f)
+        np.add.at(v[:, d], c2, f)
+        np.add.at(cnt[:, d], c1, 1.0)
+        np.add.at(cnt[:, d], c2, 1.0)
+        # every cell has two bounding faces per direction; sealed boundary
+        # faces count as zero-flux samples
+        v[:, d] /= 2.0
+        v[:, d] /= area[d]
+    return v

@@ -119,3 +119,27 @@ def test_block_partition_split_disconnected():
     # each block is one connected 4x4 patch of 16 cells
     counts = np.bincount(p)
     assert np.all(counts == 16)
+
+
+def test_estimate_cell_velocity_uniform_flow():
+    """estimateCellVelocity: uniform x-flow recovers the exact interior
+    Darcy velocity and zero transverse components."""
+    import numpy as np
+
+    from opm_tpu.grid import cartesian_grid
+    from opm_tpu.grid.grid import estimate_cell_velocity
+
+    g = cartesian_grid((10, 3, 2), (100.0, 30.0, 10.0), perm=1e-13)
+    q = 4.0e-6                            # m3/s through every x-face
+    flux = np.zeros(g.nf)
+    flux[np.asarray(g.face_dir) == 0] = q
+    v = estimate_cell_velocity(g, flux)
+    area_x = 10.0 * 5.0                   # dy*dz
+    interior = np.asarray(
+        [g.active_index(i, j, k) for i in range(1, 9)
+         for j in range(3) for k in range(2)])
+    np.testing.assert_allclose(v[interior, 0], q / area_x, rtol=1e-12)
+    np.testing.assert_allclose(v[:, 1:], 0.0, atol=1e-18)
+    # boundary cells average with the sealed face: half the magnitude
+    edge = g.active_index(0, 0, 0)
+    assert v[edge, 0] == pytest.approx(0.5 * q / area_x, rel=1e-12)
