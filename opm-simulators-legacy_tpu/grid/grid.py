@@ -356,7 +356,6 @@ def estimate_cell_velocity(grid: Grid, face_flux):
             1: np.asarray(grid.dx) * np.asarray(grid.dz)
             * np.asarray(grid.ntg),
             2: np.asarray(grid.dx) * np.asarray(grid.dy)}
-    cnt = np.zeros((grid.nc, 3))
     fd = np.asarray(grid.face_dir)
     fc = np.asarray(grid.face_cells)
     for d in range(3):
@@ -366,8 +365,6 @@ def estimate_cell_velocity(grid: Grid, face_flux):
         f = flux[sel]
         np.add.at(v[:, d], c1, f)
         np.add.at(v[:, d], c2, f)
-        np.add.at(cnt[:, d], c1, 1.0)
-        np.add.at(cnt[:, d], c2, 1.0)
         # every cell has two bounding faces per direction; sealed boundary
         # faces count as zero-flux samples
         v[:, d] /= 2.0
