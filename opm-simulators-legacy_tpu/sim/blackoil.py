@@ -232,13 +232,29 @@ class SimulatorFullyImplicitBlackoil:
 
         qs = np.asarray(state.qs)
         idx = {n: i for i, n in enumerate(self.well_names)}
+        # per-connection rates are only needed for ratio workovers; compute
+        # them lazily and JITTED (an eager evaluation here cost ~2 s of
+        # dispatch per report step even on WECON-free decks)
+        need_cq = any(
+            w.type == "PRODUCER" and w.status.upper() == "OPEN"
+            and np.isfinite(w.econ_max_wct)
+            and w.econ_workover in ("CON", "+CON")
+            for w in step_wells)
         cq = None
-        if ws is not None and wd is not None:
-            q = self.model.cell_quantities(state)
-            cellq = self.model.well_cell_quantities(q)
-            cdp = stdwells.connection_pressure_offsets(wd, cellq, state.qs)
-            cq = np.asarray(stdwells.perforation_fluxes(
-                wd, cellq, state.bhp, state.qs, cdp))    # (nw, mp, 3)
+        if need_cq and ws is not None and wd is not None:
+            if not hasattr(self, "_econ_cq_jit"):
+                import jax as _jax
+
+                def _cq(state_, wd_):
+                    q = self.model.cell_quantities(state_)
+                    cellq = self.model.well_cell_quantities(q)
+                    cdp = stdwells.connection_pressure_offsets(
+                        wd_, cellq, state_.qs)
+                    return stdwells.perforation_fluxes(
+                        wd_, cellq, state_.bhp, state_.qs, cdp)
+
+                self._econ_cq_jit = _jax.jit(_cq)
+            cq = np.asarray(self._econ_cq_jit(state, wd))  # (nw, mp, 3)
         for w in step_wells:
             if w.type != "PRODUCER" or w.status.upper() != "OPEN" or \
                     w.name in self._econ_shut:

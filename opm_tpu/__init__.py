@@ -39,7 +39,11 @@ if _os.environ.get("OPM_TPU_COMPILATION_CACHE", "1") != "0":
             _os.path.expanduser("~/.cache/opm_tpu_jax_cache"))
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # persist EVERYTHING: through the axon tunnel even sub-second
+        # compiles cost ~0.5-1 s each, and the eager/EQUIL fragments alone
+        # number ~100 (63 s of a cold SPE1 run was tiny-compile time)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.0)
     except Exception:
         pass
 
