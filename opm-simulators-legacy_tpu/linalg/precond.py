@@ -107,6 +107,26 @@ def quasi_impes_weights(diag_t):
     return dinv[0]  # (3, nc): w_j = (D^{-1})_{0j}
 
 
+def cpr_weights(sys: linearize.BlockSystem):
+    """CPR decoupling weights, selectable via OPM_TPU_CPR_WEIGHTS:
+    'quasiimpes' (default; diagonal block only) or 'trueimpes' (block
+    COLUMN sums — each cell's variables as seen by ALL equations, the
+    classic true-IMPES weighting that decouples better on strong
+    coupling)."""
+    import os as _os
+
+    mode = _os.environ.get("OPM_TPU_CPR_WEIGHTS", "quasiimpes")
+    if mode != "trueimpes":
+        return quasi_impes_weights(sys.diag)
+    c1 = sys.face_cells[:, 0]
+    c2 = sys.face_cells[:, 1]
+    colsum = sys.diag
+    # row c2 holds -face_L in column c1; row c1 holds +face_R in column c2
+    colsum = colsum.at[:, :, c1].add(-sys.face_L)
+    colsum = colsum.at[:, :, c2].add(sys.face_R)
+    return quasi_impes_weights(colsum)
+
+
 def cpr_pressure_system(sys: linearize.BlockSystem, w):
     """Weighted pressure matrix entries: diag (nc,), off values aligned with
     the AMG level-0 directed entry list [rows=c1|c2, cols=c2|c1]."""
@@ -139,7 +159,7 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     # smoothing: two masked half-sweeps on the checkerboard coloring,
     # all stencil arithmetic, no triangular solves)
     smoother = _os.environ.get("OPM_TPU_CPR_SMOOTHER", "jacobi")
-    w = quasi_impes_weights(sys.diag)
+    w = cpr_weights(sys)
     diag_p, off_p = cpr_pressure_system(sys, w)
     vals = amg.coarsen_values(diag_p, off_p)
     dinv = inv3x3_t(sys.diag)
@@ -200,7 +220,7 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
         smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "2"))
     pre = int(_os.environ.get("OPM_TPU_GMG_PRE", "1"))
     post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
-    w = quasi_impes_weights(sys.diag)
+    w = cpr_weights(sys)
     diag_p, off_p = cpr_pressure_system(sys, w)
     vals = amg.coarsen_values(diag_p, off_p)
     bj = block_jacobi(sys)
