@@ -76,23 +76,15 @@ class PolymerTwophaseModel(TwophaseModel):
         return krw / mu_w * fac, kro / mu_o
 
     def pressure_solve_polymer(self, sw, c, cmax, src, **kw):
-        """IncompTpfaPolymer: patch mobilities, reuse the TPFA solve."""
-        mob_holder = self.props
-
-        class _Patched:
-            def __getattr__(s, k):
-                return getattr(mob_holder, k)
-
-            def mobility(s, sw_, reg=None):
-                return self.polymer_mobility(sw_, c, cmax)
-
-        orig = self.props
-        self.props = _Patched()
-        try:
-            out = self.pressure_solve(sw, src, **kw)
-        finally:
-            self.props = orig
-        return out
+        """IncompTpfaPolymer: the polymer water-mobility factor enters the
+        TPFA solve as a traced per-cell multiplier. (The previous
+        props-patching approach baked the FIRST call's concentration into
+        the jitted trace as a constant — every later pressure solve used
+        stale polymer viscosities.)"""
+        mu_w = self.props.viscosity[0]
+        wf = self.poly.water_mob_factor(jnp.asarray(c), mu_w,
+                                        jnp.asarray(cmax))
+        return self.pressure_solve(sw, src, wf=wf, **kw)
 
     # -- coupled (s, c) transport -------------------------------------------
     def _polymer_residual(self, s, c, s0, c0, cmax0, influx_w, influx_c,

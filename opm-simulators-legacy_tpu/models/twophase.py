@@ -93,10 +93,11 @@ class TwophaseModel:
         return self.trans * self.gravity * (rho_o - rho_w) * dz
 
     # -- pressure ------------------------------------------------------------
-    def _pressure_solve(self, sw, src, p_fix_cell, p_fix_val):
+    def _pressure_solve(self, sw, src, p_fix_cell, p_fix_val, wf):
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
         mw, mo = self.props.mobility(sw)
+        mw = mw * wf            # polymer water-mobility factor (1 = none)
         mt = mw + mo
         mt_f = 0.5 * (mt[c1] + mt[c2])
         a_off = self.trans * mt_f
@@ -136,9 +137,13 @@ class TwophaseModel:
         q_bc = bc_coef * (self.bc_p_val - p) + self.bc_q
         return p, flux, q_bc, res.iterations
 
-    def pressure_solve(self, sw, src, *, p_fix_cell=0, p_fix_val=1e7):
+    def pressure_solve(self, sw, src, *, p_fix_cell=0, p_fix_val=1e7,
+                       wf=None):
+        if wf is None:
+            wf = jnp.ones(self.nc)
         return self._psolve(jnp.asarray(sw), jnp.asarray(src),
-                            jnp.asarray(p_fix_cell), jnp.asarray(p_fix_val))
+                            jnp.asarray(p_fix_cell), jnp.asarray(p_fix_val),
+                            jnp.asarray(wf))
 
     # -- transport -------------------------------------------------------------
     def _transport_residual(self, sw, sw0, flux, src, dtpv, g_flux):
