@@ -43,7 +43,7 @@ from opm_tpu.wells import standard as stdwells
 @dataclass
 class SequentialParams:
     pressure_tol: float = 1e-6      # relative residual reduction
-    max_pressure_iter: int = 12
+    max_pressure_iter: int = 30     # backtracked steps need headroom
     max_transport_iter: int = 20
     transport_cnv_tol: float = 1e-4
     iterate_to_fully_implicit: bool = False
@@ -121,16 +121,34 @@ class BlackoilSequentialModel:
             r = rfun(u)
             J = jax.jacfwd(rfun)(u)
             du = dense_solve(J, r)
-            dp = jnp.clip(du[:nc],
-                          -model.params.dp_max_rel * jnp.abs(s.pressure),
-                          model.params.dp_max_rel * jnp.abs(s.pressure))
-            dbhp = jnp.clip(du[nc:nc + nw],
-                            -model.params.dp_max_rel * jnp.abs(s.bhp),
-                            model.params.dp_max_rel * jnp.abs(s.bhp))
-            s = s._replace(pressure=s.pressure - dp, bhp=s.bhp - dbhp,
-                           qs=s.qs - du[nc + nw:].reshape(nw, 3))
-            rn_new = jnp.linalg.norm(rfun(pack(s)))
-            return (s, it + 1, rn_new, rn0)
+
+            def stepped(alpha):
+                dua = du * alpha
+                dp = jnp.clip(dua[:nc],
+                              -model.params.dp_max_rel
+                              * jnp.abs(s.pressure),
+                              model.params.dp_max_rel * jnp.abs(s.pressure))
+                dbhp = jnp.clip(dua[nc:nc + nw],
+                                -model.params.dp_max_rel * jnp.abs(s.bhp),
+                                model.params.dp_max_rel * jnp.abs(s.bhp))
+                return s._replace(pressure=s.pressure - dp,
+                                  bhp=s.bhp - dbhp,
+                                  qs=s.qs - dua[nc + nw:].reshape(nw, 3))
+
+            # backtracking safeguard: the well-flux equations are strongly
+            # nonlinear in the rates once free gas reaches a producer —
+            # a full clipped-Newton step can diverge (SPE1 day ~700).
+            # Take the best of {1, 1/2, 1/4, 1/8} steps by residual norm.
+            best_s = stepped(1.0)
+            best_rn = jnp.linalg.norm(rfun(pack(best_s)))
+            for alpha in (0.5, 0.25, 0.125):
+                cand = stepped(alpha)
+                crn = jnp.linalg.norm(rfun(pack(cand)))
+                take = crn < best_rn
+                best_s = jax.tree.map(
+                    lambda a, b: jnp.where(take, b, a), best_s, cand)
+                best_rn = jnp.minimum(best_rn, crn)
+            return (best_s, it + 1, best_rn, rn0)
 
         r0 = jnp.linalg.norm(rfun(pack(state)))
 

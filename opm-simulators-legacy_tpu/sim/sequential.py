@@ -17,7 +17,8 @@ from opm_tpu.models.blackoil import make_well_device_arrays
 from opm_tpu.models.sequential import (BlackoilSequentialModel,
                                        SequentialParams)
 from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
-from opm_tpu.solver.newton import SolverReport
+from opm_tpu.solver.newton import (NumericalIssue, SolverReport,
+                                  TooManyIterations)
 
 
 class SimulatorSequentialBlackoil(SimulatorFullyImplicitBlackoil):
@@ -36,6 +37,7 @@ class _SequentialSolverAdapter:
     def __init__(self, seq: BlackoilSequentialModel):
         self.seq = seq
         self.model = seq.model
+        self._fi_fallback = None
 
     def step(self, state, dt, wd, report: Optional[SolverReport] = None):
         rep = report or SolverReport()
@@ -47,7 +49,24 @@ class _SequentialSolverAdapter:
         ctrl, tgt = stdwells.update_controls(wd, state.bhp, state.qs,
                                              state.control, state.target)
         state = state._replace(control=ctrl, target=tgt)
-        state, info = self.seq.step(state, dt, wd)
+        try:
+            state, info = self.seq.step(state, dt, wd)
+        except (TooManyIterations, NumericalIssue):
+            # the splitting can stall where the well equations kink (free
+            # gas reaching a producer); rather than burning dt-chop
+            # retries on a non-dt problem, take this substep fully
+            # implicitly (the remedy the reference's
+            # iterate_to_fully_implicit option gestures at —
+            # BlackoilSequentialModel.hpp:130-230)
+            if self._fi_fallback is None:
+                from opm_tpu.solver.newton import NonlinearSolver
+                self._fi_fallback = NonlinearSolver(self.model)
+            state, firep = self._fi_fallback.step(state, dt, wd)
+            rep.iterations = firep.iterations
+            rep.linear_iterations += firep.linear_iterations
+            rep.converged = True
+            rep.assemble_time += _time.perf_counter() - t0
+            return state, rep
         # dt control sees the OUTER sequential iterations (the reference's
         # NonlinearSolver counts BlackoilSequentialModel::nonlinearIteration
         # calls, not the stages' inner Newton/sweep counts — reporting
