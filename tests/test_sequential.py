@@ -76,3 +76,32 @@ def test_sequential_outer_single_step(fi_state):
             p_fi.mean()
     assert errs[True] < 0.5 * errs[False] or errs[True] < 1e-5, errs
     assert errs[True] < 5e-3, errs
+
+
+@pytest.mark.slow
+def test_sequential_full_spe1_schedule():
+    """Full 120-step SPE1 through the sequential-implicit driver: the
+    gas-breakthrough regime (day ~700) must not stall the pressure stage
+    (backtracking + fully-implicit fallback)."""
+    from opm_tpu.io.eclstate import load_case
+
+    sim = SimulatorSequentialBlackoil(load_case("data/SPE1CASE2.DATA"))
+    state = sim.run()
+    assert sim.report.failed_substeps == 0
+    assert sim.report.substeps >= 120
+    qs = np.asarray(state.qs)
+    assert np.isfinite(np.asarray(state.pressure)).all()
+
+
+@pytest.mark.slow
+def test_reorder_full_spe1_schedule():
+    """Same soak through the reordering-transport variant."""
+    from opm_tpu.io.eclstate import load_case
+    from opm_tpu.models.sequential import SequentialParams
+
+    sim = SimulatorSequentialBlackoil(
+        load_case("data/SPE1CASE2.DATA"),
+        seq_params=SequentialParams(transport="reorder"))
+    state = sim.run()
+    assert sim.report.failed_substeps == 0
+    assert np.isfinite(np.asarray(state.pressure)).all()
