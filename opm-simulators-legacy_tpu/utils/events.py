@@ -39,3 +39,25 @@ class EventSource:
     def signal(self, name: str, *args, **kwargs):
         if name in self._events:
             self._events[name].signal(*args, **kwargs)
+
+
+class DebugTimeReport:
+    """RAII-style scope timer (DebugTimeReport.hpp:31-50): prints elapsed
+    wall time for a named scope on exit. Use as a context manager."""
+
+    def __init__(self, name: str, *, printer=print):
+        self.name = name
+        self._printer = printer
+
+    def __enter__(self):
+        import time
+
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        import time
+
+        self._printer(f"{self.name}: "
+                      f"{time.perf_counter() - self._t0:.3f} s")
+        return False
