@@ -100,7 +100,10 @@ def test_spe1_full_run():
     assert abs(bhp[-1] / 1000.0 - 1.0) < 1e-3       # ends on BHP limit
     fopr = sim.summary.series("FOPR") * DAY / 0.158987294928
     assert fopr[0] == pytest.approx(20000, rel=1e-6)
-    assert fopr[-1] < 5000                          # late-time decline
+    # late-time decline on the BHP limit; published year-10 rates vary by
+    # simulator (~5-7 Mstb/d), and the WellDensitySegmented parity fix
+    # (deeper-connection segment density) sits near 5.7
+    assert fopr[-1] < 8000
 
 
 def test_fip_per_region():
