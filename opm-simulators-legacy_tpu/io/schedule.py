@@ -130,6 +130,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
     sched = Schedule(start_date=case.runspec.start_date)
     wells: Dict[str, WellConfig] = {}
     groups: Dict[str, GroupConfig] = {}
+    wlists: Dict[str, list] = {}       # WLIST named well lists
     t = 0.0
     cur_date = case.runspec.start_date
     step_idx = 0
@@ -167,7 +168,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
         elif name == "COMPDAT":
             for r in kw.records:
                 pat = str(r[0])
-                for w in _match_wells(wells, pat):
+                for w in _match_wells(wells, wlists, pat):
                     i = int(_val(r, 1, w.i + 1)) - 1
                     j = int(_val(r, 2, w.j + 1)) - 1
                     k1 = int(_val(r, 3, 1)) - 1
@@ -192,7 +193,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     pending_events.append("WELL_CHANGE")
         elif name == "WCONPROD":
             for r in kw.records:
-                for w in _match_wells(wells, str(r[0])):
+                for w in _match_wells(wells, wlists, str(r[0])):
                     w.type = PRODUCER
                     w.status = str(_val(r, 1, "OPEN"))
                     w.control = str(_val(r, 2, "ORAT")).upper()
@@ -208,7 +209,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     pending_events.append("WELL_CHANGE")
         elif name in ("WCONINJE", "WCONINJ"):
             for r in kw.records:
-                for w in _match_wells(wells, str(r[0])):
+                for w in _match_wells(wells, wlists, str(r[0])):
                     w.type = INJECTOR
                     w.injector_fluid = str(_val(r, 1, "WATER")).upper()
                     w.status = str(_val(r, 2, "OPEN"))
@@ -224,7 +225,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     pending_events.append("WELL_CHANGE")
         elif name == "WELTARG":
             for r in kw.records:
-                for w in _match_wells(wells, str(r[0])):
+                for w in _match_wells(wells, wlists, str(r[0])):
                     ctl = str(_val(r, 1, "ORAT")).upper()
                     v = float(_val(r, 2, 0.0))
                     if ctl == "ORAT":
@@ -244,7 +245,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     pending_events.append("WELL_CHANGE")
         elif name == "WECON":
             for r in kw.records:
-                for w in _match_wells(wells, str(r[0])):
+                for w in _match_wells(wells, wlists, str(r[0])):
                     w.econ_min_orat = _sival(r, 1, liq_f)
                     w.econ_min_grat = _sival(r, 2, gas_f)
                     w.econ_max_wct = float(_val(r, 3, np.nan)) \
@@ -255,7 +256,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
                         w.econ_workover = str(wo).upper()
         elif name == "WGRUPCON":
             for r in kw.records:
-                for w in _match_wells(wells, str(r[0])):
+                for w in _match_wells(wells, wlists, str(r[0])):
                     w.avail_group_control = str(_val(r, 1, "YES")).upper() \
                         in ("YES", "Y", "1", "TRUE")
                     gr = _val(r, 2, None)
@@ -264,7 +265,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
         elif name == "WPIMULT":
             for r in kw.records:
                 f = float(_val(r, 1, 1.0))
-                for w in _match_wells(wells, str(r[0])):
+                for w in _match_wells(wells, wlists, str(r[0])):
                     # multiply connection factors (all connections; the
                     # optional I/J/K filters restrict when present)
                     ci = _val(r, 2, None)
@@ -279,14 +280,32 @@ def build_schedule(case: EclipseCase) -> Schedule:
                             continue
                         c.wi_mult *= f
                     pending_events.append("WELL_CHANGE")
+        elif name == "WLIST":
+            # named well lists: '*NAME' NEW|ADD|DEL W1 W2 ...
+            for r in kw.records:
+                lname = str(_val(r, 0, "")).strip()
+                action = str(_val(r, 1, "NEW")).upper()
+                members = [str(x) for x in list(r)[2:]
+                           if x is not None and str(x).strip()]
+                cur = wlists.setdefault(lname, [])
+                if action == "NEW":
+                    cur.clear()
+                if action == "DEL":
+                    for m in members:
+                        if m in cur:
+                            cur.remove(m)
+                else:
+                    for m in members:
+                        if m not in cur:
+                            cur.append(m)
         elif name == "WELOPEN":
             for r in kw.records:
-                for w in _match_wells(wells, str(r[0])):
+                for w in _match_wells(wells, wlists, str(r[0])):
                     w.status = str(_val(r, 1, "OPEN"))
                     pending_events.append("WELL_CHANGE")
         elif name == "WPOLYMER":
             for r in kw.records:
-                for w in _match_wells(wells, str(r[0])):
+                for w in _match_wells(wells, wlists, str(r[0])):
                     w.polymer_conc = float(_val(r, 1, 0.0)) * u.factor(
                         "PolymerDensity")
                     pending_events.append("WELL_CHANGE")
@@ -360,8 +379,11 @@ def build_schedule(case: EclipseCase) -> Schedule:
     return sched
 
 
-def _match_wells(wells: Dict[str, WellConfig], pattern: str):
+def _match_wells(wells: Dict[str, WellConfig], wlists, pattern: str):
     pattern = pattern.strip()
+    # WLIST names ('*NAME') take precedence over glob patterns
+    if wlists and pattern in wlists:
+        return [wells[n] for n in wlists[pattern] if n in wells]
     if any(ch in pattern for ch in "*?["):
         return [w for n, w in wells.items() if fnmatch.fnmatch(n, pattern)]
     if pattern not in wells:

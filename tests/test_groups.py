@@ -188,3 +188,28 @@ WPIMULT
     i2 = ws.names.index("P2")
     assert np.asarray(ws.perf_wi)[i1, 0] == pytest.approx(
         0.25 * np.asarray(ws.perf_wi)[i2, 0], rel=1e-6)
+
+
+def test_wlist_named_lists():
+    """WLIST: '*NAME' lists resolve in schedule keywords, with NEW/ADD/DEL
+    semantics and precedence over glob patterns."""
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.io.schedule import build_schedule
+
+    deck = DECK.replace("""WCONPROD
+ 'P1' 'OPEN' 'GRUP' 5* 500 /
+ 'P2' 'OPEN' 'GRUP' 5* 500 /
+/""", """WLIST
+ '*MYPRODS' 'NEW' 'P1' 'P2' /
+/
+WCONPROD
+ '*MYPRODS' 'OPEN' 'ORAT' 1234 4* 500 /
+/""")
+    case = load_case_string(deck)
+    sched = build_schedule(case)
+    wells = {w.name: w for w in sched.report_steps[0].wells}
+    STB = 0.158987294928
+    DAY = 86400.0
+    for n in ("P1", "P2"):
+        assert wells[n].control == "ORAT"
+        assert wells[n].orat * DAY / STB == pytest.approx(1234, rel=1e-9)
