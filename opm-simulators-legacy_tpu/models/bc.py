@@ -103,14 +103,17 @@ def assemble_bc_arrays(bcs: Optional[FlowBCs], nc: int):
     p_coef * lam_t * (p_cell - p_val) added to the cell's equation and
     q_fixed is the prescribed boundary influx [m3/s]."""
     p_coef = np.zeros(nc)
-    p_val = np.zeros(nc)
+    p_tv = np.zeros(nc)       # sum of half_trans * value over pressure sides
     q_fixed = np.zeros(nc)
     if bcs is not None:
         for s in bcs.sides:
             if s.kind == "pressure":
                 p_coef[s.cells] += s.half_trans
-                # multiple pressure sides on one cell: trans-weighted value
-                p_val[s.cells] = s.value
+                p_tv[s.cells] += s.half_trans * s.value
             else:
                 q_fixed[s.cells] += s.value * s.area / s.area.sum()
+    # multiple pressure sides on one cell (corner): trans-weighted average
+    # value so each side contributes T_b*(p - p_side) independently
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p_val = np.where(p_coef > 0.0, p_tv / np.maximum(p_coef, 1e-300), 0.0)
     return p_coef, p_val, q_fixed

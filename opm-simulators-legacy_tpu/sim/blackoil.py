@@ -281,13 +281,16 @@ class SimulatorFullyImplicitBlackoil:
             if res.shut_well:
                 self._econ_shut.add(w.name)
             elif res.closed_connections:
-                comps = [c for c in w.completions
-                         if c.status.upper() == "OPEN"]
+                # closed_connections index the padded perf arrays, which
+                # build_well_set fills depth-sorted (wells/wells.py) — NOT
+                # deck COMPDAT order; recover (i,j,k) from perf_cell.
                 closed = self._econ_closed_conns.setdefault(w.name, set())
+                pm = np.asarray(ws.perf_mask[i])
+                pc = np.asarray(ws.perf_cell[i])
                 for k in res.closed_connections:
-                    if k < len(comps):
-                        c = comps[k]
-                        closed.add((c.i, c.j, c.k))
+                    if k < pm.shape[0] and pm[k]:
+                        ci, cj, ck = self.grid.ijk(int(pc[k]))
+                        closed.add((int(ci), int(cj), int(ck)))
                 if len(closed) >= len(w.completions):
                     self._econ_shut.add(w.name)
 

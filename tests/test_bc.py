@@ -86,3 +86,31 @@ def test_bc_driven_waterflood():
     assert sw[-1] < 1e-8                    # front has not broken through
     stored = (sw * g.pore_volume).sum()
     assert stored > 0
+
+
+def test_corner_cell_two_pressure_sides():
+    """A corner cell on two pressure sides must see each side contribute
+    T_b*(p - p_side) independently (trans-weighted p_val, not last-wins):
+    assemble_bc_arrays on a 2x2x1 grid, corner cells touch xmin+ymin etc."""
+    from opm_tpu.models.bc import assemble_bc_arrays
+
+    g = cartesian_grid((2, 2, 1), (10.0, 20.0, 1.0), perm=1e-13, poro=0.2)
+    bcs = FlowBCs(g).pressure_side("xmin", 3e7).pressure_side("ymin", 1e7)
+    p_coef, p_val, q_fixed = assemble_bc_arrays(bcs, g.nc)
+    sx = next(s for s in bcs.sides if s.value == 3e7)
+    sy = next(s for s in bcs.sides if s.value == 1e7)
+    tx = {c: t for c, t in zip(sx.cells, sx.half_trans)}
+    ty = {c: t for c, t in zip(sy.cells, sy.half_trans)}
+    corner = set(sx.cells) & set(sy.cells)
+    assert corner, "2x2 grid must have a cell on both xmin and ymin"
+    for c in corner:
+        T = tx[c] + ty[c]
+        assert p_coef[c] == pytest.approx(T)
+        # trans-weighted average: sum(T_i * v_i) / sum(T_i)
+        assert p_val[c] == pytest.approx(
+            (tx[c] * 3e7 + ty[c] * 1e7) / T)
+        # equivalent single-coefficient form reproduces the independent
+        # two-side flux for any cell pressure p
+        p = 2.2e7
+        assert p_coef[c] * (p_val[c] - p) == pytest.approx(
+            tx[c] * (3e7 - p) + ty[c] * (1e7 - p))
