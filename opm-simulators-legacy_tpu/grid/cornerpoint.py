@@ -110,6 +110,16 @@ def process_corner_point(dims, coord, zcorn, actnum=None):
     vol, cent = cell_geometry(corners)
     volf = vol.reshape(-1)
     centf = cent.reshape(-1, 3)
+    # axis-aligned cell extents (mean over the 4 corner pairs per axis)
+    # for Peaceman well-index geometry
+    ext = np.stack([
+        np.abs(corners[..., :, :, 1, 0] - corners[..., :, :, 0, 0])
+        .mean(axis=(-2, -1)),
+        np.abs(corners[..., :, 1, :, 1] - corners[..., :, 0, :, 1])
+        .mean(axis=(-2, -1)),
+        np.abs(corners[..., 1, :, :, 2] - corners[..., 0, :, :, 2])
+        .mean(axis=(-2, -1)),
+    ], axis=-1).reshape(-1, 3)
 
     def gid(i, j, k):
         return (k * ny + j) * nx + i
@@ -187,7 +197,7 @@ def process_corner_point(dims, coord, zcorn, actnum=None):
                         conns.append((gid(i, j, kL),
                                       gid(i + di, j + dj, kR),
                                       area, fc, fc, axis))
-    return dict(volume=volf, centroid=centf, connections=conns)
+    return dict(volume=volf, centroid=centf, connections=conns, extent=ext)
 
 
 def half_trans(perm_dir, area_vec, face_centroid, cell_centroid):

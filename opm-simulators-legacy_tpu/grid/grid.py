@@ -68,6 +68,60 @@ class Grid:
         return int(self.cart_to_active[(k * ny + j) * nx + i])
 
 
+_FAULT_FACE = {"X": (0, +1), "I": (0, +1), "X-": (0, -1), "I-": (0, -1),
+               "Y": (1, +1), "J": (1, +1), "Y-": (1, -1), "J-": (1, -1),
+               "Z": (2, +1), "K": (2, +1), "Z-": (2, -1), "K-": (2, -1)}
+
+
+def _fault_face_multipliers(case, nx, ny, nz):
+    """Per-cell, per-direction fault transmissibility multipliers from
+    FAULTS + MULTFLT (the TransMult fault path the reference consumes in
+    GeoProps.hpp:466 multiplyHalfIntersections_). Returns (fpos, fneg),
+    each (3, ncg): the multiplier on a cell's positive/negative-direction
+    face; a connection c1->c2 along +d gets fpos[d][c1] * fneg[d][c2].
+    Distinct faults sharing a face multiply together; repeated MULTFLT
+    records for one fault override (last wins, opm-common semantics)."""
+    ncg = nx * ny * nz
+    fpos = np.ones((3, ncg))
+    fneg = np.ones((3, ncg))
+    faults = getattr(case, "faults", {}) or {}
+    mults = getattr(case, "fault_mults", {}) or {}
+    for name, recs in faults.items():
+        m = mults.get(name)
+        if m is None or m == 1.0:
+            continue
+        for (b, face) in recs:
+            d, sgn = _FAULT_FACE[str(face).upper()]
+            i1, i2, j1, j2, k1, k2 = b
+            ii = np.arange(max(i1, 0), min(i2, nx - 1) + 1)
+            jj = np.arange(max(j1, 0), min(j2, ny - 1) + 1)
+            kk = np.arange(max(k1, 0), min(k2, nz - 1) + 1)
+            K, J, I = np.meshgrid(kk, jj, ii, indexing="ij")
+            idx = ((K * ny + J) * nx + I).ravel()
+            (fpos if sgn > 0 else fneg)[d, idx] *= m
+    return fpos, fneg
+
+
+def _nnc_faces(case, cart_to_active):
+    """Deck NNC records -> (face_cells (n,2), trans (n,), dir=3 (n,)),
+    dropping connections to inactive cells (AutoDiffHelpers.hpp:60-90
+    appends NNC rows to the grad/div operators; here they are ordinary
+    faces with face_dir=3)."""
+    fc, tr = [], []
+    for (g1, g2, t) in getattr(case, "nncs", []) or []:
+        a1 = int(cart_to_active[g1])
+        a2 = int(cart_to_active[g2])
+        if a1 < 0 or a2 < 0 or t <= 0.0 or a1 == a2:
+            continue
+        fc.append((a1, a2))
+        tr.append(t)
+    if not fc:
+        return (np.zeros((0, 2), dtype=np.int32), np.zeros(0),
+                np.zeros(0, dtype=np.int8))
+    return (np.asarray(fc, dtype=np.int32), np.asarray(tr),
+            np.full(len(tr), 3, dtype=np.int8))
+
+
 def _expand_v(vec, nx, ny, nz, axis):
     """DXV/DYV/DZV (per-slab spacing) -> full nx*ny*nz array."""
     out = np.empty((nz, ny, nx))
@@ -139,6 +193,14 @@ def build_grid(case) -> Grid:
     multx = full("MULTX", 1.0)
     multy = full("MULTY", 1.0)
     multz = full("MULTZ", 1.0)
+    # negative-direction multipliers (MULT[XYZ]-) apply to the SECOND
+    # cell's half of each connection (GeoProps.hpp:466
+    # multiplyHalfIntersections_: cell half-trans gets its own-direction
+    # multiplier; harmonic combination multiplies both)
+    multxm = full("MULTX-", 1.0)
+    multym = full("MULTY-", 1.0)
+    multzm = full("MULTZ-", 1.0)
+    fpos, fneg = _fault_face_multipliers(case, nx, ny, nz)
 
     # interior faces between cartesian neighbors (both active)
     fc, tr, fdir = [], [], []
@@ -155,19 +217,20 @@ def build_grid(case) -> Grid:
             area2 = dy[c2] * dz[c2] * ntg[c2]
             h1 = permx[c1] * area1 / (0.5 * dx[c1])
             h2 = permx[c2] * area2 / (0.5 * dx[c2])
-            mult = multx[c1]
+            mult = multx[c1] * multxm[c2]
         elif axis == 1:
             area1 = dx[c1] * dz[c1] * ntg[c1]
             area2 = dx[c2] * dz[c2] * ntg[c2]
             h1 = permy[c1] * area1 / (0.5 * dy[c1])
             h2 = permy[c2] * area2 / (0.5 * dy[c2])
-            mult = multy[c1]
+            mult = multy[c1] * multym[c2]
         else:
             area1 = dx[c1] * dy[c1]
             area2 = dx[c2] * dy[c2]
             h1 = permz[c1] * area1 / (0.5 * dz[c1])
             h2 = permz[c2] * area2 / (0.5 * dz[c2])
-            mult = multz[c1]
+            mult = multz[c1] * multzm[c2]
+        mult = mult * fpos[axis, c1] * fneg[axis, c2]
         with np.errstate(divide="ignore"):
             t = mult / (1.0 / np.maximum(h1, 1e-300) +
                         1.0 / np.maximum(h2, 1e-300))
@@ -183,10 +246,17 @@ def build_grid(case) -> Grid:
     if nz > 1:
         add_faces(idx3[:-1, :, :].ravel(), idx3[1:, :, :].ravel(), 2)
 
-    if fc:
-        face_cells = np.concatenate(fc).astype(np.int32)
-        trans = np.concatenate(tr)
-        face_dir = np.concatenate(fdir)
+    nnc_fc, nnc_tr, nnc_fd = _nnc_faces(case, cart_to_active)
+    if fc or len(nnc_tr):
+        face_cells = np.concatenate(
+            ([np.concatenate(fc).astype(np.int32)] if fc else [])
+            + ([nnc_fc] if len(nnc_tr) else [])).astype(np.int32)
+        trans = np.concatenate(
+            ([np.concatenate(tr)] if tr else [])
+            + ([nnc_tr] if len(nnc_tr) else []))
+        face_dir = np.concatenate(
+            ([np.concatenate(fdir)] if fdir else [])
+            + ([nnc_fd] if len(nnc_tr) else []))
     else:
         face_cells = np.zeros((0, 2), dtype=np.int32)
         trans = np.zeros(0)
@@ -209,7 +279,9 @@ def build_grid(case) -> Grid:
         permx=permx[global_cell], permy=permy[global_cell],
         permz=permz[global_cell],
         face_cells=face_cells, trans=trans, face_dir=face_dir,
-        structured=(nc == ncg),
+        # NNC faces break the cartesian slicing assumption of the
+        # structured stencil/GMG fast path -> gather path
+        structured=(nc == ncg and len(nnc_tr) == 0),
         satnum=reg("SATNUM"), pvtnum=reg("PVTNUM"),
         eqlnum=reg("EQLNUM"), fipnum=reg("FIPNUM"),
     )
@@ -241,6 +313,9 @@ def build_corner_point_grid(case) -> Grid:
     permy = np.asarray(ga.get("PERMY", permx), dtype=np.float64)
     permz = np.asarray(ga.get("PERMZ", permx), dtype=np.float64)
     mults = (full("MULTX", 1.0), full("MULTY", 1.0), full("MULTZ", 1.0))
+    mults_neg = (full("MULTX-", 1.0), full("MULTY-", 1.0),
+                 full("MULTZ-", 1.0))
+    fpos, fneg = _fault_face_multipliers(case, nx, ny, nz)
     pv_all = multpv * ntg * poro * volume
     actnum = np.asarray(ga.get("ACTNUM", np.ones(ncg)), dtype=np.int64).copy()
     actnum[pv_all < max(getattr(case, "minpv", 0.0), 1e-30)] = 0
@@ -267,22 +342,33 @@ def build_corner_point_grid(case) -> Grid:
                         centroid[g2])
         if h1 <= 0 or h2 <= 0:
             continue
-        t = mults[direction][g1] / (1.0 / h1 + 1.0 / h2)
+        m = (mults[direction][g1] * mults_neg[direction][g2]
+             * fpos[direction, g1] * fneg[direction, g2])
+        t = m / (1.0 / h1 + 1.0 / h2)
         fc.append((a1, a2))
         tr.append(t)
         fdir.append(direction)
 
-    face_cells = (np.asarray(fc, dtype=np.int32) if fc
-                  else np.zeros((0, 2), dtype=np.int32))
-    trans = np.asarray(tr) if tr else np.zeros(0)
-    face_dir = np.asarray(fdir, dtype=np.int8) if fdir else \
-        np.zeros(0, dtype=np.int8)
+    nnc_fc, nnc_tr, nnc_fd = _nnc_faces(case, cart_to_active)
+    face_cells = np.concatenate([
+        np.asarray(fc, dtype=np.int32).reshape(-1, 2), nnc_fc])
+    trans = np.concatenate([np.asarray(tr, dtype=np.float64), nnc_tr])
+    face_dir = np.concatenate([np.asarray(fdir, dtype=np.int8), nnc_fd])
 
-    # approximate cell extents for Peaceman well indices
-    corners = None
-    dx = np.cbrt(np.maximum(volume, 1e-30))
-    dy = dx.copy()
-    dz = dx.copy()
+    # cell extents for Peaceman well indices from the actual corner
+    # geometry (the reference derives dx/dy/dz from cell vertices,
+    # WellsManager/GridHelpers; cbrt(volume) is off by ~an order of
+    # magnitude for pancake cells like SPE9's 300ft x few-ft layers)
+    ext = geom.get("extent")
+    if ext is not None:
+        dx, dy, dz = ext[:, 0].copy(), ext[:, 1].copy(), ext[:, 2].copy()
+        tiny = np.cbrt(np.maximum(volume, 1e-30))
+        for a in (dx, dy, dz):
+            np.copyto(a, tiny, where=a <= 0.0)
+    else:
+        dx = np.cbrt(np.maximum(volume, 1e-30))
+        dy = dx.copy()
+        dz = dx.copy()
 
     regions = getattr(case, "regions", {})
 

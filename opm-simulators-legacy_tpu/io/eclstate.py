@@ -99,6 +99,11 @@ class EclipseCase:
         self.runspec = self._parse_runspec(deck)
         self.units = UnitSystem(self.runspec.unit_system)
         self.grid_arrays: Dict[str, np.ndarray] = {}
+        # geology surface beyond plain arrays (GeoProps.hpp:140-160):
+        # named fault face sets + their multipliers, and explicit NNCs
+        self.faults: Dict[str, list] = {}       # name -> [(box6, face_str)]
+        self.fault_mults: Dict[str, float] = {}  # name -> multiplier
+        self.nncs: list = []                     # [(g1, g2, trans_SI)]
         self._parse_grid_section(deck)
         self.tables = self._parse_props(deck)
         self.regions = self._parse_regions(deck)
@@ -223,6 +228,30 @@ class EclipseCase:
                     value = float(r[1])
                     b = _rec_box(r, 2, box)
                     ensure(tgt)[box_slice(b)] *= value
+            elif name == "FAULTS":
+                # named fault face sets (opm-common FaultCollection role):
+                # NAME ix1 ix2 iy1 iy2 iz1 iz2 FACE
+                for r in kw.records:
+                    fname = str(r[0]).upper()
+                    b = [int(r[1]) - 1, int(r[2]) - 1, int(r[3]) - 1,
+                         int(r[4]) - 1, int(r[5]) - 1, int(r[6]) - 1]
+                    face = str(r[7]).upper()
+                    self.faults.setdefault(fname, []).append((b, face))
+            elif name == "MULTFLT":
+                # NAME multiplier — later records override (TransMult role)
+                for r in kw.records:
+                    self.fault_mults[str(r[0]).upper()] = float(r[1])
+            elif name == "NNC":
+                # explicit non-neighbor connections with deck trans
+                # (GeoProps.hpp:140-160 NNC trans; AutoDiffHelpers.hpp:60-90)
+                tf = u.factor("Transmissibility")
+                for r in kw.records:
+                    i1, j1, k1 = int(r[0]) - 1, int(r[1]) - 1, int(r[2]) - 1
+                    i2, j2, k2 = int(r[3]) - 1, int(r[4]) - 1, int(r[5]) - 1
+                    t = float(_val(r, 6, 0.0)) * tf
+                    g1 = (k1 * ny + j1) * nx + i1
+                    g2 = (k2 * ny + j2) * nx + i2
+                    self.nncs.append((g1, g2, t))
 
         # defaults
         if "ACTNUM" not in arrays:

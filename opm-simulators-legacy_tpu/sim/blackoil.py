@@ -32,10 +32,28 @@ from opm_tpu.solver.timestepping import (AdaptiveTimeStepping, SubStepReport,
                                          TimeStepControlParams)
 from opm_tpu.wells.wells import (CTRL_BHP, CTRL_GRAT, CTRL_LRAT, CTRL_ORAT,
                                  CTRL_RESERVOIR_RATE, CTRL_RESV,
-                                 CTRL_SURFACE_RATE, CTRL_WRAT, WellSet,
-                                 build_well_set)
+                                 CTRL_SURFACE_RATE, CTRL_THP, CTRL_WRAT,
+                                 WellSet, build_well_set)
 
 DAY = 86400.0
+
+
+def _well_sets_equal(a: WellSet, b: WellSet) -> bool:
+    """True when two padded WellSets describe identical device arrays —
+    the condition for fusing consecutive report steps into one device
+    span (the wells' wd pytree is a pure function of the WellSet)."""
+    if a.names != b.names or a.nw != b.nw or a.max_perf != b.max_perf:
+        return False
+    import dataclasses
+    for f in dataclasses.fields(a):
+        x, y = getattr(a, f.name), getattr(b, f.name)
+        if not isinstance(x, np.ndarray):
+            continue
+        eq = (np.array_equal(x, y, equal_nan=True)
+              if x.dtype.kind in "fc" else np.array_equal(x, y))
+        if not eq:
+            return False
+    return True
 
 
 @dataclass
@@ -64,11 +82,20 @@ class SummaryCollector:
     def record(self, t, state: BlackoilState, model, extra=None):
         qs = np.asarray(state.qs)
         bhp = np.asarray(state.bhp)
-        sw, so, sg = saturations(state)
         pv = np.asarray(model.pv)
         p = np.asarray(state.pressure)
+        fpr = float((p * pv).sum() / pv.sum())
+        fip = fluid_in_place(model, state)
+        return self.record_arrays(t, qs, bhp, fpr, fip, extra)
+
+    def record_arrays(self, t, qs, bhp, fpr, fip, extra=None):
+        """Build a summary row from precomputed arrays (the device-side
+        span path computes (qs, bhp, fpr, fip) on-chip, one pull per
+        chunk of report steps — solver/fused_span.py)."""
+        qs = np.asarray(qs)
+        bhp = np.asarray(bhp)
         row = dict(time=t / DAY)
-        row["FPR"] = float((p * pv).sum() / pv.sum())
+        row["FPR"] = float(fpr)
         # field rates: production reported positive (OPM sign convention:
         # qs negative for producers)
         prod = np.clip(-qs, 0.0, None)
@@ -95,7 +122,6 @@ class SummaryCollector:
         # fluid in place (FOIP/FWIP/FGIP field totals; the reference prints
         # FIP per report step, BlackoilModelBase_impl.hpp:2459 +
         # SimulatorBase FIP report)
-        fip = fluid_in_place(model, state)
         row["FWIP"] = float(fip[WATER])
         row["FOIP"] = float(fip[OIL])
         row["FGIP"] = float(fip[GAS])
@@ -112,6 +138,7 @@ class SummaryCollector:
         if extra:
             row.update(extra)
         self.rows.append(row)
+        return row
 
     def series(self, key):
         return np.array([r.get(key, np.nan) for r in self.rows])
@@ -438,14 +465,20 @@ class SimulatorFullyImplicitBlackoil:
         if self._hysteresis and state.sgmax is None:
             from opm_tpu.models.state import saturations as _sats
             state = state._replace(sgmax=_sats(state)[2])
-        for step in steps:
-            if self._hysteresis:
-                # hysteresis memory update at report-step start (the
-                # reference's updateSatHyst, SimulatorBase_impl.hpp:146)
-                from opm_tpu.models.state import saturations as _sats
-                state = state._replace(
-                    sgmax=jnp.maximum(state.sgmax, _sats(state)[2]))
-            step_wells = step.wells
+        # fused report-step spans: consecutive steps with identical wells
+        # and no host-side per-step logic run as one lax.scan chunk on
+        # device (solver/fused_span.py) — one round trip per chunk
+        import os as _os
+        span_chunk = int(_os.environ.get("OPM_TPU_SPAN", "16"))
+        has_subscribers = any(
+            ev._handlers for ev in self.events._events.values())
+        use_spans = (self.fused and span_chunk > 1 and not write_restart
+                     and not write_vtk and not self._hysteresis
+                     and self.ts.pid is None and not has_subscribers)
+        self._span_runner = None
+
+        def _step_wells_for(stp):
+            step_wells = stp.wells
             if self._econ_shut or self._econ_closed_conns:
                 # wells/connections shut by economic limits stay shut
                 step_wells = [w.copy() for w in step_wells]
@@ -457,6 +490,30 @@ class SimulatorFullyImplicitBlackoil:
                         for c in w.completions:
                             if (c.i, c.j, c.k) in closed:
                                 c.status = "SHUT"
+            return step_wells
+
+        def _step_fusable(stp, step_wells):
+            if stp.groups and any(w.control == "GRUP" for w in step_wells):
+                return False
+            for w in step_wells:
+                if w.type == "PRODUCER" and w.status.upper() == "OPEN" and (
+                        np.isfinite(w.econ_min_orat)
+                        or np.isfinite(w.econ_min_grat)
+                        or np.isfinite(w.econ_max_wct)
+                        or np.isfinite(w.econ_max_gor)):
+                    return False
+            return True
+
+        i_step = 0
+        while i_step < len(steps):
+            step = steps[i_step]
+            if self._hysteresis:
+                # hysteresis memory update at report-step start (the
+                # reference's updateSatHyst, SimulatorBase_impl.hpp:146)
+                from opm_tpu.models.state import saturations as _sats
+                state = state._replace(
+                    sgmax=jnp.maximum(state.sgmax, _sats(state)[2]))
+            step_wells = _step_wells_for(step)
             if step.groups and any(w.control == "GRUP" for w in step_wells):
                 # distribute group targets to GRUP wells
                 from opm_tpu.wells.groups import resolve_group_controls
@@ -473,6 +530,66 @@ class SimulatorFullyImplicitBlackoil:
             wd = make_well_device_arrays(ws, self.grid.gravity)
             state = self._init_well_state(state, ws, first)
             first = False
+            # ---- fused span fast path ---------------------------------
+            if use_spans and _step_fusable(step, step_wells) and not np.any(
+                    np.isin(ws.control, (CTRL_THP, CTRL_RESV,
+                                         CTRL_RESERVOIR_RATE))):
+                span_steps = [step]
+                j = i_step + 1
+                while j < len(steps) and len(span_steps) < span_chunk:
+                    nstep = steps[j]
+                    nwells = _step_wells_for(nstep)
+                    if not _step_fusable(nstep, nwells):
+                        break
+                    nws = self._pad_well_set(build_well_set(
+                        nwells, self.grid, max_perf=self.max_perf,
+                        name_order=self.well_names))
+                    if not _well_sets_equal(ws, nws):
+                        break
+                    span_steps.append(nstep)
+                    j += 1
+                if len(span_steps) >= 2:
+                    from opm_tpu.solver.fused_span import FusedSpanRunner
+                    if (self._span_runner is None
+                            or self._span_runner.solver is not self.solver):
+                        self._span_runner = FusedSpanRunner(
+                            self.solver, self.ts.p, span_chunk)
+                    t0s = time.perf_counter()
+                    new_state, dt_sugg, summaries, stats = \
+                        self._span_runner.run_chunk(
+                            state,
+                            [s.end_time - s.start_time for s in span_steps],
+                            [bool(s.events) for s in span_steps],
+                            self.ts.suggested_dt, wd)
+                    if not stats.fatal.any():
+                        state = new_state
+                        self.ts.suggested_dt = dt_sugg
+                        wall = (time.perf_counter() - t0s) / len(span_steps)
+                        for k, s2 in enumerate(span_steps):
+                            self.report.substeps += int(stats.substeps[k])
+                            self.report.failed_substeps += int(
+                                stats.failed[k])
+                            self.report.newton_iterations += int(
+                                stats.newtons[k])
+                            self.report.linear_iterations += int(
+                                stats.linears[k])
+                            self._step_timing.append(
+                                (s2.index, s2.end_time / DAY, wall,
+                                 int(stats.substeps[k]),
+                                 int(stats.newtons[k])))
+                            row = self.summary.record_arrays(
+                                s2.end_time, *summaries[k])
+                            if verbose:
+                                print(f"step {s2.index:4d} "
+                                      f"t={s2.end_time / DAY:9.1f} d "
+                                      f"newton={int(stats.newtons[k]):3d} "
+                                      f"FPR={row['FPR'] / 1e5:8.2f} bar "
+                                      f"FOPR={row['FOPR'] * DAY:10.1f} "
+                                      f"FGOR={row['FGOR']:8.2f}")
+                        i_step = j
+                        continue
+                    # fatal chunk: fall through to the per-step path (the
+                    # span-start state is untouched)
             if np.any((ws.control == CTRL_RESV)
                       | (ws.control == CTRL_RESERVOIR_RATE)):
                 # RESV voidage coefficients from current region averages
@@ -561,6 +678,7 @@ class SimulatorFullyImplicitBlackoil:
                       f"newton={subrep.total_newton:3d} "
                       f"FPR={r['FPR'] / 1e5:8.2f} bar "
                       f"FOPR={r['FOPR'] * DAY:10.1f} FGOR={r['FGOR']:8.2f}")
+            i_step += 1
         writer.close()
         self.report.total_time = time.perf_counter() - t_start
         if self.output_dir:

@@ -1,0 +1,181 @@
+"""Fused report-step spans: the whole adaptive-substepping state machine
+on device, scanned over chunks of report steps.
+
+The reference runs one report step per AdaptiveTimeStepping::step call with
+the substep/chop-retry loop on the host (AdaptiveTimeStepping_impl.hpp:
+183-373).  On TPU through a dispatch tunnel that structure is latency-bound:
+~300 ms of host round trips per report step on a 300-cell SPE1 whose device
+compute is microseconds.  The TPU-native shape is to push the WHOLE report
+step — substep while-loop, failure chopping, iteration-count dt control,
+event dt reset — into one XLA program, and lax.scan it over a fixed-size
+chunk of report steps, emitting per-step summary vectors on device.  One
+host round trip per CHUNK of report steps instead of several per substep.
+
+Semantics mirror solver/timestepping.py step() exactly (iterationcount
+controller): on failure restore state, dt = max(dt*restart_factor, min_dt),
+up to solver_restart_max retries; on success dt *= min(growth, cap) with
+cap = failed_growth right after a restart; suggested_dt carries across
+report steps.  A report step that exhausts its retries marks the chunk
+`fatal` from that step on; the host falls back to the per-step path for the
+whole span (state at span start is still on the host).
+
+Report steps are padded to the chunk length with zero durations (the
+substep loop exits immediately; the host drops the pad rows) so every chunk
+compiles to the same executable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opm_tpu.wells.wells import (CTRL_BHP, CTRL_GRAT, CTRL_LRAT, CTRL_ORAT,
+                                 CTRL_SURFACE_RATE, CTRL_WRAT, GAS, OIL,
+                                 WATER)
+
+
+def reset_well_state(state, wd):
+    """Device analogue of SimulatorFullyImplicitBlackoil._init_well_state
+    (first=False): reset controls/targets to the schedule, re-seed bhp for
+    BHP-controlled wells, and give all-zero-rate wells a control-consistent
+    rate guess (WellStateFullyImplicitBlackoil::init semantics)."""
+    ctrl = wd["primary_control"]
+    tgt = wd["primary_target"]
+    open_ = wd["open"].astype(bool)
+    is_inj = wd["is_injector"].astype(bool)
+    p_ref = state.pressure[wd["perf_cell"][:, 0]]   # shallowest perforation
+
+    bhp = state.bhp
+    bhp = jnp.where(open_ & (ctrl == CTRL_BHP), tgt, bhp)
+    bhp = jnp.where(open_ & (ctrl != CTRL_BHP) & (bhp == 0.0),
+                    p_ref * jnp.where(is_inj, 1.05, 0.95), bhp)
+
+    # fresh-well rate guess (only where qs is identically zero)
+    qs_zero = ~jnp.any(state.qs != 0.0, axis=1)
+    inj_guess = wd["comp_frac"] * jnp.where(
+        ctrl == CTRL_SURFACE_RATE, tgt, 0.0)[:, None]
+    phase = jnp.select([ctrl == CTRL_ORAT, ctrl == CTRL_WRAT,
+                        ctrl == CTRL_GRAT, ctrl == CTRL_LRAT],
+                       [OIL, WATER, GAS, OIL], default=-1)
+    prod_guess = jnp.where(
+        (phase[:, None] == jnp.arange(3)[None, :]), -tgt[:, None], 0.0)
+    guess = jnp.where(is_inj[:, None], inj_guess, prod_guess)
+    qs = jnp.where((open_ & qs_zero)[:, None], guess, state.qs)
+    return state._replace(bhp=bhp, qs=qs, control=ctrl, target=tgt)
+
+
+class SpanStats(NamedTuple):
+    """Per-report-step counters (stacked over the chunk)."""
+    substeps: jnp.ndarray
+    failed: jnp.ndarray
+    newtons: jnp.ndarray
+    linears: jnp.ndarray
+    fatal: jnp.ndarray
+
+
+def summary_arrays(model, state):
+    """Device-side summary payload per report step: (qs, bhp, fpr, fip).
+    The host expands these into the SummaryCollector row (field rates,
+    GOR/WCT ratios, cumulatives)."""
+    pv = model.pv
+    fpr = jnp.sum(state.pressure * pv) / jnp.sum(pv)
+    fip = jnp.sum(model.accumulation(state) * pv[None, :], axis=1)
+    return state.qs, state.bhp, fpr, fip
+
+
+class FusedSpanRunner:
+    """Owns the jitted chunk program for one (solver, ts-params, chunk)."""
+
+    def __init__(self, solver, ts_params, chunk: int = 16):
+        self.solver = solver
+        self.p = ts_params
+        self.chunk = chunk
+        self._jit = jax.jit(self._span)
+
+    # -- device program ---------------------------------------------------
+    def _report_step(self, state, dt_sugg, duration, event, wd):
+        p = self.p
+        solver = self.solver
+        state = reset_well_state(state, wd)
+        dt0 = jnp.minimum(jnp.minimum(dt_sugg, duration), p.max_dt)
+        if p.event_reset:
+            dt0 = jnp.where(event, jnp.minimum(p.initial_dt, duration), dt0)
+
+        def cond(c):
+            (_s, remaining, _dt, _restarts, _jf, _nsub, _nfail, _nnewt,
+             _nlin, fatal) = c
+            return (remaining > 1e-6) & ~fatal
+
+        def body(c):
+            (s, remaining, dt, restarts, just_failed, nsub, nfail, nnewt,
+             nlin, fatal) = c
+            dt_try = jnp.minimum(dt, remaining)
+            s2, done, bad, it, lin = solver._fused_substep(s, dt_try, wd)
+            success = done & ~bad
+            restarts2 = jnp.where(success, restarts, restarts + 1)
+            fatal = fatal | (~success & (restarts2 > p.solver_restart_max))
+            # failure: chop (AdaptiveTimeStepping_impl.hpp:244-372)
+            dt_fail = jnp.maximum(dt_try * p.restart_factor, p.min_dt)
+            # success: iteration-count growth, capped after a restart
+            its = jnp.maximum(it - 1, 1)
+            grow = jnp.minimum(p.growth_factor,
+                               jnp.maximum(0.1, p.target_iterations / its))
+            cap = jnp.where(just_failed, p.failed_growth, p.growth_factor)
+            dt_ok = jnp.clip(dt_try * jnp.minimum(grow, cap),
+                             p.min_dt, p.max_dt)
+            s = jax.tree.map(lambda a, b: jnp.where(success, a, b), s2, s)
+            remaining = remaining - jnp.where(success, dt_try, 0.0)
+            dt = jnp.where(success, dt_ok, dt_fail)
+            return (s, remaining, dt, restarts2, ~success,
+                    nsub + success.astype(jnp.int32),
+                    nfail + (~success).astype(jnp.int32),
+                    nnewt + jnp.where(success, jnp.maximum(it - 1, 0), 0),
+                    nlin + jnp.where(success, lin, 0), fatal)
+
+        z = jnp.asarray(0, dtype=jnp.int32)
+        init = (state, duration, dt0, z, jnp.asarray(False),
+                z, z, z, z, jnp.asarray(False))
+        (state, _rem, dt, _re, _jf, nsub, nfail, nnewt, nlin,
+         fatal) = jax.lax.while_loop(cond, body, init)
+        return state, dt, SpanStats(nsub, nfail, nnewt, nlin, fatal)
+
+    def _span(self, state, durations, events, dt_sugg, wd):
+        def scan_body(carry, inp):
+            state, dt_sugg, fatal_in = carry
+            duration, event = inp
+            # a fatal earlier step poisons the rest of the chunk: zero the
+            # remaining durations so their substep loops exit immediately
+            duration = jnp.where(fatal_in, 0.0, duration)
+            state, dt_sugg, stats = self._report_step(
+                state, dt_sugg, duration, event, wd)
+            fatal = fatal_in | stats.fatal
+            summ = summary_arrays(self.solver.model, state)
+            return (state, dt_sugg, fatal), (summ, stats)
+
+        (state, dt_sugg, _f), (summs, stats) = jax.lax.scan(
+            scan_body, (state, dt_sugg, jnp.asarray(False)),
+            (durations, events))
+        return state, dt_sugg, summs, stats
+
+    # -- host front end ---------------------------------------------------
+    def run_chunk(self, state, durations, events, suggested_dt, wd):
+        """durations/events: python sequences with len <= chunk; returns
+        (state, suggested_dt, summaries, stats) with pad rows dropped.
+        summaries is a list of (qs, bhp, fpr, fip) numpy tuples per real
+        report step.  Raises nothing — the caller checks stats.fatal."""
+        n = len(durations)
+        assert n <= self.chunk
+        dur = np.zeros(self.chunk)
+        ev = np.zeros(self.chunk, dtype=bool)
+        dur[:n] = durations
+        ev[:n] = events
+        state, dt_sugg, summs, stats = self._jit(
+            state, jnp.asarray(dur), jnp.asarray(ev),
+            jnp.asarray(float(suggested_dt)), wd)
+        stats = SpanStats(*[np.asarray(a)[:n] for a in stats])
+        qs, bhp, fpr, fip = [np.asarray(a) for a in summs]
+        summaries = [(qs[i], bhp[i], fpr[i], fip[i]) for i in range(n)]
+        return state, float(dt_sugg), summaries, stats

@@ -143,3 +143,106 @@ def test_estimate_cell_velocity_uniform_flow():
     # boundary cells average with the sealed face: half the magnitude
     edge = g.active_index(0, 0, 0)
     assert v[edge, 0] == pytest.approx(0.5 * q / area_x, rel=1e-12)
+
+
+def _geo_deck(extra_grid=""):
+    return f"""
+RUNSPEC
+DIMENS
+ 3 1 3 /
+OIL
+WATER
+METRIC
+GRID
+DX
+ 9*100 /
+DY
+ 9*100 /
+DZ
+ 9*10 /
+TOPS
+ 3*2000 /
+PORO
+ 9*0.3 /
+PERMX
+ 9*100 /
+PERMY
+ 9*100 /
+PERMZ
+ 9*10 /
+{extra_grid}
+PROPS
+SCHEDULE
+END
+"""
+
+
+def test_negative_direction_multipliers():
+    """MULTX- of the second cell scales the same connection as MULTX of
+    the first (GeoProps.hpp:466 both-direction multipliers)."""
+    from opm_tpu.io.eclstate import load_case_string
+
+    base = build_grid(load_case_string(_geo_deck()))
+    gx = build_grid(load_case_string(_geo_deck(
+        "MULTX\n 0.5 8*1 /\n")))          # cell (0,0,0) +x face
+    gxm = build_grid(load_case_string(_geo_deck(
+        "MULTX-\n 1 0.5 7*1 /\n")))       # cell (1,0,0) -x face
+    # first x-face connects cart cells 0-1
+    fx = np.where(np.asarray(base.face_dir) == 0)[0]
+    f01 = fx[0]
+    assert np.asarray(base.face_cells)[f01].tolist() == [0, 1]
+    assert gx.trans[f01] == pytest.approx(0.5 * base.trans[f01])
+    assert gxm.trans[f01] == pytest.approx(0.5 * base.trans[f01])
+    # both together multiply
+    gboth = build_grid(load_case_string(_geo_deck(
+        "MULTX\n 0.5 8*1 /\nMULTX-\n 1 0.4 7*1 /\n")))
+    assert gboth.trans[f01] == pytest.approx(0.2 * base.trans[f01])
+    # other faces untouched
+    other = np.ones(len(base.trans), dtype=bool)
+    other[f01] = False
+    assert np.allclose(gboth.trans[other], base.trans[other])
+
+
+def test_fault_multflt_trans():
+    """FAULTS+MULTFLT scales exactly the fault-face connections
+    (GeoProps.hpp:140-160 / TransMult fault path)."""
+    from opm_tpu.io.eclstate import load_case_string
+
+    base = build_grid(load_case_string(_geo_deck()))
+    g = build_grid(load_case_string(_geo_deck(
+        "FAULTS\n 'F1' 1 1 1 1 1 3 'X' /\n/\n"
+        "MULTFLT\n 'F1' 0.01 /\n/\n")))
+    fc = np.asarray(base.face_cells)
+    fd = np.asarray(base.face_dir)
+    # fault: +x faces of i=0 cells, all k -> connections (0,1),(3,4),(6,7)
+    # in active indexing (3x1x3, x-major)
+    on_fault = (fd == 0) & np.isin(fc[:, 0], [0, 3, 6])
+    assert on_fault.sum() == 3
+    assert np.allclose(g.trans[on_fault], 0.01 * base.trans[on_fault])
+    assert np.allclose(g.trans[~on_fault], base.trans[~on_fault])
+    # MULTFLT last-record-wins override
+    g2 = build_grid(load_case_string(_geo_deck(
+        "FAULTS\n 'F1' 1 1 1 1 1 3 'X' /\n/\n"
+        "MULTFLT\n 'F1' 0.5 /\n 'F1' 0.25 /\n/\n")))
+    assert np.allclose(g2.trans[on_fault], 0.25 * base.trans[on_fault])
+
+
+def test_nnc_faces_appended():
+    """Deck NNC records become face_dir=3 faces with the deck trans in SI
+    (AutoDiffHelpers.hpp:60-90 NNC rows; GeoProps NNC trans)."""
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.utils.units import si_factor
+
+    g = build_grid(load_case_string(_geo_deck(
+        "NNC\n 1 1 1  3 1 3  12.5 /\n/\n")))
+    base = build_grid(load_case_string(_geo_deck()))
+    assert g.nf == base.nf + 1
+    fd = np.asarray(g.face_dir)
+    assert fd[-1] == 3
+    a1, a2 = np.asarray(g.face_cells)[-1]
+    # cart (0,0,0) -> active 0; cart (2,0,2) -> active 8 (fully active)
+    assert (a1, a2) == (0, 8)
+    assert g.trans[-1] == pytest.approx(
+        12.5 * si_factor("METRIC", "Transmissibility"))
+    # the structured fast path must be disabled with NNCs present
+    assert not g.structured and base.structured
