@@ -1,19 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark: black-oil simulation on the default JAX backend.
+"""Benchmark: black-oil simulation, TPU vs same-machine CPU.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Two measurements:
-  * SPE1 end-to-end (120 report steps / 10 years, dense-path Newton) — the
-    headline metric. The upstream reference publishes no benchmark numbers
-    (BASELINE.md), so the baseline is this framework's round-1 CPU
-    dense-path measurement of the same run (96.5 s, 2026-08-16).
-    vs_baseline = baseline_wall / measured_wall (>1 is faster).
-  * SPE10-like waterflood at 132k cells (channelized perm, CPR + structured
-    GMG, fused substeps): ms per Newton iteration — the scaling metric that
-    tracks the BASELINE.md SPE10 north star. CPU reference: 2790 ms/Newton
-    (same code, this machine, round 1).
+Baseline provenance (honest by construction):
+  * The reference (`OPM/opm-simulators-legacy`) publishes NO benchmark
+    numbers (BASELINE.md), and its `flow_legacy` binary cannot be built in
+    this environment: `cmake /root/reference` fails at the first missing
+    dependency (opm-common; the full chain needs dune-common/dune-istl/
+    opm-common/opm-grid/opm-material/ewoms + Eigen + Boost, none installed,
+    and the machine has no network egress to fetch them). The attempt and
+    log are recorded in BASELINE.md §"flow_legacy build attempt".
+  * The baseline here is therefore THIS framework's own CPU path, measured
+    FRESH in the same bench run on the same machine with the same code and
+    protocol (not a hardcoded number, not a foreign machine) — labeled
+    `baseline` in the output with its provenance. vs_baseline =
+    cpu_wall / tpu_wall (>1 means the TPU run is faster).
+
+Phases (each in its own subprocess: isolates device/trace state; shares
+the persistent compilation cache):
+  spe1      TPU SPE1 e2e wall-clock, 120 report steps / 10 years (headline)
+  spe1cpu   the same run on CPU (the measured baseline)
+  spe10     SPE10-like 132k-cell fused substeps: ms per Newton (scaling)
+  spe10e2e  SPE10-like 132k-cell FULL 20-report-step schedule, e2e
+            wall-clock with summary output on
 """
 
 import json
@@ -23,43 +34,46 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import opm_tpu  # noqa: F401  (x64 config)
-from opm_tpu.io.eclstate import load_case
-from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
-
-BASELINE_WALL_S = 96.5        # round-1 CPU dense-path SPE1 (see docstring)
-SPE10_CPU_MS_PER_NEWTON = 2790.0  # round-1 CPU CPR-path, 132k cells
 SPE1 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "data", "SPE1CASE2.DATA")
 
 
-def bench_spe1():
+def _maybe_cpu():
+    if os.environ.get("OPM_TPU_BENCH_CPU") == "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
+def bench_spe1(tag="spe1"):
+    _maybe_cpu()
+    import opm_tpu  # noqa: F401  (x64 + cache config)
+    from opm_tpu.io.eclstate import load_case
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+
     case = load_case(SPE1)
     # warmup: compile all kernels on a copy (2 report steps)
-    warm = SimulatorFullyImplicitBlackoil(case)
+    warm = SimulatorFullyImplicitBlackoil(case, fused=True)
     warm.run(report_step_limit=2)
 
-    sim = SimulatorFullyImplicitBlackoil(case)
+    sim = SimulatorFullyImplicitBlackoil(case, fused=True)
     sim.solver = warm.solver  # reuse compiled kernels (same shapes)
     t0 = time.perf_counter()
     sim.run()
     wall = time.perf_counter() - t0
     newtons = max(sim.report.newton_iterations, 1)
-    return dict(
-        metric="spe1_e2e_wall",
-        value=round(wall, 3),
-        unit="s",
-        vs_baseline=round(BASELINE_WALL_S / wall, 3),
-        newton_iterations=newtons,
-        ms_per_newton=round(1000.0 * wall / newtons, 2),
-        substeps=sim.report.substeps,
-        failed_substeps=sim.report.failed_substeps,
-    )
+    return {
+        f"{tag}_wall_s": round(wall, 3),
+        f"{tag}_newtons": newtons,
+        f"{tag}_ms_per_newton": round(1000.0 * wall / newtons, 2),
+        f"{tag}_substeps": sim.report.substeps,
+        f"{tag}_failed_substeps": sim.report.failed_substeps,
+    }
 
 
 def bench_spe10like_132k():
-    import jax
-    import jax.numpy as jnp
+    _maybe_cpu()
+    import opm_tpu  # noqa: F401
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
 
     from opm_tpu.models.blackoil import make_well_device_arrays
     from opm_tpu.sim.init import initial_state
@@ -95,27 +109,65 @@ def bench_spe10like_132k():
     return dict(
         spe10_132k_ms_per_newton=round(ms, 1),
         spe10_132k_cell_newtons_per_s=round(sim.model.nc * newtons / wall),
-        spe10_132k_vs_cpu=round(SPE10_CPU_MS_PER_NEWTON / ms, 2),
     )
 
 
+def bench_spe10_e2e():
+    """Full multi-report-step SPE10-like schedule, wall-clock, with
+    summary output ON (the BASELINE.md north-star protocol: e2e
+    wall-clock, not warm per-Newton)."""
+    _maybe_cpu()
+    import tempfile
+
+    import opm_tpu  # noqa: F401
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.testcases import spe10like_case
+
+    case = spe10like_case(nx=60, ny=220, nz=10, tsteps="20*30")
+    warm = SimulatorFullyImplicitBlackoil(case, fused=True)
+    warm.run(report_step_limit=2)
+
+    sim = SimulatorFullyImplicitBlackoil(
+        case, fused=True, output_dir=tempfile.mkdtemp(prefix="spe10e2e_"))
+    sim.solver = warm.solver
+    t0 = time.perf_counter()
+    sim.run()
+    wall = time.perf_counter() - t0
+    newtons = max(sim.report.newton_iterations, 1)
+    return dict(
+        spe10_e2e_wall_s=round(wall, 3),
+        spe10_e2e_days=600,
+        spe10_e2e_newtons=newtons,
+        spe10_e2e_ms_per_newton=round(1000.0 * wall / newtons, 1),
+        spe10_e2e_cell_newtons_per_s=round(sim.model.nc * newtons / wall),
+        spe10_e2e_failed_substeps=sim.report.failed_substeps,
+    )
+
+
+_PHASES = {
+    "spe1": lambda: bench_spe1("spe1"),
+    "spe1cpu": lambda: bench_spe1("spe1cpu"),
+    "spe10": bench_spe10like_132k,
+    "spe10e2e": bench_spe10_e2e,
+}
+
+
 def main():
-    # each phase runs in its own subprocess: isolates device/trace state
-    # (a transient tunnel failure mid-trace in one phase must not poison
-    # the other) while sharing the persistent compilation cache
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
-        out = bench_spe1() if phase == "spe1" else bench_spe10like_132k()
-        print(json.dumps(out))
+        print(json.dumps(_PHASES[phase]()))
         return
 
     import subprocess
 
-    def run_phase(name, timeout):
+    def run_phase(name, timeout, cpu=False):
+        env = dict(os.environ)
+        if cpu:
+            env["OPM_TPU_BENCH_CPU"] = "1"
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", name],
-                capture_output=True, text=True, timeout=timeout)
+                capture_output=True, text=True, timeout=timeout, env=env)
             lines = [ln for ln in r.stdout.splitlines()
                      if ln.startswith("{")]
             if lines:
@@ -125,13 +177,22 @@ def main():
         except Exception as e:
             return {f"{name}_error": f"{type(e).__name__}: {e}"[:200]}
 
-    out = run_phase("spe1", 2400)
-    if "metric" not in out:
-        out.setdefault("metric", "spe1_e2e_wall")
-        out.setdefault("value", -1.0)
-        out.setdefault("unit", "s")
-        out.setdefault("vs_baseline", 0.0)
+    out = {}
+    out.update(run_phase("spe1", 2400))
+    out.update(run_phase("spe1cpu", 2400, cpu=True))
     out.update(run_phase("spe10", 1800))
+    out.update(run_phase("spe10e2e", 2400))
+
+    tpu = out.get("spe1_wall_s")
+    cpu = out.get("spe1cpu_wall_s")
+    out["metric"] = "spe1_e2e_wall"
+    out["value"] = tpu if tpu is not None else -1.0
+    out["unit"] = "s"
+    out["vs_baseline"] = (round(cpu / tpu, 3)
+                          if tpu and cpu else 0.0)
+    out["baseline"] = ("same-machine CPU run of this framework, measured "
+                       "in this bench invocation (flow_legacy unbuildable "
+                       "here and publishes no numbers — see BASELINE.md)")
     print(json.dumps(out))
 
 

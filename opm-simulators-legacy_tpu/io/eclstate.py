@@ -89,6 +89,10 @@ class Solution:
     rs: Optional[np.ndarray] = None
     rv: Optional[np.ndarray] = None
     thpres: List[tuple] = field(default_factory=list)
+    # deck RESTART: (basename, report_step) to resume from; SKIPREST
+    # fast-forwards the schedule to that step (FlowMain.hpp:845-846)
+    restart: Optional[tuple] = None
+    skiprest: bool = False
 
 
 class EclipseCase:
@@ -96,6 +100,7 @@ class EclipseCase:
 
     def __init__(self, deck: Deck):
         self.deck = deck
+        self.path: Optional[str] = None   # deck file path (load_case)
         self.runspec = self._parse_runspec(deck)
         self.units = UnitSystem(self.runspec.unit_system)
         self.grid_arrays: Dict[str, np.ndarray] = {}
@@ -488,6 +493,11 @@ class EclipseCase:
     def _parse_solution(self, deck: Deck) -> Solution:
         u = self.units
         sol = Solution()
+        kw = deck.get("RESTART")
+        if kw and kw.records:
+            r = kw.records[0]
+            sol.restart = (str(r[0]), int(_val(r, 1, 0)))
+        sol.skiprest = deck.get("SKIPREST") is not None
         p_f = u.factor("Pressure")
         rs_f = u.factor("GasSurfaceVolume") / u.factor("LiquidSurfaceVolume")
         rv_f = 1.0 / rs_f
@@ -571,7 +581,9 @@ def _parse_date(rec) -> datetime.datetime:
 
 
 def load_case(path: str) -> EclipseCase:
-    return EclipseCase(parse_deck(path))
+    case = EclipseCase(parse_deck(path))
+    case.path = path
+    return case
 
 
 def load_case_string(text: str) -> EclipseCase:

@@ -47,8 +47,6 @@ def write_keyword(f, name: str, typ: str, values):
         else:
             payload = np.asarray(chunk).astype(_ITEM[typ][0]).tobytes()
         _write_rec(f, payload)
-    if len(values) == 0:
-        _write_rec(f, b"")
 
 
 def _read_rec(f):
@@ -67,7 +65,7 @@ def read_ecl_file(path) -> List[tuple]:
     with open(path, "rb") as f:
         while True:
             hdr = _read_rec(f)
-            if hdr is None:
+            if hdr is None or len(hdr) != 16:
                 break
             name, count, typ = struct.unpack(">8si4s", hdr)
             name = name.decode().strip()
@@ -258,3 +256,166 @@ def read_unrst(path: str) -> List[dict]:
         elif in_sol and typ == "DOUB":
             cur[name] = np.asarray(vals)
     return steps
+
+
+# ---------------------------------------------------------------------------
+# ECL INIT file — static geology/property snapshot
+# (the reference writes it through EclipseIO at FlowMain writeInit;
+#  compared by the Norne-init regression, compareECLFiles.cmake:141-146)
+# ---------------------------------------------------------------------------
+def write_init(base_path: str, grid, *, unit_system="METRIC",
+               start_date=(1, 1, 2000)):
+    """INIT file: INTEHEAD/LOGIHEAD/DOUBHEAD + PORV on the FULL cartesian
+    grid + per-active-cell static arrays (DEPTH/DX/DY/DZ/PORO/PERM*/NTG)
+    + directional transmissibilities TRANX/TRANY/TRANZ (trans of the face
+    to the +direction neighbor, 0 at domain/inactive boundaries), all in
+    deck output units."""
+    from opm_tpu.utils.units import si_factor
+
+    nx, ny, nz = grid.dims
+    ncg = nx * ny * nz
+    nc = grid.nc
+    u_len = 1.0 / si_factor(unit_system, "Length")
+    u_vol = 1.0 / si_factor(unit_system, "ReservoirVolume")
+    u_perm = 1.0 / si_factor(unit_system, "Permeability")
+    u_tran = 1.0 / si_factor(unit_system, "Transmissibility")
+
+    path = base_path + ".INIT"
+    with open(path, "wb") as f:
+        ih = [0] * 95
+        ih[8], ih[9], ih[10], ih[11] = nx, ny, nz, nc
+        ih[14] = 1  # phase indicator slot (unused placeholder)
+        if hasattr(start_date, "day"):
+            sd = (start_date.day, start_date.month, start_date.year)
+        else:
+            sd = tuple(start_date)
+        ih[64], ih[65], ih[66] = sd
+        ih[94] = 100
+        write_keyword(f, "INTEHEAD", "INTE", ih)
+        write_keyword(f, "LOGIHEAD", "LOGI", [0] * 15)
+        write_keyword(f, "DOUBHEAD", "DOUB", [0.0])
+        porv = np.zeros(ncg)
+        porv[np.asarray(grid.global_cell)] = np.asarray(grid.pore_volume)
+        write_keyword(f, "PORV", "REAL", porv * u_vol)
+        write_keyword(f, "DEPTH", "REAL", np.asarray(grid.depth) * u_len)
+        write_keyword(f, "DX", "REAL", np.asarray(grid.dx) * u_len)
+        write_keyword(f, "DY", "REAL", np.asarray(grid.dy) * u_len)
+        write_keyword(f, "DZ", "REAL", np.asarray(grid.dz) * u_len)
+        write_keyword(f, "PORO", "REAL", np.asarray(grid.poro))
+        write_keyword(f, "PERMX", "REAL", np.asarray(grid.permx) * u_perm)
+        write_keyword(f, "PERMY", "REAL", np.asarray(grid.permy) * u_perm)
+        write_keyword(f, "PERMZ", "REAL", np.asarray(grid.permz) * u_perm)
+        write_keyword(f, "NTG", "REAL", np.asarray(grid.ntg))
+        # TRANX/TRANY/TRANZ: active-cell arrays, face assigned to the
+        # lower-index cell of each +direction connection
+        fc = np.asarray(grid.face_cells)
+        fd = np.asarray(grid.face_dir)
+        tr = np.asarray(grid.trans)
+        for d, name in ((0, "TRANX"), (1, "TRANY"), (2, "TRANZ")):
+            a = np.zeros(nc)
+            sel = fd == d
+            a[fc[sel, 0]] = tr[sel]
+            write_keyword(f, name, "REAL", a * u_tran)
+        # NNC list (if any): cell pairs (1-based active index) + trans
+        nnc = fd == 3
+        if nnc.any():
+            write_keyword(f, "NNC1", "INTE", fc[nnc, 0] + 1)
+            write_keyword(f, "NNC2", "INTE", fc[nnc, 1] + 1)
+            write_keyword(f, "TRANNNC", "REAL", tr[nnc] * u_tran)
+    return path
+
+
+def read_init(path: str) -> Dict[str, np.ndarray]:
+    """INIT arrays keyed by keyword name (compare_ecl / regression use)."""
+    out: Dict[str, np.ndarray] = {}
+    for name, typ, vals in read_ecl_file(path):
+        out[name] = np.asarray(vals)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EGRID — geometry export (FILEHEAD/GRIDHEAD/COORD/ZCORN/ACTNUM/ENDGRID)
+# ---------------------------------------------------------------------------
+def write_egrid(base_path: str, case, *, unit_system=None):
+    """EGRID from the case's geometry: pass COORD/ZCORN through for
+    corner-point decks, or synthesize pillars from DX/DY/DZ/TOPS for
+    block-cartesian ones (the writeInit/EclipseIO EGRID role)."""
+    ga = case.grid_arrays
+    nx, ny, nz = case.runspec.dims
+    ncg = nx * ny * nz
+    us = unit_system or case.runspec.unit_system
+    from opm_tpu.utils.units import si_factor
+    u_len = 1.0 / si_factor(us, "Length")
+
+    if "COORD" in ga and "ZCORN" in ga:
+        coord = np.asarray(ga["COORD"], dtype=np.float64)
+        zcorn = np.asarray(ga["ZCORN"], dtype=np.float64)
+    else:
+        # synthesize a block-cartesian corner-point description
+        def line(vec, n, axis):
+            # cumulative cell edges along one axis from per-cell sizes
+            sizes = np.asarray(vec, dtype=np.float64).reshape(nz, ny, nx)
+            if axis == 0:
+                edge = np.concatenate([[0.0], np.cumsum(sizes[0, 0, :])])
+            elif axis == 1:
+                edge = np.concatenate([[0.0], np.cumsum(sizes[0, :, 0])])
+            else:
+                edge = np.concatenate([[0.0], np.cumsum(sizes[:, 0, 0])])
+            return edge
+
+        if "DX" in ga:
+            xs = line(ga["DX"], nx, 0)
+            ys = line(ga["DY"], ny, 1)
+            dz3 = np.asarray(ga["DZ"], dtype=np.float64).reshape(nz, ny, nx)
+        else:
+            xs = np.concatenate([[0.0], np.cumsum(np.asarray(ga["DXV"]))])
+            ys = np.concatenate([[0.0], np.cumsum(np.asarray(ga["DYV"]))])
+            dzv = np.asarray(ga["DZV"], dtype=np.float64)
+            dz3 = np.broadcast_to(dzv[:, None, None], (nz, ny, nx)).copy()
+        tops = np.asarray(ga.get("TOPS", np.zeros(nx * ny)),
+                          dtype=np.float64)
+        top0 = tops[:nx * ny].reshape(ny, nx)
+        # layer interfaces per column
+        zfaces = np.empty((nz + 1, ny, nx))
+        zfaces[0] = top0
+        for k in range(nz):
+            zfaces[k + 1] = zfaces[k] + dz3[k]
+        coord = np.empty((ny + 1, nx + 1, 6))
+        X, Y = np.meshgrid(xs, ys)
+        coord[:, :, 0] = X
+        coord[:, :, 1] = Y
+        coord[:, :, 2] = zfaces[0].min()
+        coord[:, :, 3] = X
+        coord[:, :, 4] = Y
+        coord[:, :, 5] = zfaces[-1].max()
+        coord = coord.reshape(-1)
+        zc = np.empty((nz, 2, ny, 2, nx, 2))
+        for k in range(nz):
+            for kc in range(2):
+                zf = zfaces[k + kc]
+                # corner depth = column interface depth (block grid)
+                zc[k, kc, :, 0, :, 0] = zf
+                zc[k, kc, :, 0, :, 1] = zf
+                zc[k, kc, :, 1, :, 0] = zf
+                zc[k, kc, :, 1, :, 1] = zf
+        zcorn = zc.reshape(-1)
+
+    path = base_path + ".EGRID"
+    with open(path, "wb") as f:
+        fh = [0] * 100
+        fh[0] = 3    # version
+        fh[1] = 2026
+        fh[4] = 0    # corner-point type
+        write_keyword(f, "FILEHEAD", "INTE", fh)
+        gh = [0] * 100
+        gh[0] = 1    # grid type: corner point
+        gh[1], gh[2], gh[3] = nx, ny, nz
+        write_keyword(f, "GRIDHEAD", "INTE", gh)
+        write_keyword(f, "COORD", "REAL",
+                      np.asarray(coord, dtype=np.float64) * u_len)
+        write_keyword(f, "ZCORN", "REAL",
+                      np.asarray(zcorn, dtype=np.float64) * u_len)
+        act = np.asarray(ga.get("ACTNUM", np.ones(ncg)), dtype=np.int64)
+        write_keyword(f, "ACTNUM", "INTE", act)
+        write_keyword(f, "ENDGRID", "INTE", [])
+    return path

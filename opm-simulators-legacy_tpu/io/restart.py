@@ -55,3 +55,50 @@ def load_restart(path: str):
                 suggested_dt=float(z["suggested_dt"]))
     meta["extra"] = {k[6:]: z[k] for k in z.files if k.startswith("extra_")}
     return state, meta
+
+
+def load_restart_unrst(path: str, report_step: int, case, props, model):
+    """Resume from an ECL unified-restart file (the reference's
+    initFromRestartFile path, SimulatorFullyImplicitBlackoilOutput.hpp:
+    229-288 + FlowMain.hpp:845-846 RESTART/SKIPREST): rebuild the switched
+    primary-variable state from PRESSURE/SWAT/SGAS/RS/RV, re-derive the
+    hydroCarbonState classification (initHydroCarbonState), and recover
+    well state + suggested dt from the OPM_XWEL/OPM_EXTRA extra arrays
+    written by this framework's writer.
+
+    Returns (state, meta) like load_restart."""
+    from opm_tpu.io.eclsum import read_unrst
+    from opm_tpu.models.state import (HC_GASOIL, HC_GASONLY, HC_OILONLY,
+                                      init_hcstate)
+
+    steps = read_unrst(path)
+    match = [s for s in steps if s["seqnum"] == report_step]
+    if not match:
+        raise FileNotFoundError(
+            f"report step {report_step} not in {path} "
+            f"(has {[s['seqnum'] for s in steps]})")
+    st = match[-1]
+    p_unit = (1e-5 if case.runspec.unit_system == "METRIC"
+              else 1.0 / 6894.757293168361)
+    p = jnp.asarray(st["PRESSURE"]) / p_unit
+    sw = jnp.asarray(st["SWAT"])
+    sg = jnp.asarray(st["SGAS"])
+    rs = jnp.asarray(st.get("RS", np.zeros_like(st["SWAT"])))
+    rv = jnp.asarray(st.get("RV", np.zeros_like(st["SWAT"])))
+    hc = init_hcstate(sw, sg, disgas=case.runspec.disgas,
+                      vapoil=case.runspec.vapoil)
+    x = jnp.where(hc == HC_GASOIL, sg,
+                  jnp.where(hc == HC_OILONLY, rs, rv))
+    xwel = np.asarray(st.get("OPM_XWEL", np.zeros(0)))
+    nw = xwel.shape[0] // 6 if xwel.size else 0
+    xwel = xwel.reshape(nw, 6) if nw else np.zeros((0, 6))
+    state = BlackoilState(
+        pressure=p, sw=sw, x=x, hcstate=hc,
+        bhp=jnp.asarray(xwel[:, 0]), qs=jnp.asarray(xwel[:, 1:4]),
+        control=jnp.asarray(xwel[:, 4], dtype=jnp.int32),
+        target=jnp.asarray(xwel[:, 5]))
+    extra = np.asarray(st.get("OPM_EXTRA", [86400.0]))
+    meta = dict(report_step=int(st["seqnum"]),
+                time=float(st["time_days"]) * 86400.0,
+                suggested_dt=float(extra[0]), extra={})
+    return state, meta

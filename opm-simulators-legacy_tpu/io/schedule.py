@@ -111,6 +111,11 @@ class ReportStep:
     wells: List[WellConfig] = field(default_factory=list)
     groups: Dict[str, "GroupConfig"] = field(default_factory=dict)
     events: List[str] = field(default_factory=list)  # e.g. WELL_CHANGE
+    # schedule-time geology modifiers applied at the start of this step
+    # (GEO_MODIFIER events, SimulatorBase_impl.hpp:258-268):
+    # ("MULTFLT", [(fault, mult)...]) | ("ARRAY", name, values)
+    # | ("EQUALS"/"MULTIPLY", name, value, box6-or-None)
+    geo_mods: List[tuple] = field(default_factory=list)
 
 
 @dataclass
@@ -146,12 +151,40 @@ def build_schedule(case: EclipseCase) -> Schedule:
     day = u.factor("Time")
 
     in_schedule = False
+    pending_geo: List[tuple] = []
+    GEO_ARRAYS = {"MULTX", "MULTY", "MULTZ", "MULTX-", "MULTY-", "MULTZ-",
+                  "MULTPV"}
     for kw in deck:
         name = kw.name
         if name == "SCHEDULE":
             in_schedule = True
             continue
         if not in_schedule:
+            continue
+        # schedule-time geology modifiers -> GEO_MODIFIER events
+        # (SimulatorBase_impl.hpp:258-268 rebuilds DerivedGeology)
+        if name == "MULTFLT":
+            pending_geo.append(("MULTFLT", [
+                (str(r[0]).upper(), float(r[1])) for r in kw.records]))
+            pending_events.append("GEO_MODIFIER")
+            continue
+        if name in GEO_ARRAYS and kw.array is not None:
+            pending_geo.append(
+                ("ARRAY", name, np.asarray(kw.array, dtype=np.float64)))
+            pending_events.append("GEO_MODIFIER")
+            continue
+        if name in ("EQUALS", "MULTIPLY"):
+            for r in kw.records:
+                tgt = str(r[0]).upper()
+                if tgt in GEO_ARRAYS:
+                    box = None
+                    if len(r) > 2 and r[2] is not None:
+                        try:
+                            box = [int(r[i]) - 1 for i in range(2, 8)]
+                        except (TypeError, ValueError, IndexError):
+                            box = None
+                    pending_geo.append((name, tgt, float(r[1]), box))
+                    pending_events.append("GEO_MODIFIER")
             continue
         if name == "WELSPECS":
             for r in kw.records:
@@ -355,8 +388,9 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     index=step_idx, start_time=t, end_time=t + dt_si,
                     wells=[w.copy() for w in wells.values()],
                     groups={k: replace(v) for k, v in groups.items()},
-                    events=pending_events))
+                    events=pending_events, geo_mods=pending_geo))
                 pending_events = []
+                pending_geo = []
                 t += dt_si
                 step_idx += 1
             cur_date = case.runspec.start_date + datetime.timedelta(
@@ -371,8 +405,9 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     index=step_idx, start_time=t, end_time=t + dt_si,
                     wells=[w.copy() for w in wells.values()],
                     groups={k: replace(v) for k, v in groups.items()},
-                    events=pending_events))
+                    events=pending_events, geo_mods=pending_geo))
                 pending_events = []
+                pending_geo = []
                 t += dt_si
                 cur_date = date
                 step_idx += 1

@@ -337,6 +337,14 @@ class SimulatorFullyImplicitBlackoil:
         return float((prod * coef[None, :]).sum())
 
     # ------------------------------------------------------------------
+    def _out_base(self) -> str:
+        """Output-file basename: the deck filename (ECL convention),
+        falling back to the deck TITLE for synthetic cases."""
+        import os as _os
+        if getattr(self.case, "path", None):
+            return _os.path.splitext(_os.path.basename(self.case.path))[0]
+        return (self.case.runspec.title or "CASE").split()[0] or "CASE"
+
     def _well_set_for(self, step) -> WellSet:
         return build_well_set(step.wells, self.grid, max_perf=self.max_perf,
                               name_order=self.well_names)
@@ -403,6 +411,61 @@ class SimulatorFullyImplicitBlackoil:
                               control=control, target=target)
 
     # ------------------------------------------------------------------
+    def _apply_geo_modifiers(self, mods):
+        """GEO_MODIFIER schedule events rebuild DerivedGeology
+        (SimulatorBase_impl.hpp:258-268 / GeoProps update): mutate the
+        case's multiplier state, rebuild the grid, and re-create model +
+        solver. This is a deliberate re-trace boundary — transmissibility
+        is baked into the compiled programs (stencils, GMG hierarchy)."""
+        case = self.case
+        nx, ny, nz = case.runspec.dims
+        ncg = nx * ny * nz
+
+        def ensure(name):
+            if name not in case.grid_arrays:
+                case.grid_arrays[name] = np.ones(ncg)
+            return case.grid_arrays[name]
+
+        def box_idx(b):
+            if b is None:
+                return slice(None)
+            i1, i2, j1, j2, k1, k2 = b
+            ii = np.arange(i1, i2 + 1)
+            jj = np.arange(j1, j2 + 1)
+            kk = np.arange(k1, k2 + 1)
+            K, J, I = np.meshgrid(kk, jj, ii, indexing="ij")
+            return ((K * ny + J) * nx + I).ravel()
+
+        for mod in mods:
+            if mod[0] == "MULTFLT":
+                for nm, v in mod[1]:
+                    case.fault_mults[nm] = v
+            elif mod[0] == "ARRAY":
+                _, name, vals = mod
+                a = ensure(name)
+                a[: len(vals)] = vals
+            elif mod[0] == "EQUALS":
+                _, name, value, b = mod
+                ensure(name)[box_idx(b)] = value
+            elif mod[0] == "MULTIPLY":
+                _, name, value, b = mod
+                ensure(name)[box_idx(b)] *= value
+        old_thr = self.model.threshold_dp
+        old_nc, old_nf = self.grid.nc, self.grid.nf
+        self.grid = build_grid(case)
+        if self.grid.nc != old_nc or self.grid.nf != old_nf:
+            raise ValueError(
+                "schedule geology modifier changed the active topology "
+                f"(nc {old_nc}->{self.grid.nc}, nf {old_nf}->"
+                f"{self.grid.nf}); only transmissibility/pore-volume "
+                "changes are supported mid-run")
+        self.model = BlackoilModel(self.grid, self.props,
+                                   self.model.params)
+        self.model.threshold_dp = old_thr
+        self.solver = NonlinearSolver(self.model)
+        self._span_runner = None
+
+    # ------------------------------------------------------------------
     def _well_potentials(self, state):
         """Phase potentials per well at the BHP limits (guide-rate
         fallback; computeWellPotentials)."""
@@ -422,14 +485,29 @@ class SimulatorFullyImplicitBlackoil:
     def run(self, state: Optional[BlackoilState] = None, *,
             report_step_limit: Optional[int] = None, verbose: bool = False,
             restart_file: Optional[str] = None,
+            restart_step: Optional[int] = None,
             write_restart: bool = False, write_vtk: bool = False):
-        """Run the schedule. restart_file resumes mid-run from a checkpoint
-        written by a previous run (the SKIPREST/RESTART capability,
-        SimulatorBase_impl.hpp:96-131); write_restart emits a checkpoint per
+        """Run the schedule. restart_file resumes mid-run from a prior
+        run's checkpoint — either the private .npz format or an ECL
+        .UNRST (with restart_step selecting the SEQNUM); a deck RESTART
+        keyword triggers the same automatically (the RESTART/SKIPREST
+        capability, SimulatorBase_impl.hpp:96-131, FlowMain.hpp:845-846).
+        write_restart emits npz checkpoints + the unified ECL restart per
         report step into output_dir."""
         t_start = time.perf_counter()
         nw = len(self.well_names)
         self._unrst_steps = []
+        if restart_file is None and state is None \
+                and self.case.solution.restart is not None:
+            base, rstep = self.case.solution.restart
+            import os as _os
+            root = _os.path.dirname(self.case.path or ".")
+            for cand in (_os.path.join(root, base + ".UNRST"),
+                         base + ".UNRST"):
+                if _os.path.exists(cand):
+                    restart_file = cand
+                    restart_step = rstep
+                    break
         # async output worker (the reference's BlackoilOutputWriter
         # asyncOutput_ / ThreadHandle): report-step writes overlap the next
         # step's device work
@@ -437,8 +515,14 @@ class SimulatorFullyImplicitBlackoil:
         writer = ThreadHandle()
         start_step = 0
         if restart_file is not None:
-            from opm_tpu.io.restart import load_restart
-            state, meta = load_restart(restart_file)
+            if restart_file.upper().endswith(".UNRST"):
+                from opm_tpu.io.restart import load_restart_unrst
+                state, meta = load_restart_unrst(
+                    restart_file, restart_step, self.case, self.props,
+                    self.model)
+            else:
+                from opm_tpu.io.restart import load_restart
+                state, meta = load_restart(restart_file)
             start_step = meta["report_step"] + 1
             self.ts.suggested_dt = meta["suggested_dt"]
         elif state is None:
@@ -493,6 +577,8 @@ class SimulatorFullyImplicitBlackoil:
             return step_wells
 
         def _step_fusable(stp, step_wells):
+            if stp.geo_mods:
+                return False
             if stp.groups and any(w.control == "GRUP" for w in step_wells):
                 return False
             for w in step_wells:
@@ -507,6 +593,8 @@ class SimulatorFullyImplicitBlackoil:
         i_step = 0
         while i_step < len(steps):
             step = steps[i_step]
+            if step.geo_mods:
+                self._apply_geo_modifiers(step.geo_mods)
             if self._hysteresis:
                 # hysteresis memory update at report-step start (the
                 # reference's updateSatHyst, SimulatorBase_impl.hpp:146)
@@ -550,10 +638,17 @@ class SimulatorFullyImplicitBlackoil:
                     j += 1
                 if len(span_steps) >= 2:
                     from opm_tpu.solver.fused_span import FusedSpanRunner
-                    if (self._span_runner is None
-                            or self._span_runner.solver is not self.solver):
-                        self._span_runner = FusedSpanRunner(
+                    # cache the runner ON THE SOLVER: a fresh runner means a
+                    # fresh jax.jit wrapper, and re-tracing the chunk
+                    # program costs ~20 s — reuse must survive across
+                    # Simulator instances sharing a solver (bench warm-up)
+                    runner = getattr(self.solver, "_span_runner", None)
+                    if (runner is None or runner.chunk != span_chunk
+                            or runner.p != self.ts.p):
+                        runner = FusedSpanRunner(
                             self.solver, self.ts.p, span_chunk)
+                        self.solver._span_runner = runner
+                    self._span_runner = runner
                     t0s = time.perf_counter()
                     new_state, dt_sugg, summaries, stats = \
                         self._span_runner.run_chunk(
@@ -655,12 +750,21 @@ class SimulatorFullyImplicitBlackoil:
                     rs_, rv_ = rs_rv(state, self.props, self.model.pvtnum)
                     p_unit = (1e-5 if self.case.runspec.unit_system
                               == "METRIC" else 1.0 / 6894.757293168361)
+                    xwel = np.concatenate([
+                        np.asarray(state.bhp)[:, None],
+                        np.asarray(state.qs),
+                        np.asarray(state.control, dtype=np.float64)[:, None],
+                        np.asarray(state.target)[:, None]], axis=1)
                     self._unrst_steps.append(dict(
                         seqnum=step.index,
                         time_days=step.end_time / DAY,
                         PRESSURE=np.asarray(state.pressure) * p_unit,
                         SWAT=np.asarray(sw_), SGAS=np.asarray(sg_),
-                        RS=np.asarray(rs_), RV=np.asarray(rv_)))
+                        RS=np.asarray(rs_), RV=np.asarray(rv_),
+                        # well state + stepper extras (SI), the analogue of
+                        # the reference's OPM_XWEL/OPM_EXTRA restart data
+                        OPM_XWEL=xwel.reshape(-1),
+                        OPM_EXTRA=np.asarray([self.ts.suggested_dt])))
                 if write_vtk:
                     from opm_tpu.io.vtk import write_vtr
                     from opm_tpu.models.state import saturations
@@ -688,7 +792,7 @@ class SimulatorFullyImplicitBlackoil:
                 os.path.join(self.output_dir, "summary.csv"))
             # ECL binary summary (SMSPEC/UNSMRY) for reference tooling
             from opm_tpu.io.eclsum import write_summary
-            base = (self.case.runspec.title or "CASE").split()[0] or "CASE"
+            base = self._out_base()
             write_summary(
                 os.path.join(self.output_dir, base), self.summary.rows,
                 dims=self.case.runspec.dims,
@@ -696,12 +800,23 @@ class SimulatorFullyImplicitBlackoil:
                 unit_system=self.case.runspec.unit_system)
             if self._unrst_steps:
                 from opm_tpu.io.eclsum import write_unrst
-                base = (self.case.runspec.title or "CASE").split()[0] \
-                    or "CASE"
+                base = self._out_base()
                 write_unrst(os.path.join(self.output_dir, base),
                             self._unrst_steps,
                             dims=self.case.runspec.dims,
                             start_date=self.case.runspec.start_date)
+            # static geology snapshot + geometry (writeInit role:
+            # FlowMain.hpp writeInit -> EclipseIO INIT/EGRID; the
+            # Norne-init regression class, compareECLFiles.cmake:141-146)
+            from opm_tpu.io.eclsum import write_egrid, write_init
+            base = self._out_base()
+            write_init(os.path.join(self.output_dir, base), self.grid,
+                       unit_system=self.case.runspec.unit_system,
+                       start_date=self.case.runspec.start_date)
+            try:
+                write_egrid(os.path.join(self.output_dir, base), self.case)
+            except Exception:
+                pass  # synthetic cases without geometric arrays
             # per-FIPNUM-region fluid in place (the reference's FIP report
             # tables, SimulatorBase_impl.hpp FIP output)
             fip_reg = fluid_in_place(self.model, state,

@@ -422,3 +422,78 @@ END
 
 def spe10like_case(**kw) -> EclipseCase:
     return load_case_string(spe10like_deck(**kw))
+
+
+def spe9_cp_deck(seed=9) -> str:
+    """The SPE9 benchmark (Killough, SPE-29110, 1995) authored as a
+    corner-point deck: 24x25x15 grid, DX=DY=300 ft, the published
+    per-layer thicknesses/porosities, a TRUE 10-degree dip along x
+    expressed through COORD/ZCORN pillars, the published PVT and
+    saturation tables (shared with spe9like_deck), 25 producers + 1
+    water injector, and the full 900-day schedule with the paper's
+    producer rate changes (1500 STB/D -> 100 at day 300 -> back to 1500
+    at day 360). The published geostatistical permeability field is an
+    external data file not redistributable here; a seeded lognormal
+    field with the same layer statistics stands in (documented)."""
+    import numpy as np
+
+    nx, ny, nz = 24, 25, 15
+    dz_layers = np.asarray([20, 15, 26, 15, 16, 14, 8, 8, 18, 12, 19, 18,
+                            20, 50, 100], dtype=np.float64)
+    cumdz = np.concatenate([[0.0], np.cumsum(dz_layers)])  # (nz+1,)
+    slope = np.tan(np.deg2rad(10.0))
+    # layer interfaces follow the dipped top plane:
+    # z(e, kf) = 9000 + slope*300*e + cumdz[kf] at x-pillar edge e
+    e = np.arange(nx + 1, dtype=np.float64)
+    zedge = 9000.0 + slope * 300.0 * e                     # (nx+1,)
+
+    # COORD: (ny+1)x(nx+1) vertical pillars (x, y, ztop, x, y, zbot)
+    coord = np.empty((ny + 1, nx + 1, 6))
+    X, Y = np.meshgrid(e * 300.0, np.arange(ny + 1) * 300.0)
+    coord[:, :, 0] = X
+    coord[:, :, 1] = Y
+    coord[:, :, 2] = zedge[None, :]
+    coord[:, :, 3] = X
+    coord[:, :, 4] = Y
+    coord[:, :, 5] = zedge[None, :] + cumdz[-1]
+
+    # ZCORN: flat index ((((k*2+kc)*ny + j)*2 + jc)*nx + i)*2 + ic
+    kk, kc, jj, jc, ii, ic = np.meshgrid(
+        np.arange(nz), np.arange(2), np.arange(ny), np.arange(2),
+        np.arange(nx), np.arange(2), indexing="ij")
+    zcorn = zedge[ii + ic] + cumdz[kk + kc]
+
+    def arr(a, fmt="{:.6g}"):
+        a = np.asarray(a).ravel()
+        return "\n ".join(" ".join(fmt.format(v) for v in a[i:i + 10])
+                          for i in range(0, len(a), 10))
+
+    base = spe9like_deck(seed=seed)
+    gstart = base.index("GRID\n")
+    gend = base.index("PROPS\n")
+    grid_sec = (
+        "GRID\nCOORD\n " + arr(coord, "{:.2f}") + " /\nZCORN\n "
+        + arr(zcorn, "{:.2f}") + " /\n"
+        # PORO/PERM blocks from the block-centered template
+        + base[base.index("PORO\n", gstart):gend])
+    deck = base[:gstart] + grid_sec + base[gend:]
+    deck = deck.replace("SPE9-LIKE (seeded heterogeneity)",
+                        "SPE9 corner-point (stand-in perm field)")
+    # full 900-day schedule with the producer rate changes
+    prods_low = "\n".join(f" 'P{i}' 'OPEN' 'ORAT' 100 4* 1000 /"
+                          for i in range(1, 26))
+    prods_high = "\n".join(f" 'P{i}' 'OPEN' 'ORAT' 1500 4* 1000 /"
+                           for i in range(1, 26))
+    tail = ("TSTEP\n 1 4 10 25 30 30 40 40 40 40 40 /\n"
+            f"WCONPROD\n{prods_low}\n/\n"
+            "TSTEP\n 30 30 /\n"
+            f"WCONPROD\n{prods_high}\n/\n"
+            "TSTEP\n 40 50 6*75 /\n"
+            "END\n")
+    tstart = deck.index("TSTEP\n")
+    deck = deck[:tstart] + tail
+    return deck
+
+
+def spe9_cp_case(**kw) -> EclipseCase:
+    return load_case_string(spe9_cp_deck(**kw))

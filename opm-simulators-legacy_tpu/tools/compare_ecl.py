@@ -69,6 +69,26 @@ def compare_restart(path1, path2, *, abs_tol, rel_tol):
     return arrays, failures
 
 
+def compare_init(path1, path2, *, abs_tol, rel_tol):
+    """INIT-file comparison (the Norne-init regression class,
+    compareECLFiles.cmake:141-146 run-init-regressionTest.sh)."""
+    from opm_tpu.io.eclsum import read_init
+
+    i1 = read_init(path1)
+    i2 = read_init(path2)
+    failures = []
+    arrays = 0
+    for k in sorted(set(i1) & set(i2)):
+        v1 = np.asarray(i1[k])
+        if v1.dtype.kind not in "fd" or k in ("DOUBHEAD",):
+            continue
+        arrays += 1
+        viol = compare_vectors(v1, i2[k], abs_tol, rel_tol)
+        if viol > 0:
+            failures.append((k, viol))
+    return arrays, failures
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="compare_ecl", description=__doc__)
     ap.add_argument("base1")
@@ -77,11 +97,18 @@ def main(argv=None):
     ap.add_argument("--rel-tol", type=float, default=1e-5)
     ap.add_argument("--restart", action="store_true",
                     help="compare UNRST files instead of summaries")
+    ap.add_argument("--init", action="store_true",
+                    help="compare INIT files instead of summaries")
     ap.add_argument("--keys", nargs="*", default=None,
                     help="restrict to vectors with these prefixes")
     args = ap.parse_args(argv)
 
-    if args.restart:
+    if args.init:
+        n, failures = compare_init(args.base1, args.base2,
+                                   abs_tol=args.abs_tol,
+                                   rel_tol=args.rel_tol)
+        print(f"compared {n} INIT arrays")
+    elif args.restart:
         n, failures = compare_restart(args.base1, args.base2,
                                       abs_tol=args.abs_tol,
                                       rel_tol=args.rel_tol)

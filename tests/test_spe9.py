@@ -1,0 +1,123 @@
+"""SPE9 (Killough, SPE-29110) corner-point deck: geometry fidelity +
+end-to-end schedule (the compareECLFiles.cmake:114-118 SPE9 regression
+class; without ECL reference outputs, asserts the published problem's
+structural features — dipping corner-point geometry, 26 wells, the
+900-day schedule with rate cuts at day 300/360)."""
+import os
+
+import numpy as np
+import pytest
+
+from opm_tpu.grid import build_grid
+from opm_tpu.io.eclstate import load_case
+from opm_tpu.io.schedule import build_schedule
+
+SPE9 = os.path.join(os.path.dirname(__file__), "..", "data", "SPE9.DATA")
+FT = 0.3048
+PSI = 6894.757293168361
+STB = 0.158987294928
+DAY = 86400.0
+
+
+@pytest.fixture(scope="module")
+def case():
+    return load_case(SPE9)
+
+
+@pytest.fixture(scope="module")
+def grid(case):
+    return build_grid(case)
+
+
+def test_spe9_grid_geometry(grid):
+    nx, ny, nz = grid.dims
+    assert (nx, ny, nz) == (24, 25, 15)
+    assert grid.nc == 9000
+    # 300 ft x 300 ft cells with the published layer-1 thickness of 20 ft,
+    # recovered from the CORNER geometry (not cbrt(volume))
+    assert grid.dx[0] == pytest.approx(300 * FT, rel=1e-5)
+    assert grid.dy[0] == pytest.approx(300 * FT, rel=1e-5)
+    assert grid.dz[0] == pytest.approx(20 * FT, rel=1e-5)
+    # 10-degree dip along x: cell-center depth difference between
+    # x-neighbors = tan(10 deg) * 300 ft
+    a0 = grid.active_index(0, 0, 0)
+    a1 = grid.active_index(1, 0, 0)
+    ddz = (grid.depth[a1] - grid.depth[a0]) / FT
+    assert ddz == pytest.approx(np.tan(np.deg2rad(10.0)) * 300.0,
+                            rel=1e-3)  # ZCORN written at 0.01 ft
+    # prism volumes survive the dip shear
+    assert grid.volume[a0] == pytest.approx(300 * 300 * 20 * FT**3,
+                                            rel=1e-5)
+
+
+def test_spe9_schedule(case):
+    sched = build_schedule(case)
+    assert sched.report_steps[-1].end_time == pytest.approx(900 * DAY)
+    # 26 wells: 25 producers + water injector completed in layers 11-15
+    w0 = {w.name: w for w in sched.report_steps[0].wells}
+    assert len(w0) == 26
+    inj = w0["INJ1"]
+    assert inj.type == "INJECTOR"
+    ks = sorted({c.k for c in inj.completions})
+    assert ks == [10, 11, 12, 13, 14]
+    # producer rate schedule: 1500 -> 100 at day 300 -> 1500 at day 360
+    def orat_at(day):
+        for s in sched.report_steps:
+            if s.start_time <= day * DAY < s.end_time:
+                return next(w for w in s.wells
+                            if w.name == "P1").orat / (STB / DAY)
+        raise AssertionError(day)
+    assert orat_at(10) == pytest.approx(1500, rel=1e-6)
+    assert orat_at(330) == pytest.approx(100, rel=1e-6)
+    assert orat_at(400) == pytest.approx(1500, rel=1e-6)
+
+
+def test_spe9_wi_uses_layer_thickness(grid, case):
+    """The Peaceman WI must see the pancake geometry: a producer
+    completion in layer 2 (15 ft thick, 300 ft areal) has WI proportional
+    to k*h with h = 15 ft — the cbrt(volume) bug gave h ~ 110 ft."""
+    from opm_tpu.io.schedule import build_schedule
+    from opm_tpu.wells.wells import build_well_set
+
+    sched = build_schedule(case)
+    ws = build_well_set(sched.report_steps[0].wells, grid)
+    iw = ws.names.index("P1")
+    k_layer = 1   # first completed layer (k=2 in deck, 0-based 1)
+    a = ws.perf_cell[iw][ws.perf_mask[iw]][0]
+    # WI = 2 pi k h / (ln(r0/rw) + s); h = dz = 15 ft for a z-completion
+    h = grid.dz[a]
+    assert h == pytest.approx(15 * FT, rel=1e-6)
+    kx, ky = grid.permx[a], grid.permy[a]
+    r0 = 0.28 * np.sqrt(np.sqrt(ky / kx) * grid.dx[a] ** 2
+                        + np.sqrt(kx / ky) * grid.dy[a] ** 2) \
+        / ((ky / kx) ** 0.25 + (kx / ky) ** 0.25)
+    wi_expect = 2 * np.pi * np.sqrt(kx * ky) * h / np.log(r0 / (0.5 * 0.5))
+    assert ws.perf_wi[iw][0] == pytest.approx(wi_expect, rel=1e-6)
+
+
+@pytest.mark.slow
+def test_spe9_full_schedule():
+    """Full 900-day SPE9 run: zero failed substeps, the day-300 rate cut
+    visible in FOPR, pressure recovery during the cut, and water-injection
+    voidage support keeping the field pressure bounded."""
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+
+    case = load_case(SPE9)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = sim.run()
+    assert sim.report.failed_substeps == 0
+    t = sim.summary.series("time")
+    fopr = sim.summary.series("FOPR") * DAY / STB   # STB/D
+    fpr = sim.summary.series("FPR") / PSI
+    # during the cut (300-360 d) total oil rate == 25 * 100 STB/D (all
+    # producers can sustain 100 against the 1000 psi BHP floor)
+    cut = (t > 300) & (t <= 360)
+    assert cut.any()
+    assert np.allclose(fopr[cut], 2500.0, rtol=1e-3)
+    # field pressure recovers during the cut
+    i_cut = np.where(cut)[0]
+    assert fpr[i_cut[-1]] > fpr[i_cut[0] - 1]
+    # and production resumes after day 360
+    after = t > 400
+    assert fopr[after].max() > 4000.0
+    assert bool(np.all(np.isfinite(np.asarray(state.pressure))))
