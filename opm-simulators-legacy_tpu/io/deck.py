@@ -121,7 +121,7 @@ SUMMARY_BLOCK_KEYWORDS = {"BPR", "BOSAT", "BWSAT", "BGSAT", "BWKR", "BOKR",
 SUMMARY_REGION_KEYWORDS = {"RPR", "ROIP", "RWIP", "RGIP", "ROE"}
 
 REC1_KEYWORDS = {
-    "RESTART",
+    "RESTART", "VAPPARS",
     "DIMENS", "START", "WELLDIMS", "TABDIMS", "EQLDIMS", "ENDSCALE",
     "NSTACK", "GRIDFILE", "MINPV", "PLYMAX", "TLMIXPAR", "ROCKCOMP",
     "RPTRST", "RPTSCHED", "RPTSOL", "RPTGRID", "RPTPROPS", "RPTSMRY",

@@ -83,6 +83,7 @@ class Solution:
     rsvd: List[np.ndarray] = field(default_factory=list)   # per eql region (depth, rs)
     rvvd: List[np.ndarray] = field(default_factory=list)
     pbvd: List[np.ndarray] = field(default_factory=list)
+    pdvd: List[np.ndarray] = field(default_factory=list)   # dew point vs depth
     pressure: Optional[np.ndarray] = None
     swat: Optional[np.ndarray] = None
     sgas: Optional[np.ndarray] = None
@@ -344,6 +345,12 @@ class EclipseCase:
                     rest[:, 2] *= visc_f
                     recs.append((rs, rest))
                 t["PVTO"].append(recs)
+        kw = deck.get("VAPPARS")
+        if kw and kw.records:
+            r = kw.records[0]
+            # item 1: oil vaporization (rv) exponent, item 2: gas
+            # dissolution (rs) exponent (BlackoilPropsAdFromDeck.cpp:170)
+            t["VAPPARS"] = (float(_val(r, 0, 0.0)), float(_val(r, 1, 0.0)))
         kw = deck.get("PVTG")
         if kw:
             t["PVTG"] = []
@@ -517,7 +524,8 @@ class EclipseCase:
                     n_accuracy=int(_val(r, 8, -5)),
                 ))
         for name, attr, fac in (("RSVD", "rsvd", rs_f), ("RVVD", "rvvd", rv_f),
-                                ("PBVD", "pbvd", p_f)):
+                                ("PBVD", "pbvd", p_f),
+                                ("PDVD", "pdvd", p_f)):
             kw = deck.get(name)
             if kw:
                 for r in kw.records:

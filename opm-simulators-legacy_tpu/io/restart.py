@@ -34,6 +34,8 @@ def save_restart(path: str, state: BlackoilState, *, report_step: int,
         control=np.asarray(state.control), target=np.asarray(state.target))
     if state.sgmax is not None:
         payload["sgmax"] = np.asarray(state.sgmax)
+    if state.somax is not None:
+        payload["somax"] = np.asarray(state.somax)
     if extra:
         for k, v in extra.items():
             payload["extra_" + k] = np.asarray(v)
@@ -50,7 +52,8 @@ def load_restart(path: str):
         bhp=jnp.asarray(z["bhp"]), qs=jnp.asarray(z["qs"]),
         control=jnp.asarray(z["control"], dtype=jnp.int32),
         target=jnp.asarray(z["target"]),
-        sgmax=jnp.asarray(z["sgmax"]) if "sgmax" in z.files else None)
+        sgmax=jnp.asarray(z["sgmax"]) if "sgmax" in z.files else None,
+        somax=jnp.asarray(z["somax"]) if "somax" in z.files else None)
     meta = dict(report_step=int(z["report_step"]), time=float(z["time"]),
                 suggested_dt=float(z["suggested_dt"]))
     meta["extra"] = {k[6:]: z[k] for k in z.files if k.startswith("extra_")}

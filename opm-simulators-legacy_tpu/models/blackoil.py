@@ -79,8 +79,22 @@ class Residual(NamedTuple):
     b: jnp.ndarray          # (3, nc) inverse FVFs (for convergence norms)
 
 
+def vap_factor(so, somax, vap):
+    """VAPPARS saturation factor (so/so_max)^vap applied to rs_sat/rv_sat
+    (applyVap, BlackoilPropsAdFromDeck.cpp:1027-1075): vaporization /
+    dissolution weakens where the oil saturation has fallen below its
+    historical maximum."""
+    eps = 1.4901161193847656e-08
+    guard = 0.01                      # vap_satmax_guard_ (.cpp:187)
+    so_c = jnp.maximum(so, eps)
+    active = (somax > guard) & (so < somax)
+    return jnp.where(active,
+                     (so_c / jnp.maximum(somax, eps)) ** vap, 1.0)
+
+
 def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
-                            satnum, sgmax=None, ireg=None) -> CellQuantities:
+                            satnum, sgmax=None, ireg=None,
+                            somax=None) -> CellQuantities:
     """Shape-polymorphic secondary-variable evaluation: works for scalars
     (single-cell linearization, models/linearize.py) and (nc,) arrays alike.
     This is the rebuild's SolutionState construction
@@ -92,6 +106,11 @@ def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
     so = 1.0 - sw - sg
     rssat = props.rs_sat(p, pvtnum)
     rvsat = props.rv_sat(p, pvtnum)
+    if somax is not None:
+        if getattr(props, "vap2", 0.0) > 0.0:
+            rssat = rssat * vap_factor(so, somax, props.vap2)
+        if getattr(props, "vap1", 0.0) > 0.0:
+            rvsat = rvsat * vap_factor(so, somax, props.vap1)
     rs = jnp.where(is_rs, x, rssat)
     rv = jnp.where(is_rv, x, rvsat)
     pcow, pcgo = props.capillary(sw, sg, satnum)
@@ -207,7 +226,8 @@ class BlackoilModel:
     def cell_quantities(self, state: BlackoilState) -> CellQuantities:
         return compute_cell_quantities(
             self.props, state.pressure, state.sw, state.x, state.hcstate,
-            self.pvtnum, self.satnum, sgmax=state.sgmax, ireg=self.imbnum)
+            self.pvtnum, self.satnum, sgmax=state.sgmax, ireg=self.imbnum,
+            somax=state.somax)
 
     # ------------------------------------------------------------------
     def accumulation(self, state: BlackoilState) -> jnp.ndarray:
@@ -340,11 +360,15 @@ class BlackoilModel:
         cnv = dt * jnp.max(jnp.abs(R) * B / pv, axis=1)
         b_avg = jnp.mean(B, axis=1)
         mb = dt * jnp.abs(jnp.sum(R, axis=1)) * b_avg / pv_sum
-        # well norms: flux residual relative to a rate scale; control
-        # residual split pressure (Pa) vs rate (relative)
-        qs_scale = jnp.maximum(jnp.max(jnp.abs(state.qs)), 1e-8)
-        well_flux_norm = jnp.max(jnp.abs(res.well_flux)) / qs_scale \
-            if res.well_flux.size else jnp.asarray(0.0)
+        # well norms: B-factor-scaled per-phase flux residual exactly as
+        # the reference (well_flux_residual[idx] = B_avg[idx] *
+        # maxNormWell[idx], getConvergence:1770-1780); control residual
+        # split pressure (Pa) vs rate (relative)
+        if res.well_flux.size:
+            max_nw = jnp.max(jnp.abs(res.well_flux), axis=0)   # (3,)
+            well_flux_norm = jnp.max(b_avg * max_nw)
+        else:
+            well_flux_norm = jnp.asarray(0.0)
         is_bhp = state.control == CTRL_BHP
         ctrl_p = jnp.where(is_bhp, jnp.abs(res.well_ctrl), 0.0)
         tgt_scale = jnp.maximum(jnp.abs(state.target), 1e-8)

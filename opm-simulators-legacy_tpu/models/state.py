@@ -44,6 +44,9 @@ class BlackoilState(NamedTuple):
     # once per report step (the reference's updateSatHyst,
     # BlackoilPropsAdFromDeck.hpp:201-430). None = hysteresis off.
     sgmax: Optional[jnp.ndarray] = None
+    # VAPPARS memory: per-cell historical max oil saturation (the
+    # reference's satOilMax_/updateSatOilMax). None = vappars off.
+    somax: Optional[jnp.ndarray] = None
 
     @property
     def nc(self):

@@ -44,12 +44,14 @@ class SchwarzGmg:
         nx, ny, nz = dims
         self.dims = dims
         nsh = int(mesh.shape[axis_name])
-        if nz % nsh != 0:
-            raise ValueError(
-                f"nz={nz} must be divisible by the {axis_name!r} mesh axis "
-                f"({nsh}) for slab Schwarz")
         self.n_shards = nsh
-        self.nzl = nz // nsh
+        # non-divisible nz: pad with zero-coupled ghost layers (identity
+        # diagonal rows) appended after the last layer so shard_map sees
+        # equal slabs; b is zero-padded per apply and the pad correction
+        # sliced away
+        self.nzl = -(-nz // nsh)
+        self.nzp = self.nzl * nsh
+        self.pad_layers = self.nzp - nz
         self.mesh = mesh
         self.axis = axis_name
         self.nc = nx * ny * nz
@@ -60,12 +62,19 @@ class SchwarzGmg:
             st = StructuredGmg._host_strength(dims, np.asarray(trans))
             stz, sty, stx = st
             nzl = self.nzl
+            nzp = self.nzp
             stz_p = np.concatenate(
-                [stz, np.zeros((1, ny, nx))], axis=0).reshape(
-                    nsh, nzl, ny, nx)[:, : nzl - 1]
+                [stz, np.zeros((1 + self.pad_layers, ny, nx))],
+                axis=0).reshape(nsh, nzl, ny, nx)[:, : nzl - 1]
+            sty_p = np.concatenate(
+                [sty, np.zeros((self.pad_layers, max(ny - 1, 0), nx))],
+                axis=0)
+            stx_p = np.concatenate(
+                [stx, np.zeros((self.pad_layers, ny, max(nx - 1, 0)))],
+                axis=0)
             strength = [stz_p.mean(axis=0),
-                        sty.reshape(nsh, nzl, max(ny - 1, 0), nx).mean(0),
-                        stx.reshape(nsh, nzl, ny, max(nx - 1, 0)).mean(0)]
+                        sty_p.reshape(nsh, nzl, max(ny - 1, 0), nx).mean(0),
+                        stx_p.reshape(nsh, nzl, ny, max(nx - 1, 0)).mean(0)]
         self.local = StructuredGmg((nx, ny, self.nzl), coarsest=coarsest,
                                    strength=strength)
 
@@ -107,13 +116,37 @@ class SchwarzGmg:
         two-level additive Schwarz, arXiv:1401.7227): A_c = R A R^T with R
         the slab indicator, which re-inserts exactly the cross-slab
         couplings the local hierarchies drop."""
-        nx, ny, nz = self.dims
+        nx, ny, nz0 = self.dims
         nzl = self.nzl
         nsh = self.n_shards
+        nfx0 = (nx - 1) * ny * nz0
+        nfy0 = nx * (ny - 1) * nz0
+        nf = nfx0 + nfy0 + nx * ny * (nz0 - 1)
+        aL0, aR0 = off0[:nf], off0[nf:]
+        pad = self.pad_layers
+        nz = self.nzp
+
+        def pad_faces(v):
+            x = jnp.concatenate([
+                v[:nfx0].reshape(nz0, -1),
+                jnp.zeros((pad, (nx - 1) * ny), v.dtype)]).ravel()
+            y = jnp.concatenate([
+                v[nfx0:nfx0 + nfy0].reshape(nz0, -1),
+                jnp.zeros((pad, nx * (ny - 1)), v.dtype)]).ravel()
+            z = jnp.concatenate([
+                v[nfx0 + nfy0:].reshape(nz0 - 1, -1),
+                jnp.zeros((pad, nx * ny), v.dtype)]).ravel()
+            return jnp.concatenate([x, y, z])
+
+        if pad:
+            diag0 = jnp.concatenate([
+                diag0, jnp.ones(pad * ny * nx, diag0.dtype)])
+            aL = pad_faces(aL0)
+            aR = pad_faces(aR0)
+        else:
+            aL, aR = aL0, aR0
         nfx = (nx - 1) * ny * nz
         nfy = nx * (ny - 1) * nz
-        nf = nfx + nfy + nx * ny * (nz - 1)
-        aL, aR = off0[:nf], off0[nf:]
 
         # ---- two-level coarse operator over slabs: A_c = R A R^T ------
         zL = aL[nfx + nfy:].reshape(max(nz - 1, 0), ny, nx)
@@ -164,6 +197,10 @@ class SchwarzGmg:
 
     def vcycle(self, vals, b, **_):
         local_vals, coarse_inv = vals
+        if self.pad_layers:
+            nx, ny, _ = self.dims
+            b = jnp.concatenate([
+                b, jnp.zeros(self.pad_layers * ny * nx, b.dtype)])
         b2 = b.reshape(self.n_shards, -1)
         out = self._vcycle_sm(local_vals, b2).reshape(-1)
         # additive coarse correction: x += R^T A_c^{-1} R r — one tiny
@@ -171,4 +208,5 @@ class SchwarzGmg:
         # convergence (two-level additive Schwarz)
         rc = b2.sum(axis=1)
         ec = coarse_inv @ rc
-        return out + jnp.repeat(ec, b2.shape[1])
+        out = out + jnp.repeat(ec, b2.shape[1])
+        return out[: self.nc] if self.pad_layers else out

@@ -40,6 +40,10 @@ class BlackoilProps:
     gas_wet: Optional[WetGasPVT]
     rock: Optional[RockPVT]
     satfunc: Optional[SatFuncFamily1]
+    # VAPPARS exponents (applyVap, BlackoilPropsAdFromDeck.cpp:1027-1075):
+    # vap1 scales rv_sat, vap2 scales rs_sat by (so/so_max)^vap
+    vap1: float = 0.0
+    vap2: float = 0.0
 
     # ------------------------------------------------------------------
     @classmethod
@@ -63,6 +67,8 @@ class BlackoilProps:
                   if "ROCKTAB" in t else
                   RockPVT.from_tables(t["ROCK"]) if "ROCK" in t else None),
             satfunc=SatFuncFamily1.from_case(case),
+            vap1=t.get("VAPPARS", (0.0, 0.0))[0],
+            vap2=t.get("VAPPARS", (0.0, 0.0))[1],
         )
 
     # -- inverse formation volume factors (b = 1/B) ----------------------

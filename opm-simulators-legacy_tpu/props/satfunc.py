@@ -216,6 +216,14 @@ class SatFuncFamily1:
         safe = den > 1e-12
         kro = jnp.where(
             safe, (ssw * krow + sg * krog) / jnp.where(safe, den, 1.0), krow)
+        # an absent phase has zero mobility: the ECL-default interpolation
+        # can give kro > 0 at so <= 0 when sw sits slightly above connate
+        # (krow-weighted term), which exports NONEXISTENT oil from dry-gas
+        # cells — in a gas-condensate column that bleeds rv negative and
+        # deadlocks Newton at the rv >= 0 bound. Same guard for krg/krw.
+        kro = jnp.where(so > 0.0, kro, 0.0)
+        krg = jnp.where(sg > 0.0, krg, 0.0)
+        krw = jnp.where(sw > 0.0, krw, 0.0)
         return krw, kro, krg
 
     def _krg_killough(self, sg, sgmax, reg, krg_drain, ireg=None):

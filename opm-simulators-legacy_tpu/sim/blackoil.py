@@ -513,6 +513,14 @@ class SimulatorFullyImplicitBlackoil:
         # step's device work
         from opm_tpu.utils.threadhandle import ThreadHandle
         writer = ThreadHandle()
+        prt = None
+        if self.output_dir:
+            import os as _os2
+            _os2.makedirs(self.output_dir, exist_ok=True)
+            from opm_tpu.io.prt import PrtLogger
+            prt = PrtLogger(
+                _os2.path.join(self.output_dir, self._out_base() + ".PRT"),
+                self.case.runspec.title or "")
         start_step = 0
         if restart_file is not None:
             if restart_file.upper().endswith(".UNRST"):
@@ -549,16 +557,29 @@ class SimulatorFullyImplicitBlackoil:
         if self._hysteresis and state.sgmax is None:
             from opm_tpu.models.state import saturations as _sats
             state = state._replace(sgmax=_sats(state)[2])
+        self._vappars = (getattr(self.props, "vap1", 0.0) > 0.0
+                         or getattr(self.props, "vap2", 0.0) > 0.0)
+        if self._vappars and state.somax is None:
+            from opm_tpu.models.state import saturations as _sats
+            state = state._replace(somax=_sats(state)[1])
         # fused report-step spans: consecutive steps with identical wells
         # and no host-side per-step logic run as one lax.scan chunk on
         # device (solver/fused_span.py) — one round trip per chunk
         import os as _os
         span_chunk = int(_os.environ.get("OPM_TPU_SPAN", "16"))
+        # spans pay off when per-substep DISPATCH latency dominates (small
+        # cases through the tunnel); at 100k+ cells device compute
+        # dominates and the deeply nested scan-of-while program has
+        # crashed the axon TPU runtime — default off above the threshold
+        # (OPM_TPU_SPAN_MAX_CELLS=0 removes the gate)
+        span_max_nc = int(_os.environ.get("OPM_TPU_SPAN_MAX_CELLS",
+                                          "50000")) or (1 << 62)
         has_subscribers = any(
             ev._handlers for ev in self.events._events.values())
         use_spans = (self.fused and span_chunk > 1 and not write_restart
                      and not write_vtk and not self._hysteresis
-                     and self.ts.pid is None and not has_subscribers)
+                     and self.ts.pid is None and not has_subscribers
+                     and self.model.nc <= span_max_nc)
         self._span_runner = None
 
         def _step_wells_for(stp):
@@ -601,7 +622,13 @@ class SimulatorFullyImplicitBlackoil:
                 from opm_tpu.models.state import saturations as _sats
                 state = state._replace(
                     sgmax=jnp.maximum(state.sgmax, _sats(state)[2]))
+            if self._vappars:
+                # satOilMax update (the reference's updateSatOilMax)
+                from opm_tpu.models.state import saturations as _sats
+                state = state._replace(
+                    somax=jnp.maximum(state.somax, _sats(state)[1]))
             step_wells = _step_wells_for(step)
+            group_collect = []
             if step.groups and any(w.control == "GRUP" for w in step_wells):
                 # distribute group targets to GRUP wells
                 from opm_tpu.wells.groups import resolve_group_controls
@@ -611,11 +638,17 @@ class SimulatorFullyImplicitBlackoil:
                 pots = self._well_potentials(state)
                 step_wells = resolve_group_controls(step_wells, step.groups,
                                                     rates, voidage,
-                                                    potentials=pots)
+                                                    potentials=pots,
+                                                    collect=group_collect)
             ws = self._pad_well_set(build_well_set(
                 step_wells, self.grid, max_perf=self.max_perf,
                 name_order=self.well_names))
             wd = make_well_device_arrays(ws, self.grid.gravity)
+            if group_collect:
+                # in-Newton group reallocation arrays (update_controls)
+                from opm_tpu.wells.groups import make_group_device_arrays
+                wd["groups"] = make_group_device_arrays(group_collect,
+                                                        self.well_names)
             state = self._init_well_state(state, ws, first)
             first = False
             # ---- fused span fast path ---------------------------------
@@ -660,6 +693,12 @@ class SimulatorFullyImplicitBlackoil:
                         state = new_state
                         self.ts.suggested_dt = dt_sugg
                         wall = (time.perf_counter() - t0s) / len(span_steps)
+                        if prt is not None:
+                            prt.span(span_steps[0].index,
+                                     span_steps[-1].index,
+                                     int(stats.substeps.sum()),
+                                     int(stats.failed.sum()),
+                                     int(stats.newtons.sum()))
                         for k, s2 in enumerate(span_steps):
                             self.report.substeps += int(stats.substeps[k])
                             self.report.failed_substeps += int(
@@ -674,6 +713,11 @@ class SimulatorFullyImplicitBlackoil:
                                  int(stats.newtons[k])))
                             row = self.summary.record_arrays(
                                 s2.end_time, *summaries[k])
+                            if prt is not None:
+                                prt.report_step(
+                                    s2.index, s2.end_time / DAY, row,
+                                    fip=[row["FWIP"], row["FOIP"],
+                                         row["FGIP"]])
                             if verbose:
                                 print(f"step {s2.index:4d} "
                                       f"t={s2.end_time / DAY:9.1f} d "
@@ -715,11 +759,26 @@ class SimulatorFullyImplicitBlackoil:
 
             had_event = bool(step.events)
             t_step0 = time.perf_counter()
+
+            def _substep_cb(s, tl, dts, sr, _step=step):
+                self.events.signal("timestep_completed", s, tl, dts)
+                if prt is not None:
+                    prt.substep(_step.index,
+                                (_step.start_time + tl) / DAY, dts / DAY,
+                                sr.iterations, sr.converged,
+                                sr.convergence_history)
+
+            def _fail_cb(tl, dts, exc, _step=step):
+                if prt is not None:
+                    prt.substep(_step.index,
+                                (_step.start_time + tl) / DAY, dts / DAY,
+                                0, False, None,
+                                failure=type(exc).__name__)
+
             state, subrep = self.ts.step(
                 solve_fn, state, step.end_time - step.start_time,
-                had_event=had_event,
-                substep_callback=lambda s, tl, dts, sr: self.events.signal(
-                    "timestep_completed", s, tl, dts))
+                had_event=had_event, substep_callback=_substep_cb,
+                failure_callback=_fail_cb)
             self._step_timing.append(
                 (step.index, step.end_time / DAY,
                  time.perf_counter() - t_step0, subrep.substeps,
@@ -729,7 +788,11 @@ class SimulatorFullyImplicitBlackoil:
             self.report.failed_substeps += subrep.failed_substeps
             self.report.newton_iterations += subrep.total_newton
             self.report.linear_iterations += subrep.total_linear
-            self.summary.record(step.end_time, state, self.model)
+            row = self.summary.record(step.end_time, state, self.model)
+            if prt is not None:
+                prt.report_step(step.index, step.end_time / DAY, row,
+                                fip=[row["FWIP"], row["FOIP"],
+                                     row["FGIP"]])
             self._check_econ_limits(step_wells, state, ws, wd)
             if (write_restart or write_vtk) and self.output_dir:
                 import os
@@ -785,6 +848,9 @@ class SimulatorFullyImplicitBlackoil:
             i_step += 1
         writer.close()
         self.report.total_time = time.perf_counter() - t_start
+        if prt is not None:
+            prt.final_report(self.report)
+            prt.close()
         if self.output_dir:
             import os
             os.makedirs(self.output_dir, exist_ok=True)

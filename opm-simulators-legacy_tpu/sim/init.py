@@ -58,6 +58,7 @@ def _integrate_column(z_grid, z0, p0, rho_fn):
 
 
 def equilibrate_region(grid, props, rec, cells, rsvd=None, rvvd=None,
+                       pdvd=None,
                        pbvd=None):
     """Phase pressures + saturations + rs/rv for the active cells of one
     equilibration region. Returns numpy arrays over `cells`."""
@@ -156,6 +157,12 @@ def equilibrate_region(grid, props, rec, cells, rsvd=None, rvvd=None,
         if rvvd is not None:
             rv_c = np.minimum(np.interp(np.asarray(zc), rvvd[:, 0],
                                         rvvd[:, 1]), rvsat_c)
+        elif pdvd is not None:
+            # dew-point-vs-depth table: rv = rv_sat at min(pd(z), pg)
+            # (EquilibrationHelpers.hpp PDVD role)
+            pd = np.interp(np.asarray(zc), pdvd[:, 0], pdvd[:, 1])
+            rv_c = np.asarray(props.rv_sat(
+                jnp.minimum(jnp.asarray(pd), pg_c), jnp.asarray(reg_pvt)))
         else:
             rv_c = rvsat_c
     else:
@@ -198,8 +205,10 @@ def initial_state(grid, props, case, nw: int) -> BlackoilState:
             rsvd = sol.rsvd[ireg] if ireg < len(sol.rsvd) else None
             rvvd = sol.rvvd[ireg] if ireg < len(sol.rvvd) else None
             pbvd = sol.pbvd[ireg] if ireg < len(sol.pbvd) else None
+            pdvd = sol.pdvd[ireg] if ireg < len(sol.pdvd) else None
             po_c, sw_c, sg_c, rs_c, rv_c = equilibrate_region(
-                grid, props, rec, cells, rsvd, rvvd, pbvd)
+                grid, props, rec, cells, rsvd=rsvd, rvvd=rvvd, pdvd=pdvd,
+                pbvd=pbvd)
             p[cells] = po_c
             sw[cells] = sw_c
             sg[cells] = sg_c

@@ -497,3 +497,118 @@ def spe9_cp_deck(seed=9) -> str:
 
 def spe9_cp_case(**kw) -> EclipseCase:
     return load_case_string(spe9_cp_deck(**kw))
+
+
+def spe3like_deck(tsteps="5 10 3*15 22*30") -> str:
+    """SPE3-class retrograde gas-condensate depletion (Kenyon & Behie,
+    SPE-12278, black-oil conversion as in the reference's SPE3 regression,
+    compareECLFiles.cmake:107-112): 9x9x4 grid, wet gas with vaporized
+    oil (VAPOIL + PVTG), dead condensate oil (PVDO), immobile connate
+    water. The whole column initializes as UNDERSATURATED gas (rv below
+    the dew-point rv_sat via RVVD); drawdown below the dew point drops
+    condensate out — the HC_GASONLY <-> HC_GASOIL switching path."""
+    n = 9 * 9 * 4
+    nlay = 9 * 9
+    return f"""
+RUNSPEC
+TITLE
+  SPE3-LIKE gas condensate (VAPOIL)
+DIMENS
+ 9 9 4 /
+EQLDIMS
+/
+TABDIMS
+/
+OIL
+GAS
+WATER
+VAPOIL
+FIELD
+WELLDIMS
+ 2 4 1 2 /
+GRID
+DX
+ {n}*293.3 /
+DY
+ {n}*293.3 /
+DZ
+ {nlay}*30 {nlay}*30 {nlay}*50 {nlay}*50 /
+TOPS
+ {nlay}*7500 /
+PORO
+ {n}*0.13 /
+PERMX
+ {nlay}*130 {nlay}*40 {nlay}*20 {nlay}*150 /
+PERMY
+ {nlay}*130 {nlay}*40 {nlay}*20 {nlay}*150 /
+PERMZ
+ {nlay}*13 {nlay}*4 {nlay}*2 {nlay}*15 /
+PROPS
+PVTW
+ 3550 1.0 3E-6 0.7 0 /
+ROCK
+ 3550 4E-6 /
+SWOF
+ 0.16  0       1     50
+ 0.30  0.02    0.6   8
+ 0.50  0.12    0.2   3
+ 0.70  0.35    0.02  1
+ 0.90  0.8     0.0   0.2
+ 1.0   1.0     0.0   0.0 /
+SGOF
+ 0.0   0.0     1.0    0
+ 0.05  0.0     0.65   0
+ 0.2   0.05    0.35   0
+ 0.4   0.18    0.1    0
+ 0.6   0.40    0.01   0
+ 0.78  0.75    0.0    0
+ 0.84  0.90    0.0    0 /
+DENSITY
+ 45.0 63.0 0.0702 /
+PVDO
+ 1000  1.12  0.30
+ 2000  1.10  0.34
+ 3000  1.08  0.38
+ 3600  1.07  0.40 /
+PVTG
+ 500   0.0001  5.9    0.0135
+       0.0     5.88   0.0134 /
+ 1500  0.0006  1.85   0.0150
+       0.0     1.84   0.0148 /
+ 2500  0.0018  1.05   0.0170
+       0.0009  1.045  0.0167
+       0.0     1.04   0.0165 /
+ 3000  0.0028  0.86   0.0185
+       0.0014  0.855  0.0182
+       0.0     0.85   0.0180 /
+ 3600  0.0042  0.72   0.0210
+       0.0021  0.715  0.0205
+       0.0     0.71   0.0200 /
+/
+SOLUTION
+EQUIL
+ 7500 3550 8600 0 8590 0 1 1 0 /
+RVVD
+ 7400 0.0030
+ 8600 0.0030 /
+SUMMARY
+FGPR
+FOPR
+SCHEDULE
+WELSPECS
+ 'PROD' 'G1' 7 7 7530 'GAS' /
+/
+COMPDAT
+ 'PROD' 7 7 3 4 'OPEN' 1* 1* 0.5 /
+/
+WCONPROD
+ 'PROD' 'OPEN' 'GRAT' 2* 30000 2* 500 /
+/
+TSTEP
+ {tsteps} /
+END
+"""
+
+
+def spe3like_case(**kw) -> EclipseCase:
+    return load_case_string(spe3like_deck(**kw))

@@ -113,7 +113,8 @@ class FusedSpanRunner:
             (s, remaining, dt, restarts, just_failed, nsub, nfail, nnewt,
              nlin, fatal) = c
             dt_try = jnp.minimum(dt, remaining)
-            s2, done, bad, it, lin = solver._fused_substep(s, dt_try, wd)
+            s2, done, bad, it, lin, _hist = solver._fused_substep(
+                s, dt_try, wd)
             success = done & ~bad
             restarts2 = jnp.where(success, restarts, restarts + 1)
             fatal = fatal | (~success & (restarts2 > p.solver_restart_max))

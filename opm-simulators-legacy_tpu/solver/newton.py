@@ -78,6 +78,9 @@ class SolverReport:
     linear_solve_time: float = 0.0
     update_time: float = 0.0
     linear_iterations: int = 0
+    # per-Newton convergence table rows [mb_w mb_o mb_g cnv_w cnv_o cnv_g
+    # well_flux well_ctrl] (the PRT-log table; NaN rows = unused slots)
+    convergence_history: object = None
 
 
 class NonlinearSolver:
@@ -275,6 +278,11 @@ class NonlinearSolver:
                                                       cdp)
             finite = bool(conv["finite"])
             converged = bool(conv["converged"])
+            if rep.convergence_history is None:
+                rep.convergence_history = []
+            rep.convergence_history.append(np.concatenate([
+                np.asarray(conv["mb"]), np.asarray(conv["cnv"]),
+                [float(conv["well_flux"])], [float(conv["well_ctrl"])]]))
             rep.assemble_time += time.perf_counter() - t0
             if not finite:
                 raise NumericalIssue(
@@ -410,7 +418,7 @@ class NonlinearSolver:
                                                        omega)
 
         def body(carry):
-            state, it, done, bad, lin_tot, mb_hist, omega = carry
+            state, it, done, bad, lin_tot, mb_hist, omega, hist = carry
             res = model.residual(state, acc0, dt, wd, cdp)
             conv = model.convergence(res, dt, state)
             ctrl, tgt = stdwells.update_controls(
@@ -418,6 +426,12 @@ class NonlinearSolver:
             state = state._replace(control=ctrl, target=tgt)
             converged = conv["converged"] & (it >= min_iter)
             finite = conv["finite"]
+            # per-iteration convergence table row (the reference's
+            # per-Newton MB/CNV log, BlackoilModelBase_impl.hpp:1790-1826)
+            hist = hist.at[it].set(jnp.concatenate([
+                conv["mb"], conv["cnv"],
+                jnp.reshape(conv["well_flux"], (1,)),
+                jnp.reshape(conv["well_ctrl"], (1,))]))
             # oscillation detection on the MB history
             mb = conv["mb"]
             f0, f1 = mb_hist[0], mb_hist[1]
@@ -442,19 +456,20 @@ class NonlinearSolver:
             state2, lin, lin_ok = jax.lax.cond(converged | ~finite, skip,
                                                do_solve, state)
             return (state2, it + 1, converged, ~finite | ~lin_ok,
-                    lin_tot + lin, mb_hist, omega)
+                    lin_tot + lin, mb_hist, omega, hist)
 
         def cond(carry):
             _, it, done, bad, *_ = carry
             return ~done & ~bad & (it <= max_iter)
 
         mb0 = jnp.full(3, jnp.inf)
+        hist0 = jnp.full((max_iter + 2, 8), jnp.nan)
         init = (state0, jnp.asarray(0), jnp.asarray(False),
                 jnp.asarray(False), jnp.asarray(0), (mb0, mb0),
-                jnp.asarray(1.0))
-        state, it, done, bad, lin_tot, _, _ = jax.lax.while_loop(cond, body,
-                                                                 init)
-        return state, done, bad, it, lin_tot
+                jnp.asarray(1.0), hist0)
+        (state, it, done, bad, lin_tot, _, _,
+         hist) = jax.lax.while_loop(cond, body, init)
+        return state, done, bad, it, lin_tot, hist
 
     def step_fused(self, state0: BlackoilState, dt: float, wd,
                    report: Optional[SolverReport] = None):
@@ -464,11 +479,12 @@ class NonlinearSolver:
             self._fused_jit = jax.jit(self._fused_substep)
         t0 = time.perf_counter()
         dt = jnp.asarray(dt, dtype=jnp.float64)
-        state, done, bad, it, lin = self._fused_jit(state0, dt, wd)
+        state, done, bad, it, lin, hist = self._fused_jit(state0, dt, wd)
         done = bool(done)
         bad = bool(bad)
         rep.iterations = max(int(it) - 1, 0)
         rep.linear_iterations = int(lin)
+        rep.convergence_history = hist   # (max_iter+2, 8) device array
         rep.linear_solve_time += time.perf_counter() - t0
         if bad:
             raise NumericalIssue("non-finite residual in fused substep")

@@ -105,12 +105,14 @@ class AdaptiveTimeStepping:
             "pid") else None
 
     def step(self, solve_fn: Callable, state, report_step_length: float,
-             *, had_event: bool = False, substep_callback=None):
+             *, had_event: bool = False, substep_callback=None,
+             failure_callback=None):
         """Run one report step of length report_step_length.
 
         solve_fn(state, dt) -> (new_state, SolverReport); must raise
         NumericalIssue/TooManyIterations on failure. Returns
-        (state, SubStepReport)."""
+        (state, SubStepReport). failure_callback(t_local, dt, exc) is
+        invoked on each chopped retry (PRT logging)."""
         p = self.p
         rep = SubStepReport()
         remaining = report_step_length
@@ -125,9 +127,12 @@ class AdaptiveTimeStepping:
             state_prev = state
             try:
                 new_state, srep = solve_fn(state, dt)
-            except (NumericalIssue, TooManyIterations, LinearSolverProblem):
+            except (NumericalIssue, TooManyIterations,
+                    LinearSolverProblem) as exc:
                 rep.failed_substeps += 1
                 restarts += 1
+                if failure_callback is not None:
+                    failure_callback(t_local, dt, exc)
                 if restarts > p.solver_restart_max:
                     raise
                 dt = max(dt * p.restart_factor, p.min_dt)

@@ -40,7 +40,8 @@ def resolve_group_controls(step_wells: List[WellConfig],
                            groups: Dict[str, GroupConfig],
                            rates: Dict[str, np.ndarray],
                            voidage_rate: float = 0.0,
-                           potentials: Dict[str, np.ndarray] = None
+                           potentials: Dict[str, np.ndarray] = None,
+                           collect: List[dict] = None
                            ) -> List[WellConfig]:
     """Return well configs with GRUP controls replaced by concrete targets.
 
@@ -82,6 +83,15 @@ def resolve_group_controls(step_wells: List[WellConfig],
                     for w, s in zip(members, shares):
                         w.control = ctl
                         setattr(w, ctl.lower(), target * s)
+                    if collect is not None:
+                        # device-side per-Newton reallocation metadata
+                        # (updateWellTargets, BlackoilModelBase_impl.hpp:
+                        # 2548-2596): when a member switches to BHP inside
+                        # the substep, siblings absorb its share
+                        collect.append(dict(
+                            kind="prod", ctl=ctl, total=float(target),
+                            members=[w.name for w in members],
+                            guides=list(np.asarray(guides, dtype=float))))
         # --- injection groups -------------------------------------------
         if g.inj_control and g.inj_control not in ("NONE", "FLD"):
             members = [w for w in wells
@@ -96,6 +106,12 @@ def resolve_group_controls(step_wells: List[WellConfig],
                     for w in members:
                         w.control = SURFACE_RATE
                         w.surf_inj_rate = per
+                    if collect is not None:
+                        collect.append(dict(
+                            kind="inj", ctl="RATE", total=float(tgt),
+                            fluid=(g.inj_fluid or "WATER"),
+                            members=[w.name for w in members],
+                            guides=[1.0] * len(members)))
                 elif g.inj_control == "RESV" and np.isfinite(g.inj_target):
                     per = g.inj_target / len(members)
                     for w in members:
@@ -125,3 +141,45 @@ def resolve_group_controls(step_wells: List[WellConfig],
         if w.control == GRUP:
             w.control = BHP
     return wells
+
+
+def make_group_device_arrays(collected: List[dict], name_order: List[str]):
+    """Collected group distributions -> static tuple of per-group device
+    specs consumed by wells.standard.update_controls every Newton
+    iteration: (ctl_code, phase_vec (3,), total, member_mask (nw,),
+    guides (nw,)). The group STRUCTURE is trace-time static; only the
+    masks/targets are device arrays."""
+    import jax.numpy as jnp
+
+    from opm_tpu.wells.wells import _CTRL_CODE, CTRL_SURFACE_RATE
+
+    idx = {n: i for i, n in enumerate(name_order)}
+    nw = len(name_order)
+    out = []
+    phase_vec = {ORAT: (0.0, 1.0, 0.0), WRAT: (1.0, 0.0, 0.0),
+                 GRAT: (0.0, 0.0, 1.0), LRAT: (1.0, 1.0, 0.0)}
+    for g in collected:
+        mask = np.zeros(nw)
+        guides = np.zeros(nw)
+        for n, gd in zip(g["members"], g["guides"]):
+            if n in idx:
+                mask[idx[n]] = 1.0
+                guides[idx[n]] = max(gd, 0.0)
+        if mask.sum() == 0:
+            continue
+        if guides[mask > 0].sum() <= 0:
+            guides = mask.copy()
+        if g["kind"] == "prod":
+            code = _CTRL_CODE[g["ctl"]]
+            pv = phase_vec.get(g["ctl"], (0.0, 1.0, 0.0))
+            sign = -1.0       # production rates are negative in qs
+        else:
+            code = CTRL_SURFACE_RATE
+            pv = {"WATER": (1.0, 0.0, 0.0), "WAT": (1.0, 0.0, 0.0),
+                  "OIL": (0.0, 1.0, 0.0),
+                  "GAS": (0.0, 0.0, 1.0)}.get(g.get("fluid", "WATER"),
+                                              (1.0, 0.0, 0.0))
+            sign = 1.0
+        out.append((int(code), jnp.asarray(pv), jnp.asarray(g["total"]),
+                    jnp.asarray(mask), jnp.asarray(guides), float(sign)))
+    return tuple(out)

@@ -24,8 +24,13 @@ import numpy as np
 from opm_tpu.models.state import GAS, OIL, WATER
 
 
-def region_averages(model, state, region):
-    """PV-weighted (p, rs, rv) per FIP region. region: (nc,) 0-based."""
+def region_averages(model, state, region, temperature=None):
+    """PV-weighted (p, rs, rv) per FIP region (region: (nc,) 0-based).
+    With a per-cell `temperature` array, also returns its PV-weighted
+    region average as a 4th element (the reference's
+    AverageIncrementCalculator averages T alongside p/rs/rv,
+    RateConverterLegacy.hpp:60-120 — it matters once thermal PVT is
+    active)."""
     q = model.cell_quantities(state)
     nreg = int(np.asarray(region).max()) + 1
     pv = model.pv
@@ -36,11 +41,19 @@ def region_averages(model, state, region):
         den = jnp.zeros(nreg).at[region].add(w)
         return num / jnp.maximum(den, 1e-300)
 
+    if temperature is not None:
+        return (avg(q.po), avg(q.rs), avg(q.rv),
+                avg(jnp.asarray(temperature)))
     return avg(q.po), avg(q.rs), avg(q.rv)
 
 
-def voidage_coefficients(props, p_avg, rs_avg, rv_avg, pvtnum=0):
-    """(nreg, 3) coefficients in (w, o, g) surface-rate order."""
+def voidage_coefficients(props, p_avg, rs_avg, rv_avg, pvtnum=0,
+                         t_avg=None):
+    """(nreg, 3) coefficients in (w, o, g) surface-rate order. t_avg:
+    region-average temperature, forwarded to thermal-wrapped PVT objects
+    (props/thermal.py ThermalWrapper) when the props carry them."""
+    if t_avg is not None and hasattr(props, "with_temperature"):
+        props = props.with_temperature(t_avg)
     bw = props.b_water(p_avg, pvtnum)
     bo = props.b_oil(p_avg, rs_avg, pvtnum)
     bg = props.b_gas(p_avg, rv_avg, pvtnum)

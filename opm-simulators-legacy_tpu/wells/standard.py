@@ -284,4 +284,19 @@ def update_controls(wd, bhp, qs, control, target):
     closed = ~wd["open"].astype(bool)
     new_control = jnp.where(closed, control, new_control)
     new_target = jnp.where(closed, target, new_target)
+
+    # per-Newton group reallocation (updateWellTargets / setupGroupControl,
+    # BlackoilModelBase_impl.hpp:779-792, 2548-2596): members that fell to
+    # their BHP limit contribute whatever they can make; the remaining
+    # group target is redistributed over the members still on group
+    # control by their (static per report step) guide rates
+    for (code, pv, total, mask, guides, sign) in wd.get("groups", ()):
+        on_grp = (mask > 0.0) & (new_control == code)
+        on_bhp = (mask > 0.0) & (new_control == CTRL_BHP)
+        made = jnp.maximum(sign * (qs @ pv), 0.0)
+        absorbed = jnp.sum(jnp.where(on_bhp, made, 0.0))
+        remaining = jnp.maximum(total - absorbed, 0.0)
+        gsum = jnp.sum(jnp.where(on_grp, guides, 0.0))
+        share = guides / jnp.maximum(gsum, 1e-300)
+        new_target = jnp.where(on_grp, remaining * share, new_target)
     return new_control, new_target

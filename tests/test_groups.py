@@ -213,3 +213,40 @@ WCONPROD
     for n in ("P1", "P2"):
         assert wells[n].control == "ORAT"
         assert wells[n].orat * DAY / STB == pytest.approx(1234, rel=1e-9)
+
+
+def test_group_sibling_absorbs_bhp_limited_member():
+    """In-Newton group reallocation (updateWellTargets semantics): P1's
+    tight BHP limit stops it from making its guide-rate share mid-step;
+    the device-side group arrays redistribute the remaining ORAT target
+    so P2 absorbs it and the GROUP total stays on target."""
+    from opm_tpu.wells.wells import CTRL_BHP
+
+    # equal explicit WGRUPCON guides pin the host-side split at 50/50, so
+    # any absorption seen after ONE report step is the device-side
+    # in-Newton reallocation; the low-perm cell + high BHP floor force P1
+    # off group control mid-step
+    deck = DECK.replace("PERMX\n 50*200 /", "PERMX\n 4 49*200 /")
+    deck = deck.replace(
+        "GCONPROD",
+        "WGRUPCON\n 'P1' 'YES' 1.0 'OIL' /\n 'P2' 'YES' 1.0 'OIL' /\n/\n"
+        "GCONPROD")
+    deck = deck.replace("'P1' 'OPEN' 'GRUP' 5* 500 /",
+                        "'P1' 'OPEN' 'GRUP' 5* 3000 /")
+    case = load_case_string(deck)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = sim.run(report_step_limit=1)
+    qs = np.asarray(state.qs)
+    names = sim.well_names
+    i1, i2 = names.index("P1"), names.index("P2")
+    p1 = -qs[i1, 1] * DAY / STB
+    p2 = -qs[i2, 1] * DAY / STB
+    ctrl = np.asarray(state.control)
+    # P1 fell to its BHP floor and produces less than its 50% guide share
+    assert ctrl[i1] == CTRL_BHP
+    assert p1 < 1800
+    # ...but the sibling absorbed the difference: group total on target
+    # (within the reference's tolerance_wells=1e-4 B-scaled well norm,
+    # getConvergence:1770-1780 — ~2% slack at these rates)
+    assert p1 + p2 == pytest.approx(4000, rel=2.5e-2), (p1, p2)
+    assert p2 > 2200

@@ -147,17 +147,21 @@ def test_sharded_cpr_solve_matches_single(mesh8):
         os.environ.pop("OPM_TPU_GMG", None)
 
 
-def test_schwarz_gmg_preconditioned_solve(mesh8):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("dims", [(8, 8, 16), (8, 8, 13)])
+def test_schwarz_gmg_preconditioned_solve(mesh8, dims):
     """Shard-local additive-Schwarz GMG (parallel/schwarz.py): BiCGStab
     preconditioned by shard_map-local V-cycles converges to the same
     solution as the global StructuredGmg, with zero collectives inside the
-    preconditioner apply."""
+    preconditioner apply. The (8,8,13) case exercises the ghost-layer
+    padding for nz not divisible by the shard count."""
     from opm_tpu.linalg.gmg import StructuredGmg
     from opm_tpu.linalg.krylov import bicgstab
     from opm_tpu.parallel.schwarz import SchwarzGmg
 
-    dims = (8, 8, 16)
-    g = cartesian_grid(dims, (8.0, 8.0, 16.0), perm=1e-13)
+    g = cartesian_grid(dims, (8.0, 8.0, float(dims[2])), perm=1e-13)
     # heterogeneous SPD TPFA system
     rng = np.random.default_rng(0)
     tr = jnp.asarray(g.trans * np.exp(rng.normal(0, 1, g.nf)))
