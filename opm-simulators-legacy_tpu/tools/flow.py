@@ -39,12 +39,24 @@ def main(argv=None):
                          "tolerance_cnv=1e-3, max_iter=12, initial_dt=2.0")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="multi-host: jax.distributed coordinator address "
+                         "(setupParallelism analogue, FlowMain.hpp:252-284;"
+                         " also via OPM_TPU_COORDINATOR)")
+    ap.add_argument("--num-procs", type=int, default=None)
+    ap.add_argument("--proc-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator or "OPM_TPU_COORDINATOR" in __import__("os").environ:
+        from opm_tpu.parallel.distributed import initialize_distributed
+        rank, nproc = initialize_distributed(
+            args.coordinator, args.num_procs, args.proc_id)
+        if rank != 0:
+            args.quiet = True     # rank-0-only terminal output (OpmLog)
 
     from opm_tpu.io.eclstate import load_case
     from opm_tpu.models.blackoil import ModelParams
