@@ -107,15 +107,20 @@ def bicgstab(matvec: Callable, b, precond: Callable = None, *,
 def gmres(matvec: Callable, b, precond: Callable = None, *,
           tol: float = 1e-2, maxiter: int = 50, restart: int = 20
           ) -> KrylovResult:
-    """Restarted GMRES (right-preconditioned) — the reference's
-    linear_solver_use_gmres option (ISTLSolver.hpp:263-268). Fixed-shape
-    Arnoldi via lax.fori_loop; solves the small Hessenberg LSQ on device."""
+    """Restarted GMRES(m), right-preconditioned — the Dune
+    RestartedGMResSolver role (the reference's linear_solver_use_gmres,
+    ISTLSolver.hpp:263-268). Fixed-shape Arnoldi (modified Gram-Schmidt)
+    with on-the-fly GIVENS rotations tracking the residual, an explicit
+    back-substitution of the rotated Hessenberg (no LU/lstsq — those paths
+    are fragile on the TPU platform compiler), full f64, and restart
+    cycles in a lax.while_loop with honest per-column iteration counts."""
     if precond is None:
         precond = lambda v: v
 
     flat, unravel = jax.flatten_util.ravel_pytree(b)
     n = flat.shape[0]
-    m = min(restart, n)
+    m = max(1, min(restart, maxiter, n))
+    tiny = 1e-300
 
     def mv_flat(v):
         out = matvec(unravel(v))
@@ -126,42 +131,90 @@ def gmres(matvec: Callable, b, precond: Callable = None, *,
         return jax.flatten_util.ravel_pytree(out)[0]
 
     b_norm = jnp.linalg.norm(flat)
+    target = tol * b_norm
+    dt = flat.dtype
 
-    def arnoldi_cycle(x):
+    def one_cycle(x):
         r = flat - mv_flat(x)
         beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n), flat.dtype).at[0].set(
-            r / jnp.where(beta == 0, 1.0, beta))
-        H = jnp.zeros((m + 1, m), flat.dtype)
+        V = jnp.zeros((m + 1, n), dt).at[0].set(
+            r / jnp.maximum(beta, tiny))
+        R = jnp.zeros((m, m), dt)
+        g = jnp.zeros(m + 1, dt).at[0].set(beta)
+        cs = jnp.zeros(m, dt)
+        sn = jnp.zeros(m, dt)
+        hit = jnp.zeros(m, bool)     # per-column convergence flags
 
         def arn(j, carry):
-            V, H = carry
+            V, R, g, cs, sn, hit = carry
             w = mv_flat(pc_flat(V[j]))
-            # modified Gram-Schmidt
-            def mgs(i, wh):
-                w, H = wh
-                hij = jnp.vdot(V[i], w) * (i <= j)
-                H = H.at[i, j].add(hij)
-                return (w - hij * V[i], H)
-            w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
-            hjp = jnp.linalg.norm(w)
-            H = H.at[j + 1, j].set(hjp)
-            V = V.at[j + 1].set(w / jnp.where(hjp == 0, 1.0, hjp))
-            return (V, H)
+            # modified Gram-Schmidt against v_0..v_j (rows > j are zero)
+            h = jnp.zeros(m + 1, dt)
 
-        V, H = jax.lax.fori_loop(0, m, arn, (V, H))
-        e1 = jnp.zeros(m + 1, flat.dtype).at[0].set(beta)
-        # least squares via normal equations on the small system (f64-safe)
-        y = jnp.linalg.lstsq(H.astype(jnp.float32),
-                             e1.astype(jnp.float32))[0].astype(flat.dtype)
-        dx = pc_flat(V[:m].T @ y)
-        return x + dx
+            def mgs(i, wh):
+                w, h = wh
+                hij = jnp.vdot(V[i], w) * (i <= j)
+                return (w - hij * V[i], h.at[i].set(hij))
+
+            w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, h))
+            hj1 = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, tiny))
+            h = h.at[j + 1].set(hj1)
+
+            # apply the previous rotations to the new column
+            def rot(i, h):
+                ap = i < j
+                hi, hi1 = h[i], h[i + 1]
+                return (h.at[i].set(jnp.where(ap, cs[i] * hi + sn[i] * hi1,
+                                              hi))
+                        .at[i + 1].set(jnp.where(
+                            ap, -sn[i] * hi + cs[i] * hi1, hi1)))
+
+            h = jax.lax.fori_loop(0, m, rot, h)
+            # new rotation annihilating h[j+1]
+            den = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            c = jnp.where(den > tiny, h[j] / jnp.maximum(den, tiny), 1.0)
+            s = jnp.where(den > tiny, h[j + 1] / jnp.maximum(den, tiny),
+                          0.0)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
+            R = R.at[:, j].set(h[:m])
+            g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+            hit = hit.at[j].set(jnp.abs(g[j + 1]) <= target)
+            return (V, R, g, cs, sn, hit)
+
+        V, R, g, cs, sn, hit = jax.lax.fori_loop(
+            0, m, arn, (V, R, g, cs, sn, hit))
+
+        # back-substitution of the upper-triangular R y = g[:m]
+        def back(i, y):
+            j = m - 1 - i
+            s = g[j] - R[j] @ y
+            rjj = R[j, j]
+            return y.at[j].set(
+                s / jnp.where(jnp.abs(rjj) > tiny, rjj, 1.0))
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dt))
+        x = x + pc_flat(V[:m].T @ y)
+        used = jnp.where(hit.any(), jnp.argmax(hit) + 1, m)
+        return x, used
 
     ncycles = max(1, -(-maxiter // m))
-    x = jnp.zeros_like(flat)
-    for _ in range(ncycles):
-        x = arnoldi_cycle(x)
-    r = flat - mv_flat(x)
-    rel = jnp.linalg.norm(r) / jnp.where(b_norm == 0, 1.0, b_norm)
-    return KrylovResult(x=unravel(x), iterations=jnp.asarray(ncycles * m),
+
+    def cond(carry):
+        x, its, rnorm, cyc = carry
+        return (rnorm > target) & (cyc < ncycles) & jnp.isfinite(rnorm)
+
+    def body(carry):
+        x, its, rnorm, cyc = carry
+        x, used = one_cycle(x)
+        rnorm = jnp.linalg.norm(flat - mv_flat(x))
+        return (x, its + used, rnorm, cyc + 1)
+
+    x0 = jnp.zeros_like(flat)
+    x, its, rnorm, _ = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(0), b_norm, jnp.asarray(0)))
+    rel = rnorm / jnp.where(b_norm == 0, 1.0, b_norm)
+    return KrylovResult(x=unravel(x), iterations=its,
                         rel_residual=rel, converged=rel <= tol)

@@ -78,6 +78,36 @@ class SchwarzGmg:
         self.local = StructuredGmg((nx, ny, self.nzl), coarsest=coarsest,
                                    strength=strength)
 
+        # ---- block coarse space (two-level Schwarz, generalized) -------
+        # one coarse DOF per (slab x areal tile) instead of one per slab:
+        # a ~16x16-cell tiling gives a coarse operator that carries the
+        # long-range pressure modes a channelized field needs (measured:
+        # slab-only coarse left Schwarz-CPR at ~3x the global-GMG Krylov
+        # iterations; block coarse recovers most of it). All coarse work
+        # is global-view (segment-sum + tiny dense solve) — XLA inserts
+        # the small collectives.
+        bx = max(1, nx // 16)
+        by = max(1, ny // 16)
+        self.ncoarse = nsh * by * bx
+        ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny),
+                                 np.arange(nz), indexing="ij")
+        bi = np.minimum(ii * bx // nx, bx - 1)
+        bj = np.minimum(jj * by // ny, by - 1)
+        bs = kk // self.nzl
+        bid3 = (bs * by + bj) * bx + bi          # [i, j, k] order
+        self.cell_bid = jnp.asarray(
+            np.transpose(bid3, (2, 1, 0)).ravel(), dtype=jnp.int32)
+        # face-endpoint block ids in the canonical [x | y | z] face order
+        bid_g = np.transpose(bid3, (2, 1, 0))     # (nz, ny, nx)
+        fb1 = np.concatenate([
+            bid_g[:, :, :-1].ravel(), bid_g[:, :-1, :].ravel(),
+            bid_g[:-1, :, :].ravel()])
+        fb2 = np.concatenate([
+            bid_g[:, :, 1:].ravel(), bid_g[:, 1:, :].ravel(),
+            bid_g[1:, :, :].ravel()])
+        self.face_bid1 = jnp.asarray(fb1, dtype=jnp.int32)
+        self.face_bid2 = jnp.asarray(fb2, dtype=jnp.int32)
+
         spec = P(axis_name)
 
         def _sq(a):
@@ -123,6 +153,7 @@ class SchwarzGmg:
         nfy0 = nx * (ny - 1) * nz0
         nf = nfx0 + nfy0 + nx * ny * (nz0 - 1)
         aL0, aR0 = off0[:nf], off0[nf:]
+        diag_unpadded = diag0
         pad = self.pad_layers
         nz = self.nzp
 
@@ -148,36 +179,17 @@ class SchwarzGmg:
         nfx = (nx - 1) * ny * nz
         nfy = nx * (ny - 1) * nz
 
-        # ---- two-level coarse operator over slabs: A_c = R A R^T ------
-        zL = aL[nfx + nfy:].reshape(max(nz - 1, 0), ny, nx)
-        zR = aR[nfx + nfy:].reshape(max(nz - 1, 0), ny, nx)
-        diag_slab = diag0.reshape(nsh, -1).sum(axis=1)
-        # per-layer x/y off sums (both orientations) fold into the slab
-        # diagonal entirely (those faces never cross slabs)
-        xy_layer = (aL[:nfx].reshape(nz, -1).sum(axis=1)
-                    + aR[:nfx].reshape(nz, -1).sum(axis=1)
-                    + aL[nfx:nfx + nfy].reshape(nz, -1).sum(axis=1)
-                    + aR[nfx:nfx + nfy].reshape(nz, -1).sum(axis=1))
-        xy_slab = xy_layer.reshape(nsh, nzl).sum(axis=1)
-        # z faces: within-slab rows fold into the diagonal, the row at the
-        # slab boundary couples p <-> p+1
-        zpad = jnp.concatenate([zL + zR,
-                                jnp.zeros((1, ny, nx), diag0.dtype)])
-        z_in_slab = zpad.reshape(nsh, nzl, ny, nx)[:, : nzl - 1] \
-            .reshape(nsh, -1).sum(axis=1)
-        Ac = jnp.diag(diag_slab + xy_slab + z_in_slab)
-        if nsh > 1:
-            cross_rows = jnp.arange(nzl - 1, nz - 1, nzl)
-            idx = jnp.arange(nsh - 1)
-            Ac = Ac.at[idx, idx + 1].add(
-                zL[cross_rows].reshape(nsh - 1, -1).sum(axis=1))
-            Ac = Ac.at[idx + 1, idx].add(
-                zR[cross_rows].reshape(nsh - 1, -1).sum(axis=1))
+        # ---- block coarse operator A_c = R A R^T (R = block indicator
+        # over slab x areal tiles) — scatter-add of the UNPADDED entries
+        ncoar = self.ncoarse
+        Ac = jnp.zeros((ncoar, ncoar), diag_unpadded.dtype)
+        Ac = Ac.at[self.cell_bid, self.cell_bid].add(diag_unpadded)
+        Ac = Ac.at[self.face_bid1, self.face_bid2].add(aL0)
+        Ac = Ac.at[self.face_bid2, self.face_bid1].add(aR0)
         # regularize (near-singular for pure-Neumann pressure systems)
-        Ac = Ac + jnp.eye(nsh, dtype=Ac.dtype) * (
+        Ac = Ac + jnp.eye(ncoar, dtype=Ac.dtype) * (
             1e-12 * jnp.max(jnp.abs(jnp.diagonal(Ac))))
-        coarse_inv = jnp.linalg.inv(
-            Ac if Ac.dtype != jnp.float64 else Ac)
+        coarse_inv = jnp.linalg.inv(Ac)
 
         def blocks(v):
             x = v[:nfx].reshape(nsh, nzl, ny, max(nx - 1, 0))
@@ -197,16 +209,19 @@ class SchwarzGmg:
 
     def vcycle(self, vals, b, **_):
         local_vals, coarse_inv = vals
+        b0 = b
         if self.pad_layers:
             nx, ny, _ = self.dims
             b = jnp.concatenate([
                 b, jnp.zeros(self.pad_layers * ny * nx, b.dtype)])
         b2 = b.reshape(self.n_shards, -1)
         out = self._vcycle_sm(local_vals, b2).reshape(-1)
-        # additive coarse correction: x += R^T A_c^{-1} R r — one tiny
-        # global reduce per apply restores slab-count-independent
-        # convergence (two-level additive Schwarz)
-        rc = b2.sum(axis=1)
+        if self.pad_layers:
+            out = out[: self.nc]
+        # additive coarse correction x += R^T A_c^{-1} R r over the block
+        # coarse space — a segment-sum + tiny dense product per apply
+        # (two-level additive Schwarz; block tiles carry the long-range
+        # pressure modes a slab-only coarse space misses)
+        rc = jnp.zeros(self.ncoarse, b0.dtype).at[self.cell_bid].add(b0)
         ec = coarse_inv @ rc
-        out = out + jnp.repeat(ec, b2.shape[1])
-        return out[: self.nc] if self.pad_layers else out
+        return out + ec[self.cell_bid]

@@ -156,7 +156,10 @@ def spe9like_deck(seed=9, tsteps="10 20 3*30") -> str:
     porov = np.concatenate([np.full(nx * ny, p) for p in poro_layers])
     dzv = np.concatenate([np.full(nx * ny, d) for d in dz_layers])
 
-    # 25 producers on a 5x5 sublattice, injector at a corner
+    # 25 producers on a 5x5 sublattice confined to the UPDIP oil leg:
+    # the 10-degree dip puts column tops below the 9950 ft WOC for
+    # i >~ 18, so producers span i = 2..14 (the real SPE9 wells sit
+    # updip of the contact; the injector supports from the water leg)
     wells = []
     comps = []
     k_prod = (2, 3, 4)
@@ -164,7 +167,7 @@ def spe9like_deck(seed=9, tsteps="10 20 3*30") -> str:
     for jj in range(5):
         for ii in range(5):
             pi += 1
-            i = 2 + ii * 5
+            i = 2 + ii * 3
             j = 2 + jj * 5
             wells.append(f" 'P{pi}' 'G1' {i} {j} 9110 'OIL' /")
             comps.append(f" 'P{pi}' {i} {j} {k_prod[0]} {k_prod[-1]} "

@@ -173,7 +173,8 @@ class NonlinearSolver:
         res = self.model.residual(state, acc0, dt, wd, cdp)
         conv = self.model.convergence(res, dt, state)
         ctrl, tgt = stdwells.update_controls(
-            wd, state.bhp, state.qs, state.control, state.target)
+            wd, state.bhp, state.qs, state.control, state.target,
+            cq_sum=state.qs - res.well_flux)
         return res, conv, ctrl, tgt
 
     def _solve_dense(self, state, acc0, dt, wd, cdp, omega):
@@ -422,7 +423,8 @@ class NonlinearSolver:
             res = model.residual(state, acc0, dt, wd, cdp)
             conv = model.convergence(res, dt, state)
             ctrl, tgt = stdwells.update_controls(
-                wd, state.bhp, state.qs, state.control, state.target)
+                wd, state.bhp, state.qs, state.control, state.target,
+                cq_sum=state.qs - res.well_flux)
             state = state._replace(control=ctrl, target=tgt)
             converged = conv["converged"] & (it >= min_iter)
             finite = conv["finite"]

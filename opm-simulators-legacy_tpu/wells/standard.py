@@ -117,17 +117,18 @@ def perforation_fluxes(wd, cellq, bhp, qs, cdp, *, allow_crossflow=True):
 
 
 def effective_distribution(g, control, is_injector, cq_s):
-    """Dead-well fallback (addWellControlEq:838-997): a rate-controlled
-    producer whose controlled phases cannot flow (zero deliverability at the
-    perforations) gets a total-rate distribution instead — otherwise the
-    control equation is unsatisfiable and the well's bhp column is
-    singular."""
+    """Dead-well fallback (addWellControlEq:838-997 aliveWells): a
+    rate-controlled producer that cannot flow AT ALL gets a total-rate
+    distribution — otherwise the control equation's bhp column is
+    singular. A well whose CONTROLLED phase is dead but that can still
+    flow others (e.g. a watered-out ORAT producer) is NOT dead: its
+    control equation stays, and update_controls switches it to its BHP
+    limit (producing water as 'oil' through a total-rate fallback was a
+    round-2 bug — trapped residual oil looked produced)."""
     prod_rates = jnp.maximum(-jnp.sum(cq_s, axis=1), 0.0)     # (nw, 3)
-    sel = (jnp.abs(g) > 0.0).astype(prod_rates.dtype)
-    controlled = jnp.sum(sel * prod_rates, axis=1)
     total = jnp.sum(prod_rates, axis=1)
     is_rate_prod = (~is_injector) & (jnp.sum(jnp.abs(g), axis=1) > 0)
-    dead = is_rate_prod & (controlled <= 1e-10 * jnp.maximum(total, 1e-30))
+    dead = is_rate_prod & (total <= 1e-14)
     g_total = jnp.full_like(g, -1.0)
     return jnp.where(dead[:, None], g_total, g)
 
@@ -257,10 +258,15 @@ def well_potentials(wd, cellq, cdp):
     return jnp.where(wd["is_injector"][:, None], tot, -tot)
 
 
-def update_controls(wd, bhp, qs, control, target):
+def update_controls(wd, bhp, qs, control, target, cq_sum=None):
     """Constraint switching (updateWellControls): move to BHP control when
     the pressure limit is violated; move back to the schedule's primary
-    control when, under BHP control, the primary rate target is exceeded."""
+    control when, under BHP control, the primary rate target is exceeded.
+    cq_sum (nw, 3), the current summed perforation rates, additionally
+    switches rate-controlled producers whose CONTROLLED phase cannot flow
+    (while others can — e.g. watered-out ORAT wells) to their BHP limit:
+    their rate equation is unsatisfiable (zero deliverability in the
+    controlled phase makes the bhp column singular)."""
     is_inj = wd["is_injector"].astype(bool)
     primary = wd["primary_control"]
     primary_target = wd["primary_target"]
@@ -269,6 +275,16 @@ def update_controls(wd, bhp, qs, control, target):
     viol_bhp = jnp.where(is_inj, bhp > wd["bhp_limit"],
                          bhp < wd["bhp_limit"])
     not_bhp = control != CTRL_BHP
+    if cq_sum is not None:
+        gd = control_distribution(control, wd["comp_frac"])
+        prod = jnp.maximum(-cq_sum, 0.0)
+        sel = (jnp.abs(gd) > 0.0).astype(prod.dtype)
+        controlled = jnp.sum(sel * prod, axis=1)
+        total = jnp.sum(prod, axis=1)
+        ctrl_dead = (~is_inj & (jnp.sum(jnp.abs(gd), axis=1) > 0)
+                     & (controlled <= 1e-10 * jnp.maximum(total, 1e-30))
+                     & (total > 1e-14))
+        viol_bhp = viol_bhp | ctrl_dead
     new_control = jnp.where(viol_bhp & not_bhp,
                             jnp.full_like(control, CTRL_BHP), control)
     new_target = jnp.where(viol_bhp & not_bhp, wd["bhp_limit"], target)
