@@ -109,6 +109,82 @@ class PolymerTwophaseModel(TwophaseModel):
         r_c = acc - acc0 + dtpv * (outflux * fw * c * mc - influx_c - q_c)
         return r_s, r_c
 
+    # -- implicit (global Newton) transport ------------------------------
+    def implicit_transport(self, s0, c0, cmax0, flux, src, src_c, dt,
+                           *, max_iter=25, tol=1e-10):
+        """SinglePointUpwindTwoPhasePolymer / ImplicitTransport framework
+        role (/root/reference/opm/polymer/SinglePointUpwindTwoPhasePolymer
+        .hpp): the coupled (s, c) transport solved as ONE global Newton
+        with single-point-upwind fluxes — the implicit alternative to the
+        wavefront-reordered sweeps (_polymer_transport). Dense jacfwd
+        Jacobian: a framework-parity demonstrator for moderate grids; the
+        production path remains the reorder solver."""
+        import jax
+
+        nc = self.nc
+        poly = self.poly
+        mu_w, mu_o = self.props.viscosity
+        c1 = self.face_cells[:, 0]
+        c2 = self.face_cells[:, 1]
+        pos = flux >= 0
+        upcell = jnp.where(pos, c1, c2)
+        absf = jnp.abs(flux)
+        dtpv = dt / (self.porosity * self.volume)
+        rock = poly.rock_density * (1.0 - self.porosity) / self.porosity
+        s0 = jnp.asarray(s0)
+        c0 = jnp.asarray(c0)
+        cmax0 = jnp.asarray(cmax0)
+
+        def residual(u):
+            s = u[:nc]
+            c = u[nc:]
+            krw, kro = self.props.relperm(s)
+            mob_w = krw / mu_w * poly.water_mob_factor(c, mu_w, cmax0)
+            mob_o = kro / mu_o
+            fw = mob_w / jnp.maximum(mob_w + mob_o, 1e-30)
+            mc = poly.polymer_frac_in_water(c, mu_w)
+            fw_u = fw[upcell]
+            cm_u = (c * mc)[upcell]
+            div_w = (jnp.zeros(nc).at[upcell].add(fw_u * absf)
+                     .at[jnp.where(pos, c2, c1)].add(-fw_u * absf))
+            div_c = (jnp.zeros(nc).at[upcell].add(fw_u * cm_u * absf)
+                     .at[jnp.where(pos, c2, c1)].add(
+                         -fw_u * cm_u * absf))
+            q_w = jnp.maximum(src, 0.0) + jnp.minimum(src, 0.0) * fw
+            q_c = jnp.maximum(src_c, 0.0) \
+                + jnp.minimum(src, 0.0) * fw * c * mc
+            r_s = s - s0 + dtpv * (div_w - q_w)
+            dps = poly.dead_pore_vol
+            acc = (1.0 - dps) * s * c + rock * poly.adsorption(c, cmax0)
+            acc0 = (1.0 - dps) * s0 * c0 \
+                + rock * poly.adsorption(c0, cmax0)
+            r_c = acc - acc0 + dtpv * (div_c - q_c)
+            return jnp.concatenate([r_s, r_c])
+
+        def body(carry):
+            u, it, rn = carry
+            r = residual(u)
+            J = jax.jacfwd(residual)(u)
+            du = jnp.linalg.solve(J, r)
+            # chopped update, then clip to physical ranges
+            du = jnp.clip(du, -0.2 * jnp.maximum(poly.c_max, 1.0), None)
+            u = u - du
+            u = jnp.concatenate([
+                jnp.clip(u[:nc], 0.0, 1.0),
+                jnp.clip(u[nc:], 0.0, poly.c_max)])
+            return (u, it + 1, jnp.linalg.norm(residual(u)))
+
+        def cond(carry):
+            u, it, rn = carry
+            return (rn > tol) & (it < max_iter) & jnp.isfinite(rn)
+
+        u0 = jnp.concatenate([s0, c0])
+        u, it, rn = jax.lax.while_loop(
+            cond, body, (u0, jnp.asarray(0),
+                         jnp.linalg.norm(residual(u0))))
+        s, c = u[:nc], u[nc:]
+        return s, c, jnp.maximum(cmax0, c), it, rn
+
     def _polymer_transport(self, s0, c0, cmax0, flux, src, src_c, dtpv,
                            sweeps):
         c1 = self.face_cells[:, 0]

@@ -166,3 +166,44 @@ def test_polymer_gravity_segregation():
     # total polymer conserved through the segregation
     m1 = poly_mass(s, c)
     assert m1 == pytest.approx(m0, rel=5e-2)
+
+
+def test_implicit_transport_matches_reorder():
+    """SinglePointUpwindTwoPhasePolymer / ImplicitTransport role: the
+    global-Newton coupled (s, c) solve must converge to the same
+    discrete solution as the wavefront-reordered sweeps (both discretize
+    with single-point upwind on the same fixed total flux)."""
+    from opm_tpu.models.polymer import PolymerTwophaseModel
+
+    nx = 30
+    g = cartesian_grid((nx, 1, 1), (30.0, 1.0, 1.0), perm=1e-13, poro=0.25)
+    props, poly = _props()
+    model = PolymerTwophaseModel(g, props, poly, gravity_on=False)
+    src = np.zeros(g.nc)
+    q = g.pore_volume.sum() / (120 * DAY)
+    src[0] = q
+    src[-1] = -q
+    src_c = np.zeros(g.nc)
+    src_c[0] = q * 2.0          # inject at 2 kg/m3
+    s0 = np.full(g.nc, 0.1)
+    c0 = np.zeros(g.nc)
+    cmax0 = np.zeros(g.nc)
+    p, flux, q_bc, _ = model.pressure_solve_polymer(
+        jnp.asarray(s0), c0, cmax0, src)
+    dt = 4 * DAY
+
+    s_imp, c_imp, cmax_imp, iters, rn = model.implicit_transport(
+        s0, c0, cmax0, flux, jnp.asarray(src), jnp.asarray(src_c), dt)
+    assert float(rn) < 1e-8
+    dtpv = dt / (np.asarray(model.porosity) * np.asarray(model.volume))
+    # reorder path through the sweep transport entry
+    out = model._polymer_transport(jnp.asarray(s0), jnp.asarray(c0),
+                                   jnp.asarray(cmax0), flux,
+                                   jnp.asarray(src), jnp.asarray(src_c),
+                                   jnp.asarray(dtpv), sweeps=60)
+    s_re, c_re = np.asarray(out[0]), np.asarray(out[1])
+    assert np.max(np.abs(np.asarray(s_imp) - s_re)) < 1e-5
+    assert np.max(np.abs(np.asarray(c_imp) - c_re)) < 1e-4
+    # physics: injected polymer front behind the water front
+    assert np.asarray(c_imp)[0] > 1.0
+    assert np.asarray(s_imp)[0] > s0[0]
