@@ -57,6 +57,25 @@ def _quad_geometry(p00, p01, p10, p11):
     return area, centroid
 
 
+class _ConnView:
+    """Sequence view over connection arrays, tuple-compatible with the
+    Python reference's list of (g1, g2, area, fc1, fc2, dir)."""
+
+    def __init__(self, g1, g2, area, fc, dr):
+        self._a = (g1, g2, area, fc, dr)
+
+    def __len__(self):
+        return len(self._a[0])
+
+    def __getitem__(self, i):
+        g1, g2, area, fc, dr = self._a
+        return (int(g1[i]), int(g2[i]), area[i], fc[i], fc[i], int(dr[i]))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 def cell_geometry(corners):
     """Volumes and centroids from the 8 corners.
 
@@ -108,6 +127,7 @@ def process_corner_point(dims, coord, zcorn, actnum=None):
     nx, ny, nz = dims
     corners = corner_coordinates(dims, coord, zcorn)
     vol, cent = cell_geometry(corners)
+    use_native = True
     volf = vol.reshape(-1)
     centf = cent.reshape(-1, 3)
     # axis-aligned cell extents (mean over the 4 corner pairs per axis)
@@ -123,6 +143,18 @@ def process_corner_point(dims, coord, zcorn, actnum=None):
 
     def gid(i, j, k):
         return (k * ny + j) * nx + i
+
+    if use_native:
+        # native connection builder (native/cornerpoint.cpp — the
+        # opm-grid processEclipseGrid role); the Python loops below are
+        # the reference implementation and the fallback
+        from opm_tpu.native.graph import cp_connections
+        nat = cp_connections(dims, corners)
+        if nat is not None:
+            g1, g2, area_a, fc_a, dir_a = nat
+            conns = _ConnView(g1, g2, area_a, fc_a, dir_a)
+            return dict(volume=volf, centroid=centf, connections=conns,
+                        conn_arrays=nat, extent=ext)
 
     conns = []
 
@@ -197,7 +229,15 @@ def process_corner_point(dims, coord, zcorn, actnum=None):
                         conns.append((gid(i, j, kL),
                                       gid(i + di, j + dj, kR),
                                       area, fc, fc, axis))
-    return dict(volume=volf, centroid=centf, connections=conns, extent=ext)
+    g1 = np.asarray([c[0] for c in conns], dtype=np.int64)
+    g2 = np.asarray([c[1] for c in conns], dtype=np.int64)
+    area_a = (np.stack([np.asarray(c[2]) for c in conns])
+              if conns else np.zeros((0, 3)))
+    fc_a = (np.stack([np.asarray(c[3]) for c in conns])
+            if conns else np.zeros((0, 3)))
+    dir_a = np.asarray([c[5] for c in conns], dtype=np.int64)
+    return dict(volume=volf, centroid=centf, connections=conns,
+                conn_arrays=(g1, g2, area_a, fc_a, dir_a), extent=ext)
 
 
 def half_trans(perm_dir, area_vec, face_centroid, cell_centroid):

@@ -326,34 +326,37 @@ def build_corner_point_grid(case) -> Grid:
     cart_to_active = np.full(ncg, -1, dtype=np.int32)
     cart_to_active[global_cell] = np.arange(nc, dtype=np.int32)
 
-    perm_by_dir = (permx, permy, permz)
-    fc, tr, fdir = [], [], []
-    ntg_area = ntg  # NTG scales lateral (x/y) faces
-    for (g1, g2, area, fc1, fc2, direction) in geom["connections"]:
-        a1 = cart_to_active[g1]
-        a2 = cart_to_active[g2]
-        if a1 < 0 or a2 < 0:
-            continue
-        scale = ntg_area[g1] if direction < 2 else 1.0
-        scale2 = ntg_area[g2] if direction < 2 else 1.0
-        h1 = half_trans(perm_by_dir[direction][g1], area * scale, fc1,
-                        centroid[g1])
-        h2 = half_trans(perm_by_dir[direction][g2], area * scale2, fc2,
-                        centroid[g2])
-        if h1 <= 0 or h2 <= 0:
-            continue
-        m = (mults[direction][g1] * mults_neg[direction][g2]
-             * fpos[direction, g1] * fneg[direction, g2])
-        t = m / (1.0 / h1 + 1.0 / h2)
-        fc.append((a1, a2))
-        tr.append(t)
-        fdir.append(direction)
-
+    # vectorized NEWTRAN half-trans + harmonic assembly over the native
+    # connection arrays (the old per-connection Python loop was the wall
+    # at SPE10/Norne scale)
+    g1a, g2a, area_a, fca, dir_a = geom["conn_arrays"]
+    a1 = cart_to_active[g1a]
+    a2 = cart_to_active[g2a]
+    ok = (a1 >= 0) & (a2 >= 0)
+    g1a, g2a, area_a, fca, dir_a = (g1a[ok], g2a[ok], area_a[ok],
+                                    fca[ok], dir_a[ok])
+    a1, a2 = a1[ok], a2[ok]
+    perm_sel = np.stack([permx, permy, permz])      # (3, ncg)
+    scale1 = np.where(dir_a < 2, ntg[g1a], 1.0)
+    scale2 = np.where(dir_a < 2, ntg[g2a], 1.0)
+    h1 = half_trans(perm_sel[dir_a, g1a], area_a * scale1[:, None], fca,
+                    centroid[g1a])
+    h2 = half_trans(perm_sel[dir_a, g2a], area_a * scale2[:, None], fca,
+                    centroid[g2a])
+    ok2 = (h1 > 0) & (h2 > 0)
+    mult_pos = np.stack(mults)
+    mult_neg = np.stack(mults_neg)
+    m = (mult_pos[dir_a, g1a] * mult_neg[dir_a, g2a]
+         * fpos[dir_a, g1a] * fneg[dir_a, g2a])
+    with np.errstate(divide="ignore"):
+        t = m / (1.0 / np.maximum(h1, 1e-300)
+                 + 1.0 / np.maximum(h2, 1e-300))
     nnc_fc, nnc_tr, nnc_fd = _nnc_faces(case, cart_to_active)
     face_cells = np.concatenate([
-        np.asarray(fc, dtype=np.int32).reshape(-1, 2), nnc_fc])
-    trans = np.concatenate([np.asarray(tr, dtype=np.float64), nnc_tr])
-    face_dir = np.concatenate([np.asarray(fdir, dtype=np.int8), nnc_fd])
+        np.stack([a1[ok2], a2[ok2]], axis=1).astype(np.int32)
+        .reshape(-1, 2), nnc_fc])
+    trans = np.concatenate([t[ok2], nnc_tr])
+    face_dir = np.concatenate([dir_a[ok2].astype(np.int8), nnc_fd])
 
     # cell extents for Peaceman well indices from the actual corner
     # geometry (the reference derives dx/dy/dz from cell vertices,

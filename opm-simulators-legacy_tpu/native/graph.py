@@ -158,3 +158,46 @@ def _python_tarjan_levels(nc, c1, c2, flux, tol):
     level = clevel[comp]
     order = np.lexsort((comp, level)).astype(np.int64)
     return comp, order, level, ncomp, csize
+
+
+def cp_connections(dims, corners):
+    """Native corner-point connection builder (cornerpoint.cpp): the
+    opm-grid processEclipseGrid face-construction role. corners:
+    (nz, ny, nx, 2, 2, 2, 3) float64. Returns list of
+    (g1, g2, area_vec, fc, fc, dir) matching grid/cornerpoint.py's Python
+    reference, or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_cp_bound"):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.cp_connections.restype = ctypes.c_int64
+        lib.cp_connections.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f64p,
+            ctypes.c_int64, i64p, i64p, f64p, f64p, i64p]
+        lib._cp_bound = True
+    nx, ny, nz = dims
+    c = np.ascontiguousarray(corners, dtype=np.float64)
+    assert c.shape == (nz, ny, nx, 2, 2, 2, 3), c.shape
+    # conforming bound: one face per neighbor pair; stair-step faults pair
+    # each cell with at most (overlapping) neighbors -> 2*nz per column is
+    # a safe monotone-column bound
+    cap = ((nz - 1) * ny * nx + (nx - 1) * ny * 2 * nz
+           + nx * (ny - 1) * 2 * nz + 16)
+    g1 = np.empty(cap, dtype=np.int64)
+    g2 = np.empty(cap, dtype=np.int64)
+    area = np.empty((cap, 3), dtype=np.float64)
+    fc = np.empty((cap, 3), dtype=np.float64)
+    dr = np.empty(cap, dtype=np.int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.cp_connections(
+        nx, ny, nz, c.ctypes.data_as(f64p), cap,
+        g1.ctypes.data_as(i64p), g2.ctypes.data_as(i64p),
+        area.ctypes.data_as(f64p), fc.ctypes.data_as(f64p),
+        dr.ctypes.data_as(i64p))
+    if n < 0:
+        return None        # cap exceeded (pathological grid): fallback
+    return (g1[:n].copy(), g2[:n].copy(), area[:n].copy(), fc[:n].copy(),
+            dr[:n].copy())
