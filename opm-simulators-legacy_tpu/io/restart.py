@@ -71,7 +71,7 @@ def load_restart_unrst(path: str, report_step: int, case, props, model):
 
     Returns (state, meta) like load_restart."""
     from opm_tpu.io.eclsum import read_unrst
-    from opm_tpu.models.state import (HC_GASOIL, HC_GASONLY, HC_OILONLY,
+    from opm_tpu.models.state import (HC_GASOIL, HC_OILONLY,
                                       init_hcstate)
 
     steps = read_unrst(path)

@@ -9,7 +9,6 @@ turns into ICI collectives under sharding.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from opm_tpu.models.state import GAS, OIL, WATER
+from opm_tpu.models.state import WATER
 from opm_tpu.wells import standard as stdwells
 
 

@@ -11,7 +11,7 @@ state init, simulator run.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import jax
@@ -20,7 +20,7 @@ import numpy as np
 
 from opm_tpu.grid import build_grid
 from opm_tpu.io.eclstate import EclipseCase, load_case
-from opm_tpu.io.schedule import Schedule, build_schedule
+from opm_tpu.io.schedule import build_schedule
 from opm_tpu.models.blackoil import (BlackoilModel, ModelParams,
                                      make_well_device_arrays)
 from opm_tpu.models.state import (GAS, OIL, WATER, BlackoilState, rs_rv,
@@ -28,7 +28,7 @@ from opm_tpu.models.state import (GAS, OIL, WATER, BlackoilState, rs_rv,
 from opm_tpu.props.blackoil import BlackoilProps
 from opm_tpu.sim.init import initial_state
 from opm_tpu.solver.newton import NonlinearSolver, SolverReport
-from opm_tpu.solver.timestepping import (AdaptiveTimeStepping, SubStepReport,
+from opm_tpu.solver.timestepping import (AdaptiveTimeStepping,
                                          TimeStepControlParams)
 from opm_tpu.wells.wells import (CTRL_BHP, CTRL_GRAT, CTRL_LRAT, CTRL_ORAT,
                                  CTRL_RESERVOIR_RATE, CTRL_RESV,

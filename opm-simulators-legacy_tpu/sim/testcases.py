@@ -615,3 +615,210 @@ END
 
 def spe3like_case(**kw) -> EclipseCase:
     return load_case_string(spe3like_deck(**kw))
+
+
+def norne_like_deck(nx=46, ny=112, nz=22, seed=7, tsteps="5 10 3*30") -> str:
+    """Norne-class synthetic: a faulted, partially-inactive corner-point
+    field at the real Norne's grid dimensions (46x112x22, ~44k active
+    after ACTNUM carving — the reference's Norne-init regression target,
+    compareECLFiles.cmake:141-146; the real deck is licensed data). Two
+    stair-step fault planes (one sealed by MULTFLT), a dipping horizon
+    with a dome, lognormal layered permeability, water-oil-gas with
+    DISGAS, 8 producers + 4 water injectors."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dx = dy = 100.0          # meters (METRIC)
+    dzl = rng.uniform(3.0, 12.0, nz)
+    cum = np.concatenate([[0.0], np.cumsum(dzl)])
+
+    # dome-shaped top surface + regional dip along y
+    xe = np.arange(nx + 1) * dx
+    ye = np.arange(ny + 1) * dy
+    X, Y = np.meshgrid(xe, ye)              # (ny+1, nx+1)
+    top = (2600.0 + 0.03 * Y
+           - 120.0 * np.exp(-(((X - 2300.0) / 1500.0) ** 2
+                              + ((Y - 5600.0) / 3000.0) ** 2)))
+    # two fault planes along x = const: the throw is PER-CELL so the two
+    # sides of the shared pillar disagree — a true stair-step fault (a
+    # pillar-based offset would only ramp the cells continuously)
+    f1, f2 = nx // 3, 2 * nx // 3
+    cell_throw = np.zeros(nx)
+    cell_throw[f1:] += 18.0
+    cell_throw[f2:] += 25.0
+    zpil = top                               # pillar-top depth
+
+    coord = np.empty((ny + 1, nx + 1, 6))
+    coord[:, :, 0] = X
+    coord[:, :, 1] = Y
+    coord[:, :, 2] = zpil
+    coord[:, :, 3] = X
+    coord[:, :, 4] = Y
+    coord[:, :, 5] = zpil + cum[-1] + cell_throw.max()
+
+    # zcorn: layers parallel to the (faulted) top; per-cell corner depths
+    # follow the pillar tops so the fault offset is a true stair-step
+    zc = np.empty((nz, 2, ny, 2, nx, 2))
+    for k in range(nz):
+        for kc in range(2):
+            zlayer = zpil + cum[k + kc]      # (ny+1, nx+1)
+            zc[k, kc, :, 0, :, 0] = zlayer[:-1, :-1] + cell_throw
+            zc[k, kc, :, 0, :, 1] = zlayer[:-1, 1:] + cell_throw
+            zc[k, kc, :, 1, :, 0] = zlayer[1:, :-1] + cell_throw
+            zc[k, kc, :, 1, :, 1] = zlayer[1:, 1:] + cell_throw
+
+    n = nx * ny * nz
+    # ACTNUM carving: an erosional edge (inactive ring) + random holes
+    act = np.ones((nz, ny, nx), dtype=int)
+    jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    rim = (((ii - nx / 2) / (nx / 2.2)) ** 2
+           + ((jj - ny / 2) / (ny / 2.05)) ** 2) > 1.0
+    act[:, rim] = 0
+    holes = rng.rand(nz, ny, nx) < 0.04
+    act[holes] = 0
+
+    perm = np.empty((nz, ny, nx))
+    poro = np.empty((nz, ny, nx))
+    for k in range(nz):
+        mu = rng.uniform(2.0, 6.0)
+        perm[k] = np.exp(rng.normal(mu, 1.0, (ny, nx)))
+        poro[k] = np.clip(rng.normal(0.24, 0.04), 0.05, 0.35)
+
+    def arr(a, fmt="{:.6g}"):
+        a = np.asarray(a).ravel()
+        return "\n ".join(" ".join(fmt.format(v) for v in a[i:i + 10])
+                          for i in range(0, len(a), 10))
+
+    # wells on active columns: producers near the dome crest, injectors
+    # on the flanks
+    def find_col(i0, j0):
+        for r in range(0, 30):
+            for di in range(-r, r + 1):
+                for dj in range(-r, r + 1):
+                    i, j = i0 + di, j0 + dj
+                    if 0 <= i < nx and 0 <= j < ny and act[:, j, i].sum() > 8:
+                        return i, j
+        raise RuntimeError("no active column")
+
+    prod_pos = [find_col(nx // 2 + di, ny // 2 + dj)
+                for (di, dj) in ((-8, -20), (4, -12), (-2, 0), (8, 8),
+                                 (-10, 14), (3, 22), (-5, 30), (9, -28))]
+    inj_pos = [find_col(i, j) for (i, j) in
+               ((6, ny // 4), (nx - 7, ny // 4), (6, 3 * ny // 4),
+                (nx - 7, 3 * ny // 4))]
+    wells, comps, wcon = [], [], []
+    for w, (i, j) in enumerate(prod_pos):
+        wells.append(f" 'P{w+1}' 'PROD' {i+1} {j+1} 2650 'OIL' /")
+        comps.append(f" 'P{w+1}' {i+1} {j+1} 1 8 'OPEN' 1* 1* 0.2 /")
+        wcon.append(f" 'P{w+1}' 'OPEN' 'ORAT' 1200 4* 120 /")
+    for w, (i, j) in enumerate(inj_pos):
+        wells.append(f" 'I{w+1}' 'INJ' {i+1} {j+1} 2700 'WATER' /")
+        comps.append(f" 'I{w+1}' {i+1} {j+1} 12 22 'OPEN' 1* 1* 0.2 /")
+
+    return f"""
+RUNSPEC
+TITLE
+  NORNE-LIKE synthetic (faulted corner-point)
+DIMENS
+ {nx} {ny} {nz} /
+EQLDIMS
+/
+TABDIMS
+/
+OIL
+GAS
+WATER
+DISGAS
+METRIC
+WELLDIMS
+ 12 22 1 12 /
+GRID
+COORD
+ {arr(coord, "{:.2f}")} /
+ZCORN
+ {arr(zc, "{:.2f}")} /
+ACTNUM
+ {arr(act.ravel(), "{:d}")} /
+PORO
+ {arr(poro)} /
+PERMX
+ {arr(perm)} /
+PERMY
+ {arr(perm)} /
+PERMZ
+ {arr(perm * 0.1)} /
+FAULTS
+ 'FA' {f1} {f1} 1 {ny} 1 {nz} 'X' /
+ 'FB' {f2} {f2} 1 {ny} 1 {nz} 'X' /
+/
+MULTFLT
+ 'FA' 0.001 /
+ 'FB' 0.2 /
+/
+PROPS
+PVTW
+ 270 1.03 4.0E-5 0.38 0 /
+ROCK
+ 270 4.0E-5 /
+SWOF
+ 0.15 0      0.95  2.5
+ 0.3  0.008  0.6   0.9
+ 0.5  0.09   0.2   0.35
+ 0.7  0.3    0.03  0.15
+ 0.9  0.7    0.0   0.05
+ 1.0  1.0    0.0   0.0 /
+SGOF
+ 0    0     1     0
+ 0.05 0     0.75  0.05
+ 0.2  0.09  0.35  0.15
+ 0.4  0.3   0.1   0.3
+ 0.6  0.6   0.01  0.45
+ 0.85 0.92  0.0   0.6 /
+DENSITY
+ 860 1025 1.02 /
+PVDG
+ 30   0.043 0.014
+ 100  0.012 0.016
+ 200  0.0058 0.019
+ 300  0.0038 0.023
+ 400  0.0028 0.027 /
+PVTO
+ 30   30   1.12 1.1 /
+ 60   75   1.18 0.9 /
+ 90   120  1.24 0.75 /
+ 120  165  1.30 0.62
+      250  1.28 0.68 /
+/
+SOLUTION
+EQUIL
+ 2650 270 2850 0 2500 0 1 0 0 /
+RSVD
+ 2400 90
+ 2900 90 /
+SUMMARY
+FOPR
+FPR
+SCHEDULE
+WELSPECS
+{chr(10).join(wells)}
+/
+COMPDAT
+{chr(10).join(comps)}
+/
+WCONPROD
+{chr(10).join(wcon)}
+/
+WCONINJE
+ 'I1' 'WATER' 'OPEN' 'RATE' 3000 1* 420 /
+ 'I2' 'WATER' 'OPEN' 'RATE' 3000 1* 420 /
+ 'I3' 'WATER' 'OPEN' 'RATE' 3000 1* 420 /
+ 'I4' 'WATER' 'OPEN' 'RATE' 3000 1* 420 /
+/
+TSTEP
+ {tsteps} /
+END
+"""
+
+
+def norne_like_case(**kw) -> EclipseCase:
+    return load_case_string(norne_like_deck(**kw))
