@@ -358,6 +358,40 @@ def build_corner_point_grid(case) -> Grid:
     trans = np.concatenate([t[ok2], nnc_tr])
     face_dir = np.concatenate([dir_a[ok2].astype(np.int8), nnc_fd])
 
+    # conforming fully-active corner-point grids (e.g. SPE9: a dipped but
+    # vertically-conforming horizon) have EXACTLY the cartesian stencil
+    # topology — reorder the faces into build_grid's canonical slicing
+    # order (x block, y block, z block, C-ordered) and the structured
+    # fast path (stencil matvec + semicoarsened GMG, models/linearize.py)
+    # applies unchanged. Measured: the gather path costs ~30x more per
+    # cell on TPU.
+    structured = False
+    if nc == ncg and len(nnc_tr) == 0:
+        g1k = g1a[ok2]
+        g2k = g2a[ok2]
+        dk = dir_a[ok2]
+        stride = np.choose(dk, [1, nx, nx * ny])
+        nfx = (nx - 1) * ny * nz
+        nfy = nx * (ny - 1) * nz
+        nfz = nx * ny * (nz - 1)
+        if (g2k - g1k == stride).all() and \
+                len(g1k) == nfx + nfy + nfz and \
+                (np.bincount(dk, minlength=3)
+                 == np.array([nfx, nfy, nfz])).all():
+            i = g1k % nx
+            j = (g1k // nx) % ny
+            k = g1k // (nx * ny)
+            slot = np.where(
+                dk == 0, (k * ny + j) * (nx - 1) + i,
+                np.where(dk == 1, nfx + (k * (ny - 1) + j) * nx + i,
+                         nfx + nfy + (k * ny + j) * nx + i))
+            order = np.argsort(slot)
+            assert np.array_equal(slot[order], np.arange(len(slot)))
+            face_cells = face_cells[order]
+            trans = trans[order]
+            face_dir = face_dir[order]
+            structured = True
+
     # cell extents for Peaceman well indices from the actual corner
     # geometry (the reference derives dx/dy/dz from cell vertices,
     # WellsManager/GridHelpers; cbrt(volume) is off by ~an order of
@@ -390,6 +424,7 @@ def build_corner_point_grid(case) -> Grid:
         permx=permx[global_cell], permy=permy[global_cell],
         permz=permz[global_cell],
         face_cells=face_cells, trans=trans, face_dir=face_dir,
+        structured=structured,
         satnum=reg("SATNUM"), pvtnum=reg("PVTNUM"),
         eqlnum=reg("EQLNUM"), fipnum=reg("FIPNUM"),
     )
