@@ -22,6 +22,8 @@ Phases (each in its own subprocess: isolates device/trace state; shares
 the persistent compilation cache):
   spe1      TPU SPE1 e2e wall-clock, 120 report steps / 10 years (headline)
   spe1cpu   the same run on CPU (the measured baseline)
+  spe9      SPE9 (data/SPE9.DATA, real corner-point deck, 26 wells):
+            FULL 900-day schedule e2e wall-clock
   spe10     SPE10-like 132k-cell fused substeps: ms per Newton (scaling)
   spe10e2e  SPE10-like 132k-cell FULL 20-report-step schedule, e2e
             wall-clock with summary output on
@@ -36,6 +38,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SPE1 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "data", "SPE1CASE2.DATA")
+SPE9 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "data", "SPE9.DATA")
 
 
 def _maybe_cpu():
@@ -68,6 +72,31 @@ def bench_spe1(tag="spe1"):
         f"{tag}_substeps": sim.report.substeps,
         f"{tag}_failed_substeps": sim.report.failed_substeps,
     }
+
+
+def bench_spe9():
+    """SPE9 full 900-day schedule (the reference's SPE9 regression deck
+    class): corner-point structured fast path + fused spans."""
+    _maybe_cpu()
+    import opm_tpu  # noqa: F401
+    from opm_tpu.io.eclstate import load_case
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+
+    case = load_case(SPE9)
+    warm = SimulatorFullyImplicitBlackoil(case, fused=True)
+    warm.run(report_step_limit=2)
+    sim = SimulatorFullyImplicitBlackoil(case, fused=True)
+    sim.solver = warm.solver
+    t0 = time.perf_counter()
+    sim.run()
+    wall = time.perf_counter() - t0
+    n = max(sim.report.newton_iterations, 1)
+    return dict(
+        spe9_e2e_wall_s=round(wall, 3),
+        spe9_newtons=n,
+        spe9_ms_per_newton=round(1000.0 * wall / n, 2),
+        spe9_failed_substeps=sim.report.failed_substeps,
+    )
 
 
 def bench_spe10like_132k():
@@ -147,6 +176,7 @@ def bench_spe10_e2e():
 _PHASES = {
     "spe1": lambda: bench_spe1("spe1"),
     "spe1cpu": lambda: bench_spe1("spe1cpu"),
+    "spe9": bench_spe9,
     "spe10": bench_spe10like_132k,
     "spe10e2e": bench_spe10_e2e,
 }
@@ -180,6 +210,7 @@ def main():
     out = {}
     out.update(run_phase("spe1", 2400))
     out.update(run_phase("spe1cpu", 2400, cpu=True))
+    out.update(run_phase("spe9", 2400))
     out.update(run_phase("spe10", 1800))
     out.update(run_phase("spe10e2e", 2400))
 
