@@ -24,6 +24,8 @@ the persistent compilation cache):
   spe1cpu   the same run on CPU (the measured baseline)
   spe9      SPE9 (data/SPE9.DATA, real corner-point deck, 26 wells):
             FULL 900-day schedule e2e wall-clock
+  norne     Norne-class faulted corner-point synthetic (75.6k active,
+            embedded-structured path): full schedule e2e + ms/Newton
   spe10     SPE10-like 132k-cell fused substeps: ms per Newton (scaling)
   spe10e2e  SPE10-like 132k-cell FULL 20-report-step schedule, e2e
             wall-clock with summary output on
@@ -96,6 +98,37 @@ def bench_spe9():
         spe9_newtons=n,
         spe9_ms_per_newton=round(1000.0 * wall / n, 2),
         spe9_failed_substeps=sim.report.failed_substeps,
+    )
+
+
+def bench_norne():
+    """Norne-class faulted corner-point synthetic (46x112x22, 75.6k active,
+    stair-step faults + MULTFLT): the embedded-structured path
+    (grid/grid.py _build_embedded_grid) — full schedule e2e + warm
+    ms/Newton. The reference's Norne regression class
+    (compareECLFiles.cmake:141-146; the real deck is licensed data)."""
+    _maybe_cpu()
+    import opm_tpu  # noqa: F401
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.testcases import norne_like_case
+
+    case = norne_like_case()
+    warm = SimulatorFullyImplicitBlackoil(case, fused=True)
+    warm.run(report_step_limit=2)
+    sim = SimulatorFullyImplicitBlackoil(case, fused=True)
+    sim.solver = warm.solver
+    t0 = time.perf_counter()
+    sim.run()
+    wall = time.perf_counter() - t0
+    n = max(sim.report.newton_iterations, 1)
+    g = sim.grid
+    return dict(
+        norne_e2e_wall_s=round(wall, 3),
+        norne_newtons=n,
+        norne_ms_per_newton=round(1000.0 * wall / n, 2),
+        norne_failed_substeps=sim.report.failed_substeps,
+        norne_cells=int(g.n_real),
+        norne_embedded=bool(g.active_mask is not None),
     )
 
 
@@ -177,6 +210,7 @@ _PHASES = {
     "spe1": lambda: bench_spe1("spe1"),
     "spe1cpu": lambda: bench_spe1("spe1cpu"),
     "spe9": bench_spe9,
+    "norne": bench_norne,
     "spe10": bench_spe10like_132k,
     "spe10e2e": bench_spe10_e2e,
 }
@@ -211,6 +245,7 @@ def main():
     out.update(run_phase("spe1", 2400))
     out.update(run_phase("spe1cpu", 2400, cpu=True))
     out.update(run_phase("spe9", 2400))
+    out.update(run_phase("norne", 2400))
     out.update(run_phase("spe10", 1800))
     out.update(run_phase("spe10e2e", 2400))
 

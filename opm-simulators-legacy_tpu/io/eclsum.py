@@ -274,7 +274,12 @@ def write_init(base_path: str, grid, *, unit_system="METRIC",
 
     nx, ny, nz = grid.dims
     ncg = nx * ny * nz
-    nc = grid.nc
+    # embedded grids: the file covers the REAL active cells only; slot ->
+    # compressed active rank for cell/NNC indexing
+    rc = grid.real_cells
+    nc = len(rc)
+    rank = np.full(grid.nc, -1, dtype=np.int64)
+    rank[rc] = np.arange(nc)
     u_len = 1.0 / si_factor(unit_system, "Length")
     u_vol = 1.0 / si_factor(unit_system, "ReservoirVolume")
     u_perm = 1.0 / si_factor(unit_system, "Permeability")
@@ -295,33 +300,43 @@ def write_init(base_path: str, grid, *, unit_system="METRIC",
         write_keyword(f, "LOGIHEAD", "LOGI", [0] * 15)
         write_keyword(f, "DOUBHEAD", "DOUB", [0.0])
         porv = np.zeros(ncg)
-        porv[np.asarray(grid.global_cell)] = np.asarray(grid.pore_volume)
+        porv[grid.real_global_cell] = np.asarray(grid.pore_volume)[rc]
         write_keyword(f, "PORV", "REAL", porv * u_vol)
-        write_keyword(f, "DEPTH", "REAL", np.asarray(grid.depth) * u_len)
-        write_keyword(f, "DX", "REAL", np.asarray(grid.dx) * u_len)
-        write_keyword(f, "DY", "REAL", np.asarray(grid.dy) * u_len)
-        write_keyword(f, "DZ", "REAL", np.asarray(grid.dz) * u_len)
-        write_keyword(f, "PORO", "REAL", np.asarray(grid.poro))
-        write_keyword(f, "PERMX", "REAL", np.asarray(grid.permx) * u_perm)
-        write_keyword(f, "PERMY", "REAL", np.asarray(grid.permy) * u_perm)
-        write_keyword(f, "PERMZ", "REAL", np.asarray(grid.permz) * u_perm)
-        write_keyword(f, "NTG", "REAL", np.asarray(grid.ntg))
+        write_keyword(f, "DEPTH", "REAL", np.asarray(grid.depth)[rc] * u_len)
+        write_keyword(f, "DX", "REAL", np.asarray(grid.dx)[rc] * u_len)
+        write_keyword(f, "DY", "REAL", np.asarray(grid.dy)[rc] * u_len)
+        write_keyword(f, "DZ", "REAL", np.asarray(grid.dz)[rc] * u_len)
+        write_keyword(f, "PORO", "REAL", np.asarray(grid.poro)[rc])
+        write_keyword(f, "PERMX", "REAL",
+                      np.asarray(grid.permx)[rc] * u_perm)
+        write_keyword(f, "PERMY", "REAL",
+                      np.asarray(grid.permy)[rc] * u_perm)
+        write_keyword(f, "PERMZ", "REAL",
+                      np.asarray(grid.permz)[rc] * u_perm)
+        write_keyword(f, "NTG", "REAL", np.asarray(grid.ntg)[rc])
         # TRANX/TRANY/TRANZ: active-cell arrays, face assigned to the
-        # lower-index cell of each +direction connection
+        # lower-index cell of each +direction CONFORMING connection;
+        # non-conforming extras (stair-step faults) join the NNC list,
+        # which is how the reference exports them too
         fc = np.asarray(grid.face_cells)
         fd = np.asarray(grid.face_dir)
         tr = np.asarray(grid.trans)
+        g = np.asarray(grid.global_cell)
+        stride = {0: 1, 1: nx, 2: nx * ny}
+        nnc_sel = (fd == 3) & (tr != 0.0)
+        real = (rank[fc[:, 0]] >= 0) & (rank[fc[:, 1]] >= 0)
         for d, name in ((0, "TRANX"), (1, "TRANY"), (2, "TRANZ")):
             a = np.zeros(nc)
-            sel = fd == d
-            a[fc[sel, 0]] = tr[sel]
+            sel = (fd == d) & real
+            conf = sel & (g[fc[:, 1]] - g[fc[:, 0]] == stride[d])
+            a[rank[fc[conf, 0]]] = tr[conf]
             write_keyword(f, name, "REAL", a * u_tran)
+            nnc_sel |= sel & ~conf & (tr != 0.0)
         # NNC list (if any): cell pairs (1-based active index) + trans
-        nnc = fd == 3
-        if nnc.any():
-            write_keyword(f, "NNC1", "INTE", fc[nnc, 0] + 1)
-            write_keyword(f, "NNC2", "INTE", fc[nnc, 1] + 1)
-            write_keyword(f, "TRANNNC", "REAL", tr[nnc] * u_tran)
+        if nnc_sel.any():
+            write_keyword(f, "NNC1", "INTE", rank[fc[nnc_sel, 0]] + 1)
+            write_keyword(f, "NNC2", "INTE", rank[fc[nnc_sel, 1]] + 1)
+            write_keyword(f, "TRANNNC", "REAL", tr[nnc_sel] * u_tran)
     return path
 
 

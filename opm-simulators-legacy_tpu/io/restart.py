@@ -83,11 +83,27 @@ def load_restart_unrst(path: str, report_step: int, case, props, model):
     st = match[-1]
     p_unit = (1e-5 if case.runspec.unit_system == "METRIC"
               else 1.0 / 6894.757293168361)
-    p = jnp.asarray(st["PRESSURE"]) / p_unit
-    sw = jnp.asarray(st["SWAT"])
-    sg = jnp.asarray(st["SGAS"])
-    rs = jnp.asarray(st.get("RS", np.zeros_like(st["SWAT"])))
-    rv = jnp.asarray(st.get("RV", np.zeros_like(st["SWAT"])))
+
+    grid = model.grid
+    if grid.active_mask is not None:
+        # embedded grid: file arrays cover the real active cells; padding
+        # cells read through the donor map (grid.global_cell), exactly as
+        # at initialization
+        rc = grid.real_cells
+
+        def expand(a):
+            tmp = np.zeros(grid.nc)
+            tmp[rc] = np.asarray(a)
+            return tmp[np.asarray(grid.global_cell)]
+    else:
+        def expand(a):
+            return np.asarray(a)
+
+    p = jnp.asarray(expand(st["PRESSURE"])) / p_unit
+    sw = jnp.asarray(expand(st["SWAT"]))
+    sg = jnp.asarray(expand(st["SGAS"]))
+    rs = jnp.asarray(expand(st.get("RS", np.zeros_like(st["SWAT"]))))
+    rv = jnp.asarray(expand(st.get("RV", np.zeros_like(st["SWAT"]))))
     hc = init_hcstate(sw, sg, disgas=case.runspec.disgas,
                       vapoil=case.runspec.vapoil)
     x = jnp.where(hc == HC_GASOIL, sg,

@@ -18,10 +18,14 @@ def write_vtr(path: str, grid, cell_data: dict):
     RectilinearGrid XML (ASCII)."""
     nx, ny, nz = grid.dims
 
-    # active-cell arrays scattered to the cartesian box
+    # active-cell arrays scattered to the cartesian box (embedded grids:
+    # scatter REAL cells only — padding slots share donor cartesian ids)
+    rc = grid.real_cells
+    gc = grid.real_global_cell
+
     def to_cart(a, fill=np.nan):
         out = np.full(nx * ny * nz, fill)
-        out[grid.global_cell] = np.asarray(a)
+        out[gc] = np.asarray(a)[rc]
         return out
 
     dxc = to_cart(grid.dx, 0.0).reshape(nz, ny, nx)
@@ -39,7 +43,7 @@ def write_vtr(path: str, grid, cell_data: dict):
     lines.append(f'    <Piece Extent="0 {nx} 0 {ny} 0 {nz}">')
     lines.append('      <CellData>')
     active = np.zeros(nx * ny * nz)
-    active[grid.global_cell] = 1.0
+    active[gc] = 1.0
     all_data = dict(cell_data)
     all_data["ACTIVE"] = active
     for name, arr in all_data.items():

@@ -76,7 +76,11 @@ class StructuredGmg:
     dims: (nx, ny, nz) grid dims (ECL order); level-0 face values follow the
     cartesian build order of grid.build_grid: x-faces (nz, ny, nx-1)
     C-ordered, then y-faces (nz, ny-1, nx), then z-faces (nz-1, ny, nx).
+    Embedded grids pass the CANONICAL faces only (extra faces are dropped
+    from the pressure hierarchy, precond._pressure_off_for).
     """
+
+    wants_canonical_faces = True
 
     def __init__(self, dims, trans=None, *, coarsest=512, max_levels=40,
                  strength=None):

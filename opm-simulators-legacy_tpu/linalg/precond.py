@@ -140,6 +140,21 @@ def cpr_pressure_system(sys: linearize.BlockSystem, w):
     return diag_p, off
 
 
+def _pressure_off_for(amg, off_p, dims):
+    """Structured GMG consumes only the canonical stencil faces; extra
+    faces of an embedded grid (stair-step faults / NNCs) are dropped from
+    the pressure hierarchy — a preconditioner-quality approximation only
+    (the Krylov operator keeps them)."""
+    if dims is None or not getattr(amg, "wants_canonical_faces", False):
+        return off_p
+    nx, ny, nz = dims
+    nfc = (nx - 1) * ny * nz + nx * (ny - 1) * nz + nx * ny * (nz - 1)
+    nf_all = off_p.shape[0] // 2
+    if nf_all == nfc:
+        return off_p
+    return jnp.concatenate([off_p[:nfc], off_p[nf_all:nf_all + nfc]])
+
+
 def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
                    dims=None):
     """CPR preconditioner for the WELL-ELIMINATED (cells-only) system:
@@ -162,7 +177,7 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     smoother = _os.environ.get("OPM_TPU_CPR_SMOOTHER", "jacobi")
     w = cpr_weights(sys)
     diag_p, off_p = cpr_pressure_system(sys, w)
-    vals = amg.coarsen_values(diag_p, off_p)
+    vals = amg.coarsen_values(diag_p, _pressure_off_for(amg, off_p, dims))
     dinv = inv3x3_t(sys.diag)
     zero_w = jnp.zeros((sys.nw, 4))
     red = None
@@ -223,7 +238,7 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
     w = cpr_weights(sys)
     diag_p, off_p = cpr_pressure_system(sys, w)
-    vals = amg.coarsen_values(diag_p, off_p)
+    vals = amg.coarsen_values(diag_p, _pressure_off_for(amg, off_p, dims))
     bj = block_jacobi(sys)
 
     def vcyc(rp):

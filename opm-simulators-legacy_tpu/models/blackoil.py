@@ -218,6 +218,21 @@ class BlackoilModel:
         sf = getattr(props, "satfunc", None)
         self.imbnum = (sf.hyst.imbnum if sf is not None
                        and getattr(sf, "hyst", None) is not None else None)
+        # embedded grids: padding cells are masked out of convergence
+        # norms, FIP, and PV-weighted averages (grid/grid.py
+        # _build_embedded_grid); pv_out is the reporting pore volume
+        am = getattr(grid, "active_mask", None)
+        self.conv_mask = (None if am is None
+                          else jnp.asarray(np.asarray(am, dtype=np.float64)))
+        self.pv_out = (self.pv if self.conv_mask is None
+                       else self.pv * self.conv_mask)
+        # faces beyond nf_canonical on a structured grid are gather-path
+        # "extra faces" (stair-step faults, NNCs)
+        self.nf_canonical = (grid.nf_canonical
+                             if hasattr(grid, "nf_canonical")
+                             else self.face_cells.shape[0])
+        self.n_extra_faces = (self.face_cells.shape[0] - self.nf_canonical
+                              if self.structured else 0)
         if self.structured:
             nx, ny, nz = grid.dims
             self.depth3 = self.depth.reshape(nz, ny, nx)
@@ -284,6 +299,18 @@ class BlackoilModel:
                     (self.depth3[slL] - self.depth3[slR]).reshape(-1),
                     self.gravity, thr))
                 ofs += nf_d
+            if self.n_extra_faces:
+                # extra faces (stair-step faults / NNCs on an embedded
+                # grid): small gather-path correction after the stencil
+                e1 = self.face_cells[ofs:, 0]
+                e2 = self.face_cells[ofs:, 1]
+                qLe = jax.tree.map(lambda a: a[..., e1], q)
+                qRe = jax.tree.map(lambda a: a[..., e2], q)
+                thr_e = (None if threshold_dp is None
+                         else threshold_dp[ofs:])
+                segs.append(face_flux_from_q(
+                    qLe, qRe, self.trans[ofs:],
+                    self.depth[e1] - self.depth[e2], self.gravity, thr_e))
             return jnp.concatenate(segs, axis=-1)
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
@@ -308,7 +335,13 @@ class BlackoilModel:
                 out = out.at[(Ellipsis,) + slL].add(f3)
                 out = out.at[(Ellipsis,) + slR].add(-f3)
                 ofs += nf_d
-            return out.reshape(lead + (self.nc,))
+            out = out.reshape(lead + (self.nc,))
+            if self.n_extra_faces:
+                e1 = self.face_cells[ofs:, 0]
+                e2 = self.face_cells[ofs:, 1]
+                fe = face_flux[..., ofs:]
+                out = out.at[..., e1].add(fe).at[..., e2].add(-fe)
+            return out
         c1 = self.face_cells[:, 0]
         c2 = self.face_cells[:, 1]
         out = jnp.zeros(face_flux.shape[:-1] + (self.nc,),
@@ -354,12 +387,22 @@ class BlackoilModel:
     def convergence(self, res: Residual, dt, state: BlackoilState):
         """MB/CNV norms (getConvergence:1722-1857). Returns dict of arrays."""
         pv = self.pv
-        pv_sum = jnp.sum(pv)
         B = 1.0 / jnp.maximum(res.b, 1e-300)        # (3, nc)
         R = res.cell
-        cnv = dt * jnp.max(jnp.abs(R) * B / pv, axis=1)
-        b_avg = jnp.mean(B, axis=1)
-        mb = dt * jnp.abs(jnp.sum(R, axis=1)) * b_avg / pv_sum
+        if self.conv_mask is not None:
+            # embedded grid: padding cells carry no equations worth
+            # converging (zero trans, frozen state) and must not dilute
+            # pv_sum / b_avg
+            m = self.conv_mask
+            pv_sum = jnp.sum(pv * m)
+            cnv = dt * jnp.max(jnp.abs(R) * B / pv * m, axis=1)
+            b_avg = jnp.sum(B * m, axis=1) / jnp.sum(m)
+            mb = dt * jnp.abs(jnp.sum(R * m, axis=1)) * b_avg / pv_sum
+        else:
+            pv_sum = jnp.sum(pv)
+            cnv = dt * jnp.max(jnp.abs(R) * B / pv, axis=1)
+            b_avg = jnp.mean(B, axis=1)
+            mb = dt * jnp.abs(jnp.sum(R, axis=1)) * b_avg / pv_sum
         # well norms: B-factor-scaled per-phase flux residual exactly as
         # the reference (well_flux_residual[idx] = B_avg[idx] *
         # maxNormWell[idx], getConvergence:1770-1780); control residual

@@ -201,9 +201,42 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
             fL_parts.append(fL_d)
             fR_parts.append(fR_d)
             ofs += nf_d
+        r_cell = r3.reshape(3, -1)
+        diag9 = diag9.reshape(9, -1)
+        if getattr(model, "n_extra_faces", 0):
+            # extra faces (embedded grids: stair-step faults / NNCs):
+            # gather-path value + L/R blocks chained through the SAME
+            # per-cell tangent columns
+            e1 = model.face_cells[ofs:, 0]
+            e2 = model.face_cells[ofs:, 1]
+            qLe = jax.tree.map(lambda a: a[..., e1], q_val)
+            qRe = jax.tree.map(lambda a: a[..., e2], q_val)
+            t_e = model.trans[ofs:]
+            dz_e = model.depth[e1] - model.depth[e2]
+            thr_e = thr[ofs:]
+
+            def flux_of_e(qLv, qRv):
+                return face_flux_from_q(qLv, qRv, t_e, dz_e, model.gravity,
+                                        threshold_dp=thr_e)
+
+            flux_val_e, fjvp_e = jax.linearize(flux_of_e, qLe, qRe)
+            zLe = jax.tree.map(jnp.zeros_like, qLe)
+            zRe = jax.tree.map(jnp.zeros_like, qRe)
+            fL_e = jnp.concatenate(
+                [fjvp_e(jax.tree.map(lambda a: a[..., e1], q_tan[j]),
+                        zRe)[:, None] for j in range(3)], axis=1)
+            fR_e = jnp.concatenate(
+                [fjvp_e(zLe, jax.tree.map(lambda a: a[..., e2],
+                                          q_tan[j]))[:, None]
+                 for j in range(3)], axis=1)
+            r_cell = r_cell.at[:, e1].add(flux_val_e) \
+                .at[:, e2].add(-flux_val_e)
+            diag9 = diag9.at[:, e1].add(fL_e.reshape(9, -1)) \
+                .at[:, e2].add(-fR_e.reshape(9, -1))
+            fL_parts.append(fL_e)
+            fR_parts.append(fR_e)
         face_L = jnp.concatenate(fL_parts, axis=-1)
         face_R = jnp.concatenate(fR_parts, axis=-1)
-        r_cell = r3.reshape(3, -1)
         diag = diag9.reshape(3, 3, -1)
     else:
         dz = model.depth[c1] - model.depth[c2]
@@ -417,6 +450,7 @@ def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
     nx, ny, nz = dims
     nfx = (nx - 1) * ny * nz
     nfy = nx * (ny - 1) * nz
+    nfz = nx * ny * (nz - 1)
     v3 = v_cell.reshape(3, nz, ny, nx)
     out = _bapply(sys.diag, v_cell).reshape(3, nz, ny, nx)
 
@@ -431,11 +465,21 @@ def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
     fRy = seg(sys.face_R, nfx, nfx + nfy, (nz, ny - 1, nx))
     out = out.at[:, :, :-1, :].add(_bapply9(fRy, v3[:, :, 1:, :]))
     out = out.at[:, :, 1:, :].add(-_bapply9(fLy, v3[:, :, :-1, :]))
-    fLz = seg(sys.face_L, nfx + nfy, None, (nz - 1, ny, nx))
-    fRz = seg(sys.face_R, nfx + nfy, None, (nz - 1, ny, nx))
+    nf_can = nfx + nfy + nfz
+    fLz = seg(sys.face_L, nfx + nfy, nf_can, (nz - 1, ny, nx))
+    fRz = seg(sys.face_R, nfx + nfy, nf_can, (nz - 1, ny, nx))
     out = out.at[:, :-1].add(_bapply9(fRz, v3[:, 1:]))
     out = out.at[:, 1:].add(-_bapply9(fLz, v3[:, :-1]))
-    return out.reshape(3, -1)
+    out = out.reshape(3, -1)
+    if sys.face_L.shape[-1] > nf_can:
+        # extra faces (embedded grids): small gather-path correction
+        e1 = sys.face_cells[nf_can:, 0]
+        e2 = sys.face_cells[nf_can:, 1]
+        out = out.at[:, e1].add(
+            _bapply(sys.face_R[:, :, nf_can:], v_cell[:, e2]))
+        out = out.at[:, e2].add(
+            -_bapply(sys.face_L[:, :, nf_can:], v_cell[:, e1]))
+    return out
 
 
 def well_apply_B(sys: BlockSystem, v_cell):

@@ -33,7 +33,10 @@ def slab_partition(grid, n_shards: int) -> Partition:
     """Sort active cells by (slab axis, remaining ijk) and cut into equal
     contiguous blocks; pad the tail so every shard has the same size."""
     nx, ny, nz = grid.dims
-    g = grid.global_cell
+    # embedded grids: the cell axis IS the cartesian box (global_cell is
+    # the donor map there, not the slot->cartesian id)
+    g = (np.arange(grid.nc) if getattr(grid, "active_mask", None) is not None
+         else grid.global_cell)
     i = g % nx
     j = (g // nx) % ny
     k = g // (nx * ny)
@@ -82,7 +85,9 @@ def block_partition(grid, blocks):
     consecutive ids."""
     nx, ny, nz = grid.dims
     px, py, pz = blocks
-    g = np.asarray(grid.global_cell)
+    g = (np.arange(grid.nc)
+         if getattr(grid, "active_mask", None) is not None
+         else np.asarray(grid.global_cell))
     i = g % nx
     j = (g // nx) % ny
     k = g // (nx * ny)

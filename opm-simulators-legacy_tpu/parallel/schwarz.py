@@ -40,6 +40,8 @@ class SchwarzGmg:
     """Drop-in for StructuredGmg/DeviceAmg (coarsen_values / vcycle) whose
     V-cycles run shard-local under shard_map."""
 
+    wants_canonical_faces = True
+
     def __init__(self, dims, mesh, axis_name, trans=None, *, coarsest=256):
         nx, ny, nz = dims
         self.dims = dims

@@ -82,7 +82,7 @@ class SummaryCollector:
     def record(self, t, state: BlackoilState, model, extra=None):
         qs = np.asarray(state.qs)
         bhp = np.asarray(state.bhp)
-        pv = np.asarray(model.pv)
+        pv = np.asarray(getattr(model, "pv_out", model.pv))
         p = np.asarray(state.pressure)
         fpr = float((p * pv).sum() / pv.sum())
         fip = fluid_in_place(model, state)
@@ -167,7 +167,7 @@ def fluid_in_place(model, state: BlackoilState, regions=None):
     if not hasattr(model, "_acc_jit"):
         model._acc_jit = jax.jit(model.accumulation)
     acc = np.asarray(model._acc_jit(state)).T        # (nc, 3)
-    pv = np.asarray(model.pv)
+    pv = np.asarray(getattr(model, "pv_out", model.pv))
     vol = acc * pv[:, None]
     if regions is None:
         return vol.sum(axis=0)  # (3,) w,o,g surface volumes
@@ -818,12 +818,16 @@ class SimulatorFullyImplicitBlackoil:
                         np.asarray(state.qs),
                         np.asarray(state.control, dtype=np.float64)[:, None],
                         np.asarray(state.target)[:, None]], axis=1)
+                    # embedded grids: ECL restart arrays cover the REAL
+                    # active cells only (padding is an internal layout)
+                    rc = (slice(None) if self.grid.active_mask is None
+                          else self.grid.real_cells)
                     self._unrst_steps.append(dict(
                         seqnum=step.index,
                         time_days=step.end_time / DAY,
-                        PRESSURE=np.asarray(state.pressure) * p_unit,
-                        SWAT=np.asarray(sw_), SGAS=np.asarray(sg_),
-                        RS=np.asarray(rs_), RV=np.asarray(rv_),
+                        PRESSURE=np.asarray(state.pressure)[rc] * p_unit,
+                        SWAT=np.asarray(sw_)[rc], SGAS=np.asarray(sg_)[rc],
+                        RS=np.asarray(rs_)[rc], RV=np.asarray(rv_)[rc],
                         # well state + stepper extras (SI), the analogue of
                         # the reference's OPM_XWEL/OPM_EXTRA restart data
                         OPM_XWEL=xwel.reshape(-1),

@@ -80,7 +80,7 @@ def summary_arrays(model, state):
     """Device-side summary payload per report step: (qs, bhp, fpr, fip).
     The host expands these into the SummaryCollector row (field rates,
     GOR/WCT ratios, cumulatives)."""
-    pv = model.pv
+    pv = getattr(model, "pv_out", model.pv)
     fpr = jnp.sum(state.pressure * pv) / jnp.sum(pv)
     fip = jnp.sum(model.accumulation(state) * pv[None, :], axis=1)
     return state.qs, state.bhp, fpr, fip

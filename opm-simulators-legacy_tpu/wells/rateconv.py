@@ -33,7 +33,7 @@ def region_averages(model, state, region, temperature=None):
     active)."""
     q = model.cell_quantities(state)
     nreg = int(np.asarray(region).max()) + 1
-    pv = model.pv
+    pv = getattr(model, "pv_out", model.pv)
     w = jnp.asarray(pv)
 
     def avg(x):

@@ -27,25 +27,74 @@ def test_geometry_and_faults(case, grid):
     nx, ny, nz = grid.dims
     assert (nx, ny, nz) == (46, 112, 22)
     # ACTNUM carving leaves a Norne-scale active count
-    assert 40000 < grid.nc < 95000
-    assert not grid.structured
+    assert 40000 < grid.n_real < 95000
+    # Norne-class activity fraction auto-EMBEDS into the full cartesian
+    # box so the structured stencil+GMG fast path applies (grid/grid.py
+    # _embed_wanted); the cell axis is then the whole box with inert
+    # padding cells
+    assert grid.structured and grid.active_mask is not None
+    assert grid.nc == nx * ny * nz
     fc = np.asarray(grid.face_cells)
     fd = np.asarray(grid.face_dir)
-    gi = np.asarray(grid.global_cell)
-    i1 = gi[fc[:, 0]] % nx
-    k1 = gi[fc[:, 0]] // (nx * ny)
-    k2 = gi[fc[:, 1]] // (nx * ny)
-    # stair-step fault pairing: cross-layer x-connections exist at the
-    # fault planes (18 m and 25 m throws over 3-12 m layers)
-    f1 = nx // 3 - 1          # 0-based i of the upthrown column
-    on_f1 = (fd == 0) & (i1 == f1)
-    assert on_f1.any()
-    assert (k1[on_f1] != k2[on_f1]).any(), "no cross-layer fault pairs"
-    # MULTFLT 0.001 seals fault FA: its faces' trans are tiny relative to
-    # the unfaulted x-face median
     tr = np.asarray(grid.trans)
-    bulk = np.median(tr[(fd == 0) & ~on_f1])
-    assert np.median(tr[on_f1]) < 0.01 * bulk
+    # padding cells are frozen spectators: zero trans on every face
+    pad = ~np.asarray(grid.active_mask)
+    touches_pad = pad[fc[:, 0]] | pad[fc[:, 1]]
+    assert (tr[touches_pad] == 0.0).all()
+    # stair-step fault pairing: cross-layer x-connections (18 m and 25 m
+    # throws over 3-12 m layers) land on the gather-path extra faces
+    # appended after the canonical stencil block
+    nfc = grid.nf_canonical
+    assert grid.nf > nfc
+    k1 = fc[nfc:, 0] // (nx * ny)
+    k2 = fc[nfc:, 1] // (nx * ny)
+    xe = fd[nfc:] == 0
+    assert xe.any()
+    assert (k1[xe] != k2[xe]).any(), "no cross-layer fault pairs"
+    # MULTFLT 0.001 seals fault FA: its extra faces' trans are tiny
+    # relative to the unfaulted conforming x-face median
+    f1 = nx // 3 - 1          # 0-based i of the upthrown column
+    i1e = fc[nfc:, 0] % nx
+    on_f1 = xe & (i1e == f1)
+    assert on_f1.any()
+    bulk_sel = (fd[:nfc] == 0) & (tr[:nfc] > 0.0)
+    bulk = np.median(tr[:nfc][bulk_sel])
+    assert np.median(tr[nfc:][on_f1]) < 0.01 * bulk
+
+
+def test_gather_path_equivalence(case, monkeypatch):
+    """OPM_TPU_EMBED=0 must give the identical physical grid: same real
+    cells, same nonzero connections, same transmissibilities."""
+    monkeypatch.setenv("OPM_TPU_EMBED", "0")
+    g0 = build_grid(case)
+    monkeypatch.setenv("OPM_TPU_EMBED", "1")
+    g1 = build_grid(case)
+    assert not g0.structured and g0.active_mask is None
+    assert g1.structured and g1.active_mask is not None
+    assert g0.nc == g1.n_real
+
+    def conn_set(g):
+        fc = np.asarray(g.face_cells)
+        tr = np.asarray(g.trans)
+        # map cell axis to cartesian ids
+        if g.active_mask is None:
+            cart = np.asarray(g.global_cell)
+        else:
+            cart = np.arange(g.nc)
+        keep = tr > 0.0
+        a = cart[fc[keep, 0]]
+        b = cart[fc[keep, 1]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        d = {}
+        for x, y, t in zip(lo, hi, tr[keep]):
+            d[(int(x), int(y))] = d.get((int(x), int(y)), 0.0) + float(t)
+        return d
+
+    c0, c1 = conn_set(g0), conn_set(g1)
+    assert set(c0) == set(c1)
+    t0 = np.array([c0[k] for k in sorted(c0)])
+    t1 = np.array([c1[k] for k in sorted(c1)])
+    np.testing.assert_allclose(t0, t1, rtol=1e-12)
 
 
 def test_initial_state_and_first_step(case, grid):
@@ -77,9 +126,9 @@ def test_fault_compartmentalization():
     def run(case):
         sim = SimulatorFullyImplicitBlackoil(case)
         st = sim.run()
-        gi = np.asarray(sim.grid.global_cell)
-        i = gi % nx
-        p = np.asarray(st.pressure)
+        rc = sim.grid.real_cells
+        i = np.asarray(sim.grid.real_global_cell) % nx
+        p = np.asarray(st.pressure)[rc]
         return p[i < f1].mean(), p[i >= f1].mean(), sim
 
     wl_s, el_s, sim_s = run(case_s)
