@@ -51,7 +51,14 @@ def inv4x4(m):
         a, b = x[..., 0, 0], x[..., 0, 1]
         c, d = x[..., 1, 0], x[..., 1, 1]
         det = a * d - b * c
-        det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+        # regularize RELATIVE to the block scale: a (near-)singular block
+        # (e.g. a dead well's control row) gets a bounded pseudo-inverse
+        # instead of a ~1/eps garbage amplifier that wrecks the Krylov
+        # space for every other dof
+        scale = jnp.maximum(jnp.abs(a * d), jnp.abs(b * c))
+        floor = jnp.maximum(1e-10 * scale, 1e-300)
+        det = jnp.where(jnp.abs(det) >= floor,
+                        det, jnp.where(det < 0, -floor, floor))
         return jnp.stack([
             jnp.stack([d, -b], axis=-1),
             jnp.stack([-c, a], axis=-1)], axis=-2) / det[..., None, None]

@@ -111,18 +111,17 @@ class NonlinearSolver:
         self.solve_dtype = (jnp.float32 if jax.default_backend()
                             not in ("cpu",) else None)
         # fully-active cartesian grids get the gather-free structured path
-        # (stencil matvec + semicoarsened GMG). On CPU gathers are cheap
-        # and heavy-edge aggregation AMG converges in fewer iterations, so
-        # the structured pressure stage is TPU-only (OPM_TPU_GMG=0/1
-        # overrides).
+        # (stencil matvec + semicoarsened GMG) on every backend
+        # (OPM_TPU_GMG=0/1 overrides). Measured (SPE9 full schedule, CPU):
+        # GMG 123 Newtons / 2 failed substeps / 47 s vs aggregation AMG
+        # 149 / 7 / 62 s — the old "aggregation wins on CPU" default was
+        # wrong on hard systems (day-300 rate-cut class).
         import os as _os
 
         self._dims = (tuple(model.grid.dims)
                       if getattr(model.grid, "structured", False) else None)
         use_gmg = self._dims is not None and \
-            _os.environ.get("OPM_TPU_GMG",
-                            "1" if jax.default_backend() != "cpu"
-                            else "0") == "1"
+            _os.environ.get("OPM_TPU_GMG", "1") == "1"
         self._schur = _os.environ.get("OPM_TPU_SCHUR", "1") == "1"
         # f32 Krylov solve (reference singlePrecision path); f64 elsewhere
         self._f32_solve = _os.environ.get("OPM_TPU_F32_SOLVE", "0") == "1"
@@ -134,12 +133,15 @@ class NonlinearSolver:
                 from opm_tpu.parallel.schwarz import SchwarzGmg
 
                 mesh, ax = schwarz
-                self.amg = SchwarzGmg(tuple(model.grid.dims), mesh, ax,
-                                      model.grid.trans)
+                self.amg = SchwarzGmg(
+                    tuple(model.grid.dims), mesh, ax,
+                    model.grid.trans[:model.grid.nf_canonical])
             elif use_gmg:
                 from opm_tpu.linalg.gmg import StructuredGmg
 
-                self.amg = StructuredGmg(self._dims, model.grid.trans)
+                self.amg = StructuredGmg(
+                    self._dims,
+                    model.grid.trans[:model.grid.nf_canonical])
             else:
                 from opm_tpu.linalg.amg import build_hierarchy
 

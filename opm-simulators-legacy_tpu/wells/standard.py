@@ -174,6 +174,17 @@ def well_residuals(wd, qs, bhp, cq_s, control, target, *, resv_coef=None,
                                cq_s)
     is_bhp = (control == CTRL_BHP) | (control == CTRL_THP)
     rate_res = jnp.einsum("wp,wp->w", g, qs) - target
+    # a rate-controlled well that cannot flow AT ALL (every perforation
+    # clamped: zero flux AND zero bhp-sensitivity) has a structurally
+    # singular well block under ANY rate distribution — pin its control
+    # equation to the BHP limit instead (the reference operates unable
+    # wells at their pressure limit, updateWellControls/aliveWells,
+    # BlackoilModelBase_impl.hpp:838-997). Threshold is relative to the
+    # target so near-zero trickles (~1e-6 of target) count as dead too.
+    tot_flow = jnp.sum(jnp.abs(jnp.sum(cq_s, axis=1)), axis=1)
+    is_rate = jnp.sum(jnp.abs(g), axis=1) > 0
+    dead_all = is_rate & (tot_flow
+                          <= jnp.maximum(1e-14, 1e-6 * jnp.abs(target)))
     bhp_target = target
     if vfp is not None:
         tables, slot, dp_corr = vfp
@@ -184,6 +195,7 @@ def well_residuals(wd, qs, bhp, cq_s, control, target, *, resv_coef=None,
         is_thp = control == CTRL_THP
         bhp_target = jnp.where(is_thp, bhp_vfp, target)
     ctrl_res = jnp.where(is_bhp, bhp - bhp_target, rate_res)
+    ctrl_res = jnp.where(dead_all, bhp - wd["bhp_limit"], ctrl_res)
     # closed wells: pin rates to zero and bhp to the limit
     closed = ~wd["open"].astype(bool)
     flux_res = jnp.where(closed[:, None], qs, flux_res)
