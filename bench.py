@@ -245,7 +245,9 @@ def main():
     out.update(run_phase("spe1", 2400))
     out.update(run_phase("spe1cpu", 2400, cpu=True))
     out.update(run_phase("spe9", 2400))
-    out.update(run_phase("norne", 2400))
+    # norne's 113k fused-substep program costs ~19 min to compile COLD
+    # through the tunnel (~2-3 min executable reload warm)
+    out.update(run_phase("norne", 3600))
     out.update(run_phase("spe10", 1800))
     out.update(run_phase("spe10e2e", 2400))
 
