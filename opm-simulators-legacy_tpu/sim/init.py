@@ -13,6 +13,8 @@ SGAS/RS arrays (/root/reference/opm/core/simulator/initState.hpp:76-218).
 
 from __future__ import annotations
 
+from contextlib import nullcontext
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +24,23 @@ from opm_tpu.utils.tables import interp
 from opm_tpu.wells.wells import CTRL_BHP
 
 _NZ = 2000  # column resolution
+
+
+def _equil_device_ctx():
+    """Pin the equilibration's eager jnp work to the host CPU backend.
+
+    EQUIL is O(nc) latency-bound setup: hundreds of tiny ops (column scans,
+    interps, capillary inversions). On a tunneled TPU each eager dispatch
+    costs ~0.5-1 s of round-trip, so a 113k-cell init took ~2 minutes of
+    wall time for milliseconds of compute. All results are pulled back to
+    numpy and only the finished state is shipped to the accelerator, so the
+    physics is identical (tests run this exact code on CPU already)."""
+    if jax.default_backend() == "cpu":
+        return nullcontext()
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:
+        return nullcontext()
 
 
 def _integrate_column(z_grid, z0, p0, rho_fn):
@@ -181,62 +200,73 @@ def initial_state(grid, props, case, nw: int) -> BlackoilState:
     (FlowMain.hpp:594-694 setupState)."""
     nc = grid.nc
     sol = case.solution
-    if sol.pressure is not None:
-        p = np.asarray(sol.pressure)[grid.global_cell]
-        sw = np.asarray(sol.swat)[grid.global_cell] if sol.swat is not None \
-            else np.zeros(nc)
-        sg = np.asarray(sol.sgas)[grid.global_cell] if sol.sgas is not None \
-            else np.zeros(nc)
-        rs = np.asarray(sol.rs)[grid.global_cell] if sol.rs is not None \
-            else np.asarray(props.rs_sat(jnp.asarray(p), grid.pvtnum))
-        rv = np.asarray(sol.rv)[grid.global_cell] if sol.rv is not None \
-            else np.zeros(nc)
-    elif sol.equil:
-        p = np.zeros(nc)
-        sw = np.zeros(nc)
-        sg = np.zeros(nc)
-        rs = np.zeros(nc)
-        rv = np.zeros(nc)
-        eql = grid.eqlnum
-        for ireg, rec in enumerate(sol.equil):
-            cells = np.nonzero(np.asarray(eql) == ireg)[0]
-            if len(cells) == 0:
-                continue
-            rsvd = sol.rsvd[ireg] if ireg < len(sol.rsvd) else None
-            rvvd = sol.rvvd[ireg] if ireg < len(sol.rvvd) else None
-            pbvd = sol.pbvd[ireg] if ireg < len(sol.pbvd) else None
-            pdvd = sol.pdvd[ireg] if ireg < len(sol.pdvd) else None
-            po_c, sw_c, sg_c, rs_c, rv_c = equilibrate_region(
-                grid, props, rec, cells, rsvd=rsvd, rvvd=rvvd, pdvd=pdvd,
-                pbvd=pbvd)
-            p[cells] = po_c
-            sw[cells] = sw_c
-            sg[cells] = sg_c
-            rs[cells] = rs_c
-            rv[cells] = rv_c
-    else:
-        raise ValueError("deck has neither EQUIL nor explicit initial state")
+    pcw_mult = None
+    with _equil_device_ctx():
+        if sol.pressure is not None:
+            p = np.asarray(sol.pressure)[grid.global_cell]
+            sw = np.asarray(sol.swat)[grid.global_cell] \
+                if sol.swat is not None else np.zeros(nc)
+            sg = np.asarray(sol.sgas)[grid.global_cell] \
+                if sol.sgas is not None else np.zeros(nc)
+            rs = np.asarray(sol.rs)[grid.global_cell] \
+                if sol.rs is not None \
+                else np.asarray(props.rs_sat(jnp.asarray(p),
+                                             jnp.asarray(grid.pvtnum)))
+            rv = np.asarray(sol.rv)[grid.global_cell] \
+                if sol.rv is not None else np.zeros(nc)
+        elif sol.equil:
+            p = np.zeros(nc)
+            sw = np.zeros(nc)
+            sg = np.zeros(nc)
+            rs = np.zeros(nc)
+            rv = np.zeros(nc)
+            eql = grid.eqlnum
+            for ireg, rec in enumerate(sol.equil):
+                cells = np.nonzero(np.asarray(eql) == ireg)[0]
+                if len(cells) == 0:
+                    continue
+                rsvd = sol.rsvd[ireg] if ireg < len(sol.rsvd) else None
+                rvvd = sol.rvvd[ireg] if ireg < len(sol.rvvd) else None
+                pbvd = sol.pbvd[ireg] if ireg < len(sol.pbvd) else None
+                pdvd = sol.pdvd[ireg] if ireg < len(sol.pdvd) else None
+                po_c, sw_c, sg_c, rs_c, rv_c = equilibrate_region(
+                    grid, props, rec, cells, rsvd=rsvd, rvvd=rvvd,
+                    pdvd=pdvd, pbvd=pbvd)
+                p[cells] = po_c
+                sw[cells] = sw_c
+                sg[cells] = sg_c
+                rs[cells] = rs_c
+                rv[cells] = rv_c
+        else:
+            raise ValueError(
+                "deck has neither EQUIL nor explicit initial state")
 
-    # SWATINIT: honor the given initial water saturation by scaling the
-    # capillary curve per cell (setSwatInitScaling,
-    # BlackoilPropsAdFromDeck.hpp + FlowMain.hpp:594-694 setupState)
-    if "SWATINIT" in case.grid_arrays and sol.equil and \
-            props.satfunc is not None:
-        swinit = np.asarray(case.grid_arrays["SWATINIT"])[grid.global_cell]
-        sf = props.satfunc
-        reg = jnp.asarray(grid.satnum)
-        swco = np.asarray(sf.swco)[np.asarray(grid.satnum)]
-        swi = np.clip(swinit, swco, 1.0)
-        # equilibrium pc (= pcow at the equilibrated sw, by construction of
-        # the capillary inversion) vs the table pc at sw = swatinit
-        pc_eff = np.asarray(
-            sf.capillary(jnp.asarray(sw), jnp.asarray(sg), reg)[0])
-        pc_tab = np.asarray(
-            sf.capillary(jnp.asarray(swi), jnp.asarray(sg), reg)[0])
-        good = (np.abs(pc_tab) > 1e-12) & (pc_eff > 0) & (swi < 1.0)
-        factor = np.where(good, pc_eff / np.where(good, pc_tab, 1.0), 1.0)
-        sw = np.where(good, swi, sw)
-        sf.pcw_mult = jnp.asarray(factor)
+        # SWATINIT: honor the given initial water saturation by scaling the
+        # capillary curve per cell (setSwatInitScaling,
+        # BlackoilPropsAdFromDeck.hpp + FlowMain.hpp:594-694 setupState)
+        if "SWATINIT" in case.grid_arrays and sol.equil and \
+                props.satfunc is not None:
+            swinit = np.asarray(
+                case.grid_arrays["SWATINIT"])[grid.global_cell]
+            sf = props.satfunc
+            reg = jnp.asarray(grid.satnum)
+            swco = np.asarray(sf.swco)[np.asarray(grid.satnum)]
+            swi = np.clip(swinit, swco, 1.0)
+            # equilibrium pc (= pcow at the equilibrated sw, by construction
+            # of the capillary inversion) vs the table pc at sw = swatinit
+            pc_eff = np.asarray(
+                sf.capillary(jnp.asarray(sw), jnp.asarray(sg), reg)[0])
+            pc_tab = np.asarray(
+                sf.capillary(jnp.asarray(swi), jnp.asarray(sg), reg)[0])
+            good = (np.abs(pc_tab) > 1e-12) & (pc_eff > 0) & (swi < 1.0)
+            factor = np.where(good, pc_eff / np.where(good, pc_tab, 1.0),
+                              1.0)
+            sw = np.where(good, swi, sw)
+            pcw_mult = factor
+    if pcw_mult is not None:
+        # assign OUTSIDE the CPU context: the multiplier is closed over by
+        # jit traces and must stay an uncommitted default-device array
+        props.satfunc.pcw_mult = jnp.asarray(pcw_mult)
 
     hc = init_hcstate(jnp.asarray(sw), jnp.asarray(sg),
                       disgas=props.disgas, vapoil=props.vapoil)

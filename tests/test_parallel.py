@@ -192,8 +192,9 @@ def test_schwarz_gmg_preconditioned_solve(mesh8, dims):
     assert bool(res.converged)
     assert np.allclose(np.asarray(res.x), np.asarray(res_ref.x),
                        rtol=1e-7, atol=1e-9 * float(jnp.abs(res_ref.x).max()))
-    # interface error costs iterations but stays the same order
-    assert int(res.iterations) < 6 * max(int(res_ref.iterations), 1)
+    # the one-ghost-layer RAS overlap holds the interface-error cost to a
+    # small multiple of the global hierarchy (zero overlap measured ~2.1x)
+    assert int(res.iterations) < 2 * max(int(res_ref.iterations), 1) + 4
 
 
 def test_schwarz_cpr_newton_increment(mesh8):
