@@ -92,10 +92,15 @@ def inv3x3_t(m):
                       for i_ in range(3)])
 
 
-def block_jacobi(sys: linearize.BlockSystem):
-    """v -> (Dinv_cell r_cell, Dinv_well r_well)."""
+def block_jacobi(sys: linearize.BlockSystem, dtype=None):
+    """v -> (Dinv_cell r_cell, Dinv_well r_well). The inverses are formed
+    at the incoming precision (f64 on the hot path — the det guards
+    underflow in f32) and optionally stored/applied at `dtype`."""
     dinv = inv3x3_t(sys.diag)
     winv = inv4x4(sys.wd_diag)
+    if dtype is not None:
+        dinv = dinv.astype(dtype)
+        winv = winv.astype(dtype)
 
     def apply(v):
         rc, rw = v          # rc: (3, nc)
@@ -162,6 +167,33 @@ def _pressure_off_for(amg, off_p, dims):
     return jnp.concatenate([off_p[:nfc], off_p[nf_all:nf_all + nfc]])
 
 
+def _f32_knob():
+    """OPM_TPU_CPR_F32=1: run the WHOLE preconditioner apply (pressure
+    V-cycle + block smoothing) in float32. The preconditioner only shapes
+    the Krylov space — the f64 operator/residual still define convergence —
+    so this trades (at most) a few extra BiCGStab iterations for ~2x
+    arithmetic and bandwidth on TPU, where f64 is software-emulated.
+    Default off; flipped per-backend after on-device A/B (see bench)."""
+    import os as _os
+
+    v = _os.environ.get("OPM_TPU_CPR_F32", "auto")
+    if v == "auto":
+        import jax as _jax
+
+        try:
+            return _jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+    return v == "1"
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
 def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
                    dims=None):
     """CPR preconditioner for the WELL-ELIMINATED (cells-only) system:
@@ -182,11 +214,19 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     # smoothing: two masked half-sweeps on the checkerboard coloring,
     # all stencil arithmetic, no triangular solves)
     smoother = _os.environ.get("OPM_TPU_CPR_SMOOTHER", "jacobi")
+    f32 = _f32_knob()
     w = cpr_weights(sys)
     diag_p, off_p = cpr_pressure_system(sys, w)
     vals = amg.coarsen_values(diag_p, _pressure_off_for(amg, off_p, dims))
     dinv = inv3x3_t(sys.diag)
-    zero_w = jnp.zeros((sys.nw, 4))
+    if f32:
+        # weights/hierarchy/inverses built in f64 (Galerkin sums and block
+        # inverses are cancellation-prone), then stored and applied in f32
+        w = w.astype(jnp.float32)
+        vals = _cast_tree(vals, jnp.float32)
+        dinv = dinv.astype(jnp.float32)
+        sys = _cast_tree(sys, jnp.float32)
+    zero_w = jnp.zeros((sys.nw, 4), sys.diag.dtype)
     red = None
     if smoother == "rbgs" and dims is not None:
         import numpy as _np
@@ -204,7 +244,12 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
         except TypeError:   # preconditioners without pre/post knobs
             return amg.vcycle(vals, rp)
 
+    if red is not None and f32:
+        red = red.astype(jnp.float32)
+
     def apply(rc):
+        out_dtype = rc.dtype
+        rc = rc.astype(sys.diag.dtype)
         rp = jnp.sum(w * rc, axis=0)
         dp = vcyc(rp)
         xc = jnp.zeros_like(rc).at[0].set(dp)
@@ -218,7 +263,7 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
             else:
                 ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)
                 xc = xc + linearize._bapply(dinv, rc - ac)
-        return xc
+        return xc.astype(out_dtype)
 
     return apply
 
@@ -243,10 +288,15 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
         smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "2"))
     pre = int(_os.environ.get("OPM_TPU_GMG_PRE", "1"))
     post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
+    f32 = _f32_knob()
     w = cpr_weights(sys)
     diag_p, off_p = cpr_pressure_system(sys, w)
     vals = amg.coarsen_values(diag_p, _pressure_off_for(amg, off_p, dims))
-    bj = block_jacobi(sys)
+    bj = block_jacobi(sys, dtype=jnp.float32 if f32 else None)
+    if f32:
+        w = w.astype(jnp.float32)
+        vals = _cast_tree(vals, jnp.float32)
+        sys = _cast_tree(sys, jnp.float32)
 
     def vcyc(rp):
         try:
@@ -256,6 +306,9 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
 
     def apply(v):
         rc, rw = v          # rc: (3, nc)
+        out_dtype = rc.dtype
+        rc = rc.astype(sys.diag.dtype)
+        rw = rw.astype(sys.diag.dtype)
         # stage 1: pressure correction
         rp = jnp.sum(w * rc, axis=0)
         dp = vcyc(rp)
@@ -267,6 +320,6 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
             sc, sw_ = bj((rc - ac, rw - aw))
             xc = xc + sc
             xw = xw + sw_
-        return (xc, xw)
+        return (xc.astype(out_dtype), xw.astype(out_dtype))
 
     return apply

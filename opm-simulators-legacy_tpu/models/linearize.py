@@ -503,10 +503,17 @@ def well_apply_C(sys: BlockSystem, v_well):
     return jnp.zeros((3, nc), v_well.dtype).at[:, pc_f].add(cw_add.T)
 
 
-def schur_eliminate_wells(sys: BlockSystem, dims=None):
+def schur_eliminate_wells(sys: BlockSystem, dims=None, op_dtype=None):
     """Schur-eliminate the well unknowns (the reference's eliminateVariable
     on well_flux_eq + well_eq, NewtonIterationUtilities.cpp:45-128: per-well
     dense solve of D, reduced cell system A - C D^-1 B).
+
+    op_dtype: optional storage/arithmetic dtype for the reduced OPERATOR
+    only (mixed-precision Krylov: the matvec runs at op_dtype — f32 is
+    ~1e-7 relative error per apply, far below the 1e-2 linear reduction
+    target — while the rhs, Krylov recurrence vectors/dots, and the
+    recover step stay f64). The block inverses are always formed in f64
+    (their det guards underflow in f32) and cast after.
 
     Returns (matvec_cells(v_cell) closure over the reduced operator,
     reduced rhs (3, nc), recover(x_cell) -> x_well closure)."""
@@ -517,17 +524,28 @@ def schur_eliminate_wells(sys: BlockSystem, dims=None):
     def dinv_apply(rw):
         return jnp.einsum("wij,wj->wi", Dinv, rw)
 
-    def reduced_matvec(v_cell):
-        out_c = matvec(sys, v_cell,
-                       jnp.zeros((sys.nw, 4), v_cell.dtype), dims=dims)[0]
-        w = dinv_apply(well_apply_B(sys, v_cell))
-        return out_c - well_apply_C(sys, w)
-
     rhs = sys.r_cell - well_apply_C(sys, dinv_apply(sys.r_well))
 
     def recover(x_cell):
         """x_w = D^-1 (r_w - B x_c) (recoverVariable, :134-184)."""
         return dinv_apply(sys.r_well - well_apply_B(sys, x_cell))
+
+    if op_dtype is None:
+        sys_op, Dinv_op = sys, Dinv
+    else:
+        sys_op = jax.tree.map(
+            lambda a: (a.astype(op_dtype)
+                       if jnp.issubdtype(a.dtype, jnp.floating) else a),
+            sys)
+        Dinv_op = Dinv.astype(op_dtype)
+
+    def reduced_matvec(v_cell):
+        out_dt = v_cell.dtype
+        v = v_cell.astype(sys_op.diag.dtype)
+        out_c = matvec(sys_op, v,
+                       jnp.zeros((sys_op.nw, 4), v.dtype), dims=dims)[0]
+        w = jnp.einsum("wij,wj->wi", Dinv_op, well_apply_B(sys_op, v))
+        return (out_c - well_apply_C(sys_op, w)).astype(out_dt)
 
     return reduced_matvec, rhs, recover
 

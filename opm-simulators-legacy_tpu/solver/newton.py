@@ -29,6 +29,22 @@ from opm_tpu.solver.update import update_state
 from opm_tpu.wells import standard as stdwells
 
 
+def _matvec_f32_knob():
+    """OPM_TPU_MATVEC_F32: run the Krylov OPERATOR matvec in f32 (matrix
+    blocks stored/applied at f32; rhs, recurrence vectors and dot products
+    stay f64). 'auto' (default) = on when the backend is a real
+    accelerator (f64 there is software-emulated), off on CPU."""
+    import os as _os
+
+    v = _os.environ.get("OPM_TPU_MATVEC_F32", "auto")
+    if v == "auto":
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+    return v == "1"
+
+
 def dense_solve(J, r, dtype=None):
     """Dense LU solve with symmetric row/column equilibration.
 
@@ -234,9 +250,16 @@ class NonlinearSolver:
                 lambda a: (a.astype(jnp.float32)
                            if jnp.issubdtype(a.dtype, jnp.floating) else a),
                 sys)
+        # mixed-precision Krylov operator (OPM_TPU_MATVEC_F32, default on
+        # for TPU where f64 is software-emulated): the matvec runs in f32,
+        # the rhs / recurrence vectors / dot products stay f64 — an
+        # f32-accurate operator apply (~1e-7 rel) is far inside the 1e-2
+        # linear reduction target. Distinct from OPM_TPU_F32_SOLVE (whole
+        # solve in f32, measured to destabilize SPE10-scale runs).
+        op_dtype = jnp.float32 if _matvec_f32_knob() else None
         if self._schur:
             mv, rhs, recover = linearize.schur_eliminate_wells(
-                sys, dims=self._dims)
+                sys, dims=self._dims, op_dtype=op_dtype)
             M = make_cpr_cells(sys, self.amg, dims=self._dims)
             res = krylov(mv, rhs, precond=M, tol=self.linear_tol,
                          maxiter=self.linear_maxiter)
@@ -244,8 +267,20 @@ class NonlinearSolver:
             du_w = recover(du_c)
         else:
             M = make_cpr(sys, self.amg, dims=self._dims)
+            sys_op = sys if op_dtype is None else jax.tree.map(
+                lambda a: (a.astype(op_dtype)
+                           if jnp.issubdtype(a.dtype, jnp.floating) else a),
+                sys)
+
+            def full_mv(v):
+                vc, vw = v
+                oc, ow = linearize.matvec(
+                    sys_op, vc.astype(sys_op.diag.dtype),
+                    vw.astype(sys_op.diag.dtype), dims=self._dims)
+                return oc.astype(vc.dtype), ow.astype(vw.dtype)
+
             res = krylov(
-                lambda v: linearize.matvec(sys, *v, dims=self._dims),
+                full_mv,
                 (sys.r_cell, sys.r_well), precond=M,
                 tol=self.linear_tol, maxiter=self.linear_maxiter)
             du_c, du_w = res.x      # du_c: (3, nc)
