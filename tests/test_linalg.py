@@ -346,3 +346,45 @@ def test_linear_solver_factory_csr():
         x, rep = f.solve(ia, ja, sa, b)
         assert rep.converged, (solver, pc, rep)
         assert np.allclose(np.asarray(x), x_true, atol=1e-6), (solver, pc)
+
+
+def test_mixed_precision_solve_matches_f64(spe1_system, monkeypatch):
+    """OPM_TPU_MATVEC_F32 / OPM_TPU_CPR_F32 (the TPU defaults): the f32
+    operator + f32 preconditioner must produce a Newton increment equal to
+    the all-f64 solve within the linear tolerance — the preconditioner only
+    shapes the Krylov space and an f32 matvec is ~1e-7 exact, both far
+    inside the 1e-2 reduction target (solver/newton.py _solve_cpr)."""
+    from opm_tpu.linalg.gmg import StructuredGmg
+    from opm_tpu.linalg.precond import make_cpr_cells
+    from opm_tpu.models import linearize
+
+    model, state, acc0, dt, wd, cdp, sys = spe1_system
+    dims = tuple(model.grid.dims)
+    amg = StructuredGmg(dims, trans=model.grid.trans)
+
+    mv64, rhs, recover64 = linearize.schur_eliminate_wells(sys, dims=dims)
+    monkeypatch.setenv("OPM_TPU_CPR_F32", "0")
+    M64 = make_cpr_cells(sys, amg, dims=dims)
+    ref = bicgstab(mv64, rhs, precond=M64, tol=1e-6, maxiter=200)
+    assert bool(ref.converged)
+
+    mv32, rhs32, recover32 = linearize.schur_eliminate_wells(
+        sys, dims=dims, op_dtype=jnp.float32)
+    # operator output dtype must match the f64 Krylov vectors
+    probe = mv32(rhs32)
+    assert probe.dtype == rhs32.dtype
+    monkeypatch.setenv("OPM_TPU_CPR_F32", "1")
+    M32 = make_cpr_cells(sys, amg, dims=dims)
+    mixed = bicgstab(mv32, rhs32, precond=M32, tol=1e-6, maxiter=200)
+    assert bool(mixed.converged)
+    # same solution to (well past) the solve tolerance
+    scale = np.abs(np.asarray(ref.x)).max()
+    assert np.allclose(np.asarray(mixed.x), np.asarray(ref.x),
+                       atol=1e-4 * scale)
+    # no blow-up in iteration count from the f32 preconditioner
+    assert int(mixed.iterations) <= int(ref.iterations) + 10
+    # recovered well increments agree too
+    w_ref = np.asarray(recover64(ref.x))
+    w_mix = np.asarray(recover32(mixed.x))
+    wscale = np.abs(w_ref).max() + 1e-30
+    assert np.allclose(w_mix, w_ref, atol=1e-3 * wscale)
