@@ -91,3 +91,31 @@ def test_oil_component_mass_conservation(run):
     gas_int = np.trapezoid(np.concatenate([[fgpr[0]], fgpr]), tt)
     produced_gas = fip0[2] - fip_end[2]
     assert gas_int == pytest.approx(produced_gas, rel=1e-3)
+
+
+def test_spe3_deck_file_loads_and_matches_synthetic():
+    """data/SPE3.DATA (the on-disk ECL deck for this regression class) must
+    parse to the same case the synthetic generator builds: same grid,
+    VAPOIL phase config, PVTG table shape, and EQUIL/RVVD records."""
+    import os
+
+    from opm_tpu.io.eclstate import load_case
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "SPE3.DATA")
+    case_f = load_case(path)
+    case_s = spe3like_case()
+    assert case_f.runspec.dims == case_s.runspec.dims == (9, 9, 4)
+    assert case_f.runspec.phases == case_s.runspec.phases
+    assert case_f.runspec.vapoil and not case_f.runspec.disgas
+    import jax
+
+    leaves_f = jax.tree.leaves(case_f.tables["PVTG"])
+    leaves_s = jax.tree.leaves(case_s.tables["PVTG"])
+    assert len(leaves_f) == len(leaves_s)
+    for a, b in zip(leaves_f, leaves_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    eq_f, eq_s = case_f.solution.equil[0], case_s.solution.equil[0]
+    assert eq_f == eq_s
+    np.testing.assert_allclose(case_f.solution.rvvd[0],
+                               case_s.solution.rvvd[0])
