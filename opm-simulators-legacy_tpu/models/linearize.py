@@ -48,12 +48,30 @@ _EYE_GX[2, 2] = 1.0
 
 
 def degenerate_x_mask(model, state):
-    """1.0 where the cell holds no hydrocarbon (so = sg = 0), i.e. the x
-    variable (rs/rv/sg) has no equation."""
-    from opm_tpu.models.state import saturations
+    """Continuous regularization weight in [0, 1] for the (gas-eq, x)
+    diagonal of cells whose x variable is losing its equation.
+
+    In an rs-variable cell (HC_OILONLY) the gas-equation x-column scales
+    with so (pv*bo*so/dt); in an rv cell (HC_GASONLY) with sg. As the
+    scaling saturation -> 0 the diagonal block becomes numerically
+    singular LONG before it is exactly zero: at so ~ 1e-8 (a water-swept
+    SPE9 cell) the block's third singular value is ~5e-13 of the first,
+    the block-Jacobi inverse and the quasi-IMPES weights blow up to
+    ~1e12, and CPR-BiCGStab convergence becomes a roundoff coin-flip
+    (stalls at any dt). A binary so/sg <= 1e-10 test misses the whole
+    (1e-10, 1e-5) band, so blend the pv/dt regularizer in continuously:
+    weight = clip(1 - s_scaling/1e-5, 0, 1). Only the Jacobian is touched
+    (Newton direction for a physically irrelevant x), never the residual.
+    sg-variable cells (HC_GASOIL) keep their well-scaled pv*bg/dt diagonal
+    and get no extra term."""
+    from opm_tpu.models.state import (HC_GASONLY, HC_OILONLY, saturations)
 
     sw, so, sg = saturations(state)
-    return ((so <= 1e-10) & (sg <= 1e-10)).astype(state.pressure.dtype)
+    is_rs = state.hcstate == HC_OILONLY
+    is_rv = state.hcstate == HC_GASONLY
+    s_scale = jnp.where(is_rs, so, jnp.where(is_rv, sg,
+                                             jnp.ones_like(so)))
+    return jnp.clip(1.0 - s_scale / 1e-5, 0.0, 1.0)
 
 
 class BlockSystem(NamedTuple):

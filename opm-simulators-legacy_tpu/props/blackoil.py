@@ -25,6 +25,21 @@ from opm_tpu.props.satfunc import SatFuncFamily1
 WATER, OIL, GAS = 0, 1, 2
 
 
+def _inert_gas_pvt():
+    """Placeholder gas PVT for two-phase (water-oil) decks.
+
+    The reference's BlackoilModelBase supports active-phase subsets (np=2
+    oil-water: the spe1_2p regression class, compareECLFiles.cmake:93-98;
+    phase usage from the deck, BlackoilPropsAdFromDeck). Here the model
+    always carries three equations; with no GAS in RUNSPEC the gas
+    saturation is identically zero (init_hcstate -> HC_GASOIL, x = sg;
+    krg(0) = 0 from the trivial synthesized SGOF; no gas source), so the
+    gas mass-balance row reduces to pv*bg/dt * dsg = 0 and keeps sg = 0
+    exactly. Any positive constant b works: B = 1, mu = 0.02 cp."""
+    return DeadPVT.from_tables(
+        [np.array([[1.0e5, 1.0, 2.0e-5], [1.0e8, 1.0, 2.0e-5]])])
+
+
 @dataclass
 class BlackoilProps:
     phases: tuple                 # subset of ("WATER","OIL","GAS")
@@ -61,7 +76,10 @@ class BlackoilProps:
                     if "PVCDO" in t else None),
             oil_live=(LiveOilPVT.from_tables(t["PVTO"])
                       if "PVTO" in t else None),
-            gas_dead=DeadPVT.from_tables(t["PVDG"]) if "PVDG" in t else None,
+            gas_dead=(DeadPVT.from_tables(t["PVDG"]) if "PVDG" in t
+                      else _inert_gas_pvt()
+                      if "GAS" not in rs.phases and "PVTG" not in t
+                      else None),
             gas_wet=WetGasPVT.from_tables(t["PVTG"]) if "PVTG" in t else None,
             rock=(RockTabPVT.from_tables(t["ROCKTAB"])
                   if "ROCKTAB" in t else

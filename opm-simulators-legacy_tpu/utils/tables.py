@@ -6,6 +6,17 @@ linear interpolation plus hand-coded derivative columns (e.g.
 Here a single vectorized, `jax.grad`-compatible interpolation primitive serves
 every table; derivatives come from AD.
 
+TPU note: the classic bracket (searchsorted) + gather formulation makes every
+table lookup a dynamic gather — the slowest primitive on the hardware, and
+the dominant cost of residual assembly at SPE10 scale (measured 33 of 36 ms
+at 132k cells). Deck tables are SMALL (PVT/satfunc: 2-64 rows), so lookups
+are instead evaluated GATHER-FREE: per-segment membership indicators
+(x in [xs[k], xs[k+1])) select the one active segment and the result is a
+sum of masked per-segment contributions — O(n_rows) vector flops, zero
+gathers, bit-identical values to the bracket formulation (the active segment
+computes the same (1-t)*y0 + t*y1; inactive segments add exact zeros).
+Tables larger than _GATHER_FREE_MAX_SEGMENTS keep the bracket path.
+
 All functions support *batched tables*: if ``xs`` has shape (..., n) with
 leading dims broadcast against the query ``x``, each query point uses its own
 table row — this is how per-cell PVT/SATNUM region selection works (gather
@@ -16,6 +27,10 @@ no data-dependent control flow.
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+# tables with more segments than this use the searchsorted+gather path
+# (deck PVT/satfunc tables are far below it; only synthetic mega-tables hit it)
+_GATHER_FREE_MAX_SEGMENTS = 64
 
 
 def _bracket_batched(xs, x):
@@ -30,6 +45,55 @@ def _take(ys, i):
     return jnp.take_along_axis(ys, i[..., None], axis=-1)[..., 0]
 
 
+def _segments(xs, x, extrap):
+    """Per-segment membership + local coordinate, gather-free.
+
+    xs: (..., n) broadcastable against x (...). Returns (ind, t), both
+    (..., n-1): ind boolean, exactly one True per query (the segment with
+    xs[k] <= x < xs[k+1]; queries below/above the table activate the
+    first/last segment — same clamping as the bracket path's index clip);
+    t the unclamped local coordinate, clipped to [0,1] for extrap='clamp'.
+    Degenerate (zero-width, padded-row) segments are never active."""
+    lo = xs[..., :-1]
+    hi = xs[..., 1:]
+    xq = x[..., None]
+    ind = (xq >= lo) & (xq < hi)
+    below = jnp.all(xq < xs, axis=-1, keepdims=True)
+    above = jnp.all(xq >= xs, axis=-1, keepdims=True)
+    # below/above the table: activate segment 0 / segment n-2, exactly the
+    # bracket path's index clip (for padded multi-region tables the last
+    # segment is a zero-width duplicate row, so 'above' degenerates to the
+    # clamped last value — matching the legacy behavior bit-for-bit)
+    width = hi - lo
+    first = jnp.zeros_like(ind).at[..., 0].set(True)
+    last = jnp.zeros_like(ind).at[..., -1].set(True)
+    ind = ind | (below & first) | (above & last)
+    t = (xq - lo) / jnp.where(width == 0, 1.0, width)
+    if extrap == "clamp":
+        t = jnp.clip(t, 0.0, 1.0)
+    return ind, t
+
+
+def _node_basis(xs, x, extrap):
+    """Hat-function node weights B: (..., n); exactly two non-zero
+    (B[k] = 1-t, B[k+1] = t for the active segment). Linear extrapolation
+    comes out naturally from the unclamped t of the end segments."""
+    ind, t = _segments(xs, x, extrap)
+    wl = jnp.where(ind, 1.0 - t, 0.0)
+    wr = jnp.where(ind, t, 0.0)
+    pad = [(0, 0)] * (wl.ndim - 1)
+    return jnp.pad(wl, pad + [(0, 1)]) + jnp.pad(wr, pad + [(1, 0)])
+
+
+def _interp_segsum(xs, ys, x, extrap):
+    ind, t = _segments(xs, x, extrap)
+    y0 = ys[..., :-1]
+    y1 = ys[..., 1:]
+    seg = jnp.where(ind, (1.0 - t) * y0 + t * y1, 0.0)
+    # 0*x keeps NaN queries NaN (masked sums would silently yield 0)
+    return jnp.sum(seg, axis=-1) + 0.0 * x
+
+
 def interp(xs, ys, x, *, extrap: str = "linear"):
     """Piecewise-linear interpolation of ys(xs) at x.
 
@@ -40,6 +104,9 @@ def interp(xs, ys, x, *, extrap: str = "linear"):
     xs = jnp.asarray(xs)
     ys = jnp.asarray(ys)
     x = jnp.asarray(x)
+    if xs.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS:
+        xs, ys = jnp.broadcast_arrays(xs, ys)
+        return _interp_segsum(xs, ys, x, extrap)
     if xs.ndim == 1:
         i = jnp.clip(jnp.searchsorted(xs, x, side="right") - 1, 0,
                      xs.shape[0] - 2)
@@ -60,6 +127,10 @@ def interp_multi(xs, ys_cols, x, *, extrap: str = "linear"):
     """Interpolate several columns sharing one abscissa; ys_cols: (n, ncol)."""
     xs = jnp.asarray(xs)
     ys = jnp.asarray(ys_cols)
+    if xs.ndim == 1 and xs.shape[0] - 1 <= _GATHER_FREE_MAX_SEGMENTS:
+        B = _node_basis(xs, x, extrap)          # (..., n)
+        out = jnp.einsum("...n,nc->...c", B, ys)
+        return out + 0.0 * x[..., None]
     i = jnp.clip(jnp.searchsorted(xs, x, side="right") - 1, 0,
                  xs.shape[0] - 2)
     x0 = xs[i]
@@ -81,6 +152,19 @@ def interp2(xs, ys, zgrid, x, y, *, extrap_x="linear", extrap_y="linear"):
     z = jnp.asarray(zgrid)
     x = jnp.asarray(x)
     y = jnp.asarray(y)
+    small = (xs.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS
+             and ys.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS)
+    if small:
+        # contract the y axis first (an MXU matmul for shared tables), then
+        # the x axis — zero gathers; ~1 ulp from the bracket formulation
+        # (different product grouping)
+        Bx = _node_basis(xs, x, extrap_x)        # (..., n)
+        By = _node_basis(ys, y, extrap_y)        # (..., m)
+        if z.ndim == 2:
+            v = jnp.einsum("...m,nm->...n", By, z)
+        else:
+            v = jnp.sum(By[..., None, :] * z, axis=-1)
+        return jnp.sum(Bx * v, axis=-1) + 0.0 * x + 0.0 * y
     if xs.ndim == 1 and ys.ndim == 1 and z.ndim == 2:
         i = jnp.clip(jnp.searchsorted(xs, x, side="right") - 1, 0,
                      xs.shape[0] - 2)

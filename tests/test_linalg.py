@@ -28,7 +28,9 @@ def test_inv4x4():
     m = jnp.asarray(rng.randn(7, 4, 4) + 4 * np.eye(4))
     inv = inv4x4(m)
     eye = jnp.einsum("nij,njk->nik", m, inv)
-    assert np.allclose(eye, np.eye(4), atol=1e-12)
+    # inv4x4 is a Tikhonov-regularized inverse (lam=1e-10 in the
+    # equilibrated metric) — exact to ~lam on well-conditioned blocks
+    assert np.allclose(eye, np.eye(4), atol=1e-8)
 
 
 def _laplacian_1d(n):
@@ -388,3 +390,38 @@ def test_mixed_precision_solve_matches_f64(spe1_system, monkeypatch):
     w_mix = np.asarray(recover32(mixed.x))
     wscale = np.abs(w_ref).max() + 1e-30
     assert np.allclose(w_mix, w_ref, atol=1e-3 * wscale)
+
+
+def test_inv4x4_healthy_and_rank_deficient():
+    """Equilibrated Tikhonov inv4x4 (precond.py): exact on healthy well
+    blocks (incl. bhp-in-Pa column scaling), bounded and consistent on
+    rank-deficient blocks (the SPE9 day-300 crossflow-circulation wells
+    whose three flux rows are parallel — raw pseudo-inverses hit ~1e27
+    and wrecked the Schur-reduced Krylov solve)."""
+    import numpy as np
+
+    from opm_tpu.linalg.precond import inv4x4
+
+    rng = np.random.default_rng(7)
+    # healthy: identity-dominated flux rows + control row, bhp col ~1e-7
+    healthy = np.eye(4) + 0.1 * rng.normal(size=(4, 4))
+    healthy[:, 3] *= 1e-7
+    healthy[3] = [0.0, -1.0, 0.0, 0.0]
+    # rank-deficient: three parallel flux rows (crossflow circulation)
+    v = np.array([219.0, 42.3, 1.02, -1.6e-7])
+    sick = np.stack([0.001 * v, -0.0008 * v, v,
+                     np.array([0.0, -1.0, 0.0, 0.0])])
+    m = jnp.asarray(np.stack([healthy, sick]))
+    inv = np.asarray(inv4x4(m))
+    # healthy block: a true inverse to ~lam/c_min = 1e-10/1e-7 = 1e-3
+    # relative (the documented tradeoff: lam strong enough to bound the
+    # sick blocks, invisible next to the 1e-2 linear reduction target)
+    err = np.abs(inv[0] @ healthy - np.eye(4)).max()
+    assert err < 2e-2, err
+    # sick block: NOT 1e25+ garbage; the pseudo-inverse must keep the
+    # equilibrated amplification bounded (raw floor-based inverse: ~1e27)
+    r = np.abs(sick).max(axis=1)
+    c = np.abs(sick / r[:, None]).max(axis=0)
+    equil_amp = np.abs(r[None, :] * inv[1] * c[:, None]).max()
+    assert equil_amp < 1e13, equil_amp  # ~1/lam; raw floors gave ~1e27
+    assert np.isfinite(inv).all()

@@ -47,3 +47,87 @@ def test_interp2_batched():
                    jnp.array([[0.0, 2.0], [4.0, 6.0]])])
     out = interp2(xs, ys, z, jnp.array([0.5, 0.5]), jnp.array([0.5, 0.5]))
     assert np.allclose(out, [1.5, 3.0])
+
+
+# ---- gather-free vs bracket-formulation equivalence --------------------
+# The TPU path evaluates small tables without gathers (segment-indicator
+# sums, utils/tables.py _segments); these pin it against the classic
+# searchsorted+gather formulation on random tables, extrapolation modes,
+# duplicate (padded) knots, batched tables, and AD derivatives.
+
+def _interp_bracket(xs, ys, x, extrap="linear"):
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
+    i = jnp.clip(jnp.searchsorted(xs, x, side="right") - 1, 0,
+                 xs.shape[0] - 2)
+    x0, x1 = xs[i], xs[i + 1]
+    y0, y1 = ys[i], ys[i + 1]
+    t = (x - x0) / jnp.where(x1 == x0, 1.0, x1 - x0)
+    if extrap == "clamp":
+        t = jnp.clip(t, 0.0, 1.0)
+    return y0 * (1.0 - t) + y1 * t
+
+
+@pytest.mark.parametrize("extrap", ["linear", "clamp"])
+def test_gather_free_matches_bracket(extrap):
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(np.sort(rng.uniform(0, 10, 17)))
+    ys = jnp.asarray(rng.normal(size=17))
+    x = jnp.asarray(rng.uniform(-3, 13, 5000))
+    # include exact knot hits and the table ends
+    x = jnp.concatenate([x, xs, xs[:1] - 1e-12, xs[-1:] + 1e-12])
+    out = interp(xs, ys, x, extrap=extrap)
+    ref = _interp_bracket(xs, ys, x, extrap=extrap)
+    assert np.allclose(out, ref, rtol=0, atol=0), "values must be bit-equal"
+
+
+def test_gather_free_padded_duplicate_knots():
+    # _pad_rows repeats the last row: degenerate end segments must clamp
+    xs = jnp.array([0.0, 1.0, 2.0, 2.0, 2.0])
+    ys = jnp.array([0.0, 10.0, 40.0, 40.0, 40.0])
+    x = jnp.array([-1.0, 0.5, 1.999, 2.0, 5.0])
+    out = interp(xs, ys, x)
+    ref = _interp_bracket(xs, ys, x)
+    assert np.allclose(out, ref, rtol=0, atol=0)
+    # above-table queries land on the last REAL segment's (degenerate ->
+    # clamped) value, exactly like the bracket path's clipped index
+    assert float(out[-1]) == pytest.approx(40.0)
+
+
+def test_gather_free_grad_matches_bracket():
+    xs = jnp.asarray(np.sort(np.random.default_rng(1).uniform(0, 1, 9)))
+    ys = jnp.asarray(np.random.default_rng(2).normal(size=9))
+    xq = np.linspace(-0.2, 1.2, 101)
+    g_new = jax.vmap(jax.grad(lambda x: interp(xs, ys, x)))(jnp.asarray(xq))
+    g_ref = jax.vmap(jax.grad(
+        lambda x: _interp_bracket(xs, ys, x)))(jnp.asarray(xq))
+    assert np.allclose(g_new, g_ref)
+
+
+def test_gather_free_interp2_matches():
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(np.sort(rng.uniform(0, 1, 7)))
+    ys = jnp.asarray(np.sort(rng.uniform(0, 1, 5)))
+    z = jnp.asarray(rng.normal(size=(7, 5)))
+    xq = jnp.asarray(rng.uniform(-0.2, 1.2, 400))
+    yq = jnp.asarray(rng.uniform(-0.2, 1.2, 400))
+    out = interp2(xs, ys, z, xq, yq)
+    # brute-force scalar reference
+    import numpy as _np
+
+    def ref1(xv, yv):
+        i = min(max(int(_np.searchsorted(xs, xv, side="right")) - 1, 0), 5)
+        j = min(max(int(_np.searchsorted(ys, yv, side="right")) - 1, 0), 3)
+        tx = (xv - xs[i]) / (xs[i + 1] - xs[i])
+        ty = (yv - ys[j]) / (ys[j + 1] - ys[j])
+        return ((1 - tx) * ((1 - ty) * z[i, j] + ty * z[i, j + 1])
+                + tx * ((1 - ty) * z[i + 1, j] + ty * z[i + 1, j + 1]))
+
+    ref = _np.array([ref1(float(a), float(b)) for a, b in zip(xq, yq)])
+    assert np.allclose(out, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_gather_free_nan_propagates():
+    xs = jnp.array([0.0, 1.0, 2.0])
+    ys = jnp.array([0.0, 10.0, 40.0])
+    assert bool(jnp.isnan(interp(xs, ys, jnp.asarray(float("nan")))))
