@@ -228,6 +228,18 @@ class DeviceAmg:
             off_c = jax.ops.segment_sum(kept, idx,
                                         num_segments=lv["rows_c"].shape[0])
             diag, off = diag_c, off_c
+        if self.coarsest_n <= 256:
+            # invert the dense coarsest ONCE per value coarsening (per
+            # Newton) so each V-cycle apply is one f32 matmul, not an LU
+            # solve per apply
+            cols_ell, _, n = self._ell_of(len(self.levels))
+            K = cols_ell.shape[0]
+            diag_l, ell_l = vals[-1]
+            A = jnp.zeros((n, n), diag_l.dtype)
+            A = A.at[jnp.arange(n), jnp.arange(n)].set(diag_l)
+            rows_e = jnp.tile(jnp.arange(n), K)
+            A = A.at[rows_e, cols_ell.reshape(-1)].add(ell_l.reshape(-1))
+            vals.append(jnp.linalg.inv(A.astype(jnp.float32)))
         return vals
 
     def _matvec(self, k, diag, ell_vals, x):
@@ -242,23 +254,17 @@ class DeviceAmg:
 
     def vcycle(self, vals, b, *, level=0, pre=1, post=1):
         diag, ell_vals = vals[level]
+        if level == len(self.levels):
+            # coarsest: precomputed f32 inverse (or extra Jacobi sweeps)
+            if self.coarsest_n <= 256:
+                Ainv = vals[-1]
+                return (Ainv @ b.astype(jnp.float32)).astype(b.dtype)
+            x = self._smooth(level, diag, ell_vals, jnp.zeros_like(b), b,
+                             iters=pre)
+            x = self._smooth(level, diag, ell_vals, x, b, iters=10)
+            return x
         x = self._smooth(level, diag, ell_vals, jnp.zeros_like(b), b,
                          iters=pre)
-        if level == len(self.levels):
-            # coarsest: a few extra Jacobi sweeps (or dense solve if tiny)
-            if self.coarsest_n <= 256:
-                cols_ell, _, n = self._ell_of(level)
-                K = cols_ell.shape[0]
-                A = jnp.zeros((n, n), b.dtype)
-                A = A.at[jnp.arange(n), jnp.arange(n)].set(diag)
-                rows_e = jnp.tile(jnp.arange(n), K)
-                A = A.at[rows_e, cols_ell.reshape(-1)].add(
-                    ell_vals.reshape(-1))
-                x = jnp.linalg.solve(A.astype(jnp.float32),
-                                     b.astype(jnp.float32)).astype(b.dtype)
-            else:
-                x = self._smooth(level, diag, ell_vals, x, b, iters=10)
-            return x
         lv = self.levels[level]
         r = b - self._matvec(level, diag, ell_vals, x)
         r_c = jax.ops.segment_sum(r, lv["agg"], num_segments=lv["n_coarse"])

@@ -243,7 +243,11 @@ class StructuredGmg:
                 diag3, offs = self._pad_level(diag3, offs, lv.axis)
             vals.append((diag3, offs))
             diag3, offs = self._coarsen_level(diag3, offs, lv.axis)
-        vals.append(self._dense_coarsest(diag3, offs))
+        # coarsest: invert ONCE per value-coarsening (once per Newton) so
+        # every V-cycle apply is a single f32 matmul on the MXU instead of
+        # an LU solve per apply (the V-cycle runs 2x per Krylov iteration)
+        A = self._dense_coarsest(diag3, offs)
+        vals.append(jnp.linalg.inv(A.astype(jnp.float32)))
         return vals
 
     def _dense_coarsest(self, diag3, offs):
@@ -267,9 +271,8 @@ class StructuredGmg:
 
     def _vcycle3(self, vals, b3, level, pre, post):
         if level == len(self.levels):
-            A = vals[-1]
-            x = jnp.linalg.solve(A.astype(jnp.float32),
-                                 b3.reshape(-1).astype(jnp.float32))
+            Ainv = vals[-1]           # precomputed f32 inverse (MXU matmul)
+            x = Ainv @ b3.reshape(-1).astype(jnp.float32)
             return x.astype(b3.dtype).reshape(b3.shape)
         lv = self.levels[level]
         if lv.pad:
