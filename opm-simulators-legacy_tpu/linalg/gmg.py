@@ -82,7 +82,7 @@ class StructuredGmg:
 
     wants_canonical_faces = True
 
-    def __init__(self, dims, trans=None, *, coarsest=512, max_levels=40,
+    def __init__(self, dims, trans=None, *, coarsest=None, max_levels=40,
                  strength=None):
         """trans: optional (nf,) static transmissibilities in grid face
         order — used on the host, once, to pick each level's coarsening
@@ -90,7 +90,18 @@ class StructuredGmg:
         the structured analogue of heavy-edge pairwise aggregation;
         essential on channelized/anisotropic perm fields). `strength`
         overrides with precomputed per-axis arrays [z, y, x] (used by the
-        Schwarz wrapper to share one level structure across shards)."""
+        Schwarz wrapper to share one level structure across shards).
+
+        coarsest: stop coarsening once the level has <= this many cells
+        and solve it with a precomputed dense inverse (one MXU matmul per
+        apply). Default from OPM_TPU_GMG_COARSEST (else 512): a LARGER
+        coarsest trades a cheap n^2 matmul for several latency-bound tiny
+        V-cycle levels AND makes the coarse solve exact over more of the
+        spectrum."""
+        if coarsest is None:
+            import os as _os
+
+            coarsest = int(_os.environ.get("OPM_TPU_GMG_COARSEST", "512"))
         nx, ny, nz = dims
         self.dims = (nz, ny, nx)               # internal (z, y, x) order
         self.nc = nx * ny * nz
