@@ -256,6 +256,50 @@ def test_gmg_poisson():
     assert int(res.iterations) < 30, int(res.iterations)
 
 
+def test_gmg_coarsest_threshold_equivalence():
+    """OPM_TPU_GMG_COARSEST only truncates the hierarchy where the dense
+    inverse takes over: a big-coarsest GMG (fewer levels + exact coarse
+    solve) must solve the same Poisson system in no MORE Krylov iterations
+    than the deep hierarchy, to the same solution."""
+    from opm_tpu.grid import cartesian_grid
+    from opm_tpu.linalg.gmg import StructuredGmg
+
+    g = cartesian_grid((24, 20, 6), (24.0, 20.0, 6.0))
+    nc = g.nc
+    fc = g.face_cells
+    trans = np.ones(len(fc))
+    diag = np.zeros(nc)
+    np.add.at(diag, fc[:, 0], trans)
+    np.add.at(diag, fc[:, 1], trans)
+    diag += 1e-3
+    off = jnp.concatenate([jnp.asarray(-trans), jnp.asarray(-trans)])
+    c1 = jnp.asarray(fc[:, 0])
+    c2 = jnp.asarray(fc[:, 1])
+
+    def matvec(x):
+        y = jnp.asarray(diag) * x
+        y = y.at[c1].add(-x[c2])
+        y = y.at[c2].add(-x[c1])
+        return y
+
+    rng = np.random.RandomState(7)
+    b = jnp.asarray(rng.randn(nc))
+    its = {}
+    sol = {}
+    for coarsest in (64, 2048):
+        gmg = StructuredGmg(tuple(g.dims), coarsest=coarsest)
+        assert (len(gmg.levels) == 0) == (coarsest >= nc)
+        vals = gmg.coarsen_values(jnp.asarray(diag), off)
+        res = bicgstab(matvec, b,
+                       precond=lambda r, v=vals, m=gmg: m.vcycle(v, r),
+                       tol=1e-8, maxiter=60)
+        assert bool(res.converged), (coarsest, float(res.rel_residual))
+        its[coarsest] = int(res.iterations)
+        sol[coarsest] = np.asarray(res.x)
+    assert its[2048] <= its[64], its
+    np.testing.assert_allclose(sol[64], sol[2048], rtol=1e-6, atol=1e-8)
+
+
 def test_cpr_gmg_solves_newton_system(spe1_system):
     """CPR with the structured GMG pressure stage solves the SPE1 Newton
     system within the same iteration budget as the AMG variant."""
