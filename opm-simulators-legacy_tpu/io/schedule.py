@@ -80,6 +80,10 @@ class WellConfig:
     econ_max_wct: float = np.nan
     econ_max_gor: float = np.nan
     econ_workover: str = "NONE"       # item 7: NONE | CON | +CON | WELL
+    # history mode (WCONHIST/WCONINJH): producer rates in orat/wrat/grat are
+    # OBSERVED surface rates -> RESV target computed per report step from
+    # voidage coefficients (SimulatorBase_impl.hpp:557-605)
+    history: bool = False
     completions: List[Completion] = field(default_factory=list)
 
     def copy(self):
@@ -229,6 +233,7 @@ def build_schedule(case: EclipseCase) -> Schedule:
                 for w in _match_wells(wells, wlists, str(r[0])):
                     w.type = PRODUCER
                     w.status = str(_val(r, 1, "OPEN"))
+                    w.history = False
                     w.control = str(_val(r, 2, "ORAT")).upper()
                     w.orat = _sival(r, 3, liq_f)
                     w.wrat = _sival(r, 4, liq_f)
@@ -240,12 +245,47 @@ def build_schedule(case: EclipseCase) -> Schedule:
                     w.vfp_table = int(_val(r, 10, 0))
                     w.alq = float(_val(r, 11, 0.0))
                     pending_events.append("WELL_CHANGE")
+        elif name == "WCONHIST":
+            # history-matching producer: observed surface rates; the
+            # reference converts them to a RESERVOIR_RATE (RESV) target
+            # via voidage coefficients each report step, BHP limit 1 atm
+            # unless WELTARG overrides (SimulatorBase_impl.hpp:557-605)
+            for r in kw.records:
+                for w in _match_wells(wells, wlists, str(r[0])):
+                    w.type = PRODUCER
+                    w.status = str(_val(r, 1, "OPEN"))
+                    w.history = True
+                    w.control = RESV
+                    w.orat = _sival(r, 3, liq_f, default=0.0)
+                    w.wrat = _sival(r, 4, liq_f, default=0.0)
+                    w.grat = _sival(r, 5, gas_f, default=0.0)
+                    w.lrat = np.nan
+                    w.resv = np.nan     # target computed at runtime
+                    w.vfp_table = int(_val(r, 6, 0))
+                    w.alq = float(_val(r, 7, 0.0))
+                    w.bhp_limit = 101325.0
+                    pending_events.append("WELL_CHANGE")
+        elif name == "WCONINJH":
+            # history-matching injector: observed rate becomes a plain
+            # surface RATE control with an effectively-unbounded BHP limit
+            for r in kw.records:
+                for w in _match_wells(wells, wlists, str(r[0])):
+                    w.type = INJECTOR
+                    w.injector_fluid = str(_val(r, 1, "WATER")).upper()
+                    w.status = str(_val(r, 2, "OPEN"))
+                    w.history = True
+                    w.control = SURFACE_RATE
+                    rate_f = gas_f if w.injector_fluid == "GAS" else liq_f
+                    w.surf_inj_rate = _sival(r, 3, rate_f, default=0.0)
+                    w.bhp_limit = 6.895e8
+                    pending_events.append("WELL_CHANGE")
         elif name in ("WCONINJE", "WCONINJ"):
             for r in kw.records:
                 for w in _match_wells(wells, wlists, str(r[0])):
                     w.type = INJECTOR
                     w.injector_fluid = str(_val(r, 1, "WATER")).upper()
                     w.status = str(_val(r, 2, "OPEN"))
+                    w.history = False
                     w.control = {"RATE": SURFACE_RATE, "RESV": RESERVOIR_RATE,
                                  "BHP": BHP, "THP": THP, "GRUP": GRUP}.get(
                                      str(_val(r, 3, "RATE")).upper(), SURFACE_RATE)

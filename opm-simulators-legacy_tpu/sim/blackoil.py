@@ -11,7 +11,7 @@ state init, simulator run.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from typing import Dict, List, Optional
 
 import jax
@@ -375,7 +375,8 @@ class SimulatorFullyImplicitBlackoil:
             rate_targets=pad2(ws.rate_targets, np.nan),
             inj_rate_target=pad2(ws.inj_rate_target, np.nan),
             inj_resv_target=pad2(ws.inj_resv_target, np.nan),
-            polymer_conc=pad2(ws.polymer_conc))
+            polymer_conc=pad2(ws.polymer_conc),
+            is_history=pad2(ws.is_history, False))
 
     def _init_well_state(self, state: BlackoilState, ws: WellSet,
                          first: bool) -> BlackoilState:
@@ -736,6 +737,20 @@ class SimulatorFullyImplicitBlackoil:
                 from opm_tpu.wells.rateconv import well_resv_coefficients
                 wd["resv_coef"] = well_resv_coefficients(self.model, state,
                                                          ws)
+                hist = ws.is_history & ~ws.is_injector & ws.open_mask
+                if np.any(hist):
+                    # WCONHIST: the RESV target is the sum of the OBSERVED
+                    # surface rates at reservoir conditions
+                    # (SimulatorBase_impl.hpp:569-596 historyRates ->
+                    # inner_product with the voidage coefficients)
+                    coef = np.asarray(wd["resv_coef"])
+                    q_obs = np.nan_to_num(
+                        ws.rate_targets[:, [1, 0, 2]])   # (w, o, g) order
+                    tgt = np.where(hist, (coef * q_obs).sum(axis=1),
+                                   np.asarray(ws.target))
+                    ws = dc_replace(ws, target=tgt)
+                    wd["primary_target"] = jnp.asarray(tgt)
+                    state = state._replace(target=jnp.asarray(tgt))
             if self.case.vfp_tables and np.any(ws.control == 1):  # CTRL_THP
                 tables = tuple(self.case.vfp_tables[k]
                                for k in sorted(self.case.vfp_tables))

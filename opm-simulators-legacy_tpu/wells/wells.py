@@ -85,6 +85,9 @@ class WellSet:
     inj_rate_target: np.ndarray  # (nw,) surface; reservoir in col
     inj_resv_target: np.ndarray
     polymer_conc: np.ndarray
+    # WCONHIST/WCONINJH: producer rate_targets[:, :3] are OBSERVED rates;
+    # the driver recomputes the RESV target from voidage coefficients
+    is_history: np.ndarray = None  # (nw,) bool
 
     @property
     def empty(self):
@@ -119,6 +122,7 @@ def build_well_set(wells: List[WellConfig], grid, *, max_perf=None,
     inj_rate = np.full(nw, np.nan)
     inj_resv = np.full(nw, np.nan)
     poly = np.zeros(nw)
+    is_hist = np.zeros(nw, dtype=bool)
 
     for iw, w in enumerate(wells):
         comps = [c for c in w.completions if c.status.upper() == "OPEN"]
@@ -166,6 +170,7 @@ def build_well_set(wells: List[WellConfig], grid, *, max_perf=None,
         open_mask[iw] = (w.status.upper() in ("OPEN", "AUTO")
                          and perf_mask[iw].any())
         poly[iw] = w.polymer_conc
+        is_hist[iw] = getattr(w, "history", False)
 
     return WellSet(
         names=names, nw=nw, max_perf=mp, perf_cell=perf_cell,
@@ -174,7 +179,7 @@ def build_well_set(wells: List[WellConfig], grid, *, max_perf=None,
         target=target, bhp_limit=bhp_limit, thp_limit=thp_limit,
         ref_depth=ref_depth, open_mask=open_mask, rate_targets=rate_targets,
         inj_rate_target=inj_rate, inj_resv_target=inj_resv,
-        polymer_conc=poly)
+        polymer_conc=poly, is_history=is_hist)
 
 
 def _target_value(w: WellConfig) -> float:
