@@ -487,7 +487,8 @@ class SimulatorFullyImplicitBlackoil:
             report_step_limit: Optional[int] = None, verbose: bool = False,
             restart_file: Optional[str] = None,
             restart_step: Optional[int] = None,
-            write_restart: bool = False, write_vtk: bool = False):
+            write_restart: bool = False, write_vtk: bool = False,
+            write_matlab: bool = False):
         """Run the schedule. restart_file resumes mid-run from a prior
         run's checkpoint — either the private .npz format or an ECL
         .UNRST (with restart_step selecting the SEQNUM); a deck RESTART
@@ -809,7 +810,8 @@ class SimulatorFullyImplicitBlackoil:
                                 fip=[row["FWIP"], row["FOIP"],
                                      row["FGIP"]])
             self._check_econ_limits(step_wells, state, ws, wd)
-            if (write_restart or write_vtk) and self.output_dir:
+            if (write_restart or write_vtk or write_matlab) \
+                    and self.output_dir:
                 import os
                 os.makedirs(self.output_dir, exist_ok=True)
                 if write_restart:
@@ -858,6 +860,34 @@ class SimulatorFullyImplicitBlackoil:
                         self.grid,
                         dict(PRESSURE=np.asarray(state.pressure),
                              SWAT=np.asarray(sw), SGAS=np.asarray(sg)))
+                if write_matlab:
+                    # Matlab sub-writer (BlackoilMatlabWriter,
+                    # SimulatorFullyImplicitBlackoilOutput.hpp:175-195):
+                    # per-variable NNN.txt dumps + estimated cell velocity
+                    from opm_tpu.grid.grid import estimate_cell_velocity
+                    from opm_tpu.io.matlab import (output_state_matlab,
+                                                   output_well_state_matlab)
+                    from opm_tpu.models.state import saturations as _sats3
+                    sw_m, so_m, sg_m = _sats3(state)
+                    rs_m, rv_m = rs_rv(state, self.props, self.model.pvtnum)
+                    q_m = self.model.cell_quantities(state)
+                    flux_m = np.asarray(
+                        self.model.face_fluxes(q_m)).sum(axis=0)
+                    vel = estimate_cell_velocity(self.grid, flux_m)
+                    rc_m = (slice(None) if self.grid.active_mask is None
+                            else self.grid.real_cells)
+                    sat = np.stack([np.asarray(sw_m)[rc_m],
+                                    np.asarray(so_m)[rc_m],
+                                    np.asarray(sg_m)[rc_m]], axis=1)
+                    writer.submit(
+                        output_state_matlab, self.output_dir, step.index,
+                        pressure=np.asarray(state.pressure)[rc_m],
+                        saturation=sat, rs=np.asarray(rs_m)[rc_m],
+                        rv=np.asarray(rv_m)[rc_m], velocity=vel[rc_m])
+                    writer.submit(
+                        output_well_state_matlab, self.output_dir,
+                        step.index, bhp=np.asarray(state.bhp),
+                        wellrates=np.asarray(state.qs))
             if verbose:
                 r = self.summary.rows[-1]
                 print(f"step {step.index:4d} t={step.end_time / DAY:9.1f} d "

@@ -29,6 +29,9 @@ def main(argv=None):
                     default="auto")
     ap.add_argument("--report-steps", type=int, default=None)
     ap.add_argument("--vtk", action="store_true")
+    ap.add_argument("--matlab", action="store_true",
+                    help="per-variable NNN.txt dumps per report step "
+                         "(output_matlab, BlackoilMatlabWriter role)")
     ap.add_argument("--write-restart", action="store_true")
     ap.add_argument("--restart-file", default=None)
     ap.add_argument("--quiet", action="store_true")
@@ -101,7 +104,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     sim.run(report_step_limit=args.report_steps,
             verbose=not args.quiet, restart_file=args.restart_file,
-            write_restart=args.write_restart, write_vtk=args.vtk)
+            write_restart=args.write_restart, write_vtk=args.vtk,
+            write_matlab=args.matlab)
     wall = time.perf_counter() - t0
     unused = pg.unused()
     if unused:
