@@ -62,3 +62,39 @@ def read_matlab_file(output_dir: str, name: str, step: int) -> np.ndarray:
     """Load one variable back (test/analysis helper)."""
     path = os.path.join(output_dir, name, f"{step:03d}.txt")
     return np.loadtxt(path, ndmin=1)
+
+
+def output_simple_state(output_dir: str, step: int, grid, *, pressure, sw,
+                        flux=None, extra: dict | None = None,
+                        matlab: bool = True, vtk: bool = False) -> None:
+    """Per-step dump for the simple-simulator family (two-phase / polymer
+    IMPES drivers): the reference's outputStateMatlab/outputStateVtk pair
+    called from the report loops of SimulatorIncompTwophaseAd.cpp:330-342,
+    SimulatorCompressibleTwophase.cpp:170-197,339-341 and
+    SimulatorPolymer.cpp:524-556 (which add concentration/cmax via
+    ``extra``). ``sw`` is the water saturation; saturation is written
+    interleaved per cell [sw, 1-sw]."""
+    p = np.asarray(pressure, dtype=np.float64)
+    s = np.asarray(sw, dtype=np.float64)
+    sat = np.stack([s, 1.0 - s], axis=1)
+    dm = {"pressure": p, "saturation": sat}
+    if flux is not None:
+        from opm_tpu.grid.grid import estimate_cell_velocity
+        dm["velocity"] = estimate_cell_velocity(grid, np.asarray(flux))
+    if extra:
+        dm.update({k: np.asarray(v, dtype=np.float64)
+                   for k, v in extra.items()})
+    if matlab:
+        write_matlab_step(output_dir, step, dm)
+    if vtk:
+        from opm_tpu.io.vtk import write_vtr
+        d = os.path.join(output_dir, "vtk_files")
+        os.makedirs(d, exist_ok=True)
+        cell = {"PRESSURE": p, "SWAT": s}
+        if extra:
+            # vtk wants per-cell scalars only (interleaved vectors like
+            # surfvolume go to the matlab dumps)
+            cell.update({k.upper(): np.asarray(v, dtype=np.float64)
+                         for k, v in extra.items()
+                         if np.asarray(v).size == p.size})
+        write_vtr(os.path.join(d, f"output-{step:03d}.vtr"), grid, cell)

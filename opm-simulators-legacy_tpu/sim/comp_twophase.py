@@ -48,11 +48,26 @@ class SimulatorCompressibleTwophase:
         return CompTwophaseState(pressure=p0, sw=sw0, z=z,
                                  flux=jnp.zeros(self.model.grid.nf))
 
-    def run(self, state: CompTwophaseState, dt, num_steps):
+    def run(self, state: CompTwophaseState, dt, num_steps, *,
+            output_dir=None, output_vtk=False, output_matlab=False):
         model = self.model
         rep = CompTwophaseReport()
         t = 0.0
-        for _ in range(num_steps):
+
+        def _out(i, st):
+            # SimulatorCompressibleTwophase.cpp:170-197,339-341 output
+            # pattern: dump at the loop top + once after the loop
+            if output_dir and (output_vtk or output_matlab):
+                from opm_tpu.io.matlab import output_simple_state
+                output_simple_state(
+                    output_dir, i, model.grid, pressure=st.pressure,
+                    sw=st.sw, flux=st.flux,
+                    extra={"surfvolume":
+                           np.asarray(st.z).T.reshape(-1)},
+                    matlab=output_matlab, vtk=output_vtk)
+
+        for i_step in range(num_steps):
+            _out(i_step, state)
             p_old = state.pressure
             p, flux, nit, _, lit = model.pressure_solve(
                 p_old, state.sw, state.z, self.src, dt)
@@ -81,4 +96,5 @@ class SimulatorCompressibleTwophase:
             rep.water_prod_surface.append(float(-(prod * fw * bw).sum()))
             rep.oil_prod_surface.append(float(-(prod * (1 - fw) * bo).sum()))
             rep.avg_pressure.append(float(np.mean(np.asarray(p))))
+        _out(num_steps, state)
         return state, rep

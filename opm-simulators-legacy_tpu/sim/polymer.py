@@ -48,7 +48,8 @@ class SimulatorPolymer:
         self.src = np.asarray(src)
         self.inflow = inflow
 
-    def run(self, sw0, dt, num_steps, *, c0=None):
+    def run(self, sw0, dt, num_steps, *, c0=None, output_dir=None,
+            output_vtk=False, output_matlab=False):
         model = self.model
         poly = model.poly
         nc = model.nc
@@ -58,7 +59,22 @@ class SimulatorPolymer:
         rep = PolymerReport()
         t = 0.0
         p = flux = None
-        for _ in range(num_steps):
+
+        def _out(i, p_, flux_):
+            # SimulatorPolymer.cpp:524-556 output pattern (adds
+            # concentration/cmax to the state DataMap)
+            if output_dir and (output_vtk or output_matlab):
+                from opm_tpu.io.matlab import output_simple_state
+                output_simple_state(
+                    output_dir, i, model.grid,
+                    pressure=(np.zeros(nc) if p_ is None else p_), sw=sw,
+                    flux=(np.zeros(model.grid.nf) if flux_ is None
+                          else flux_),
+                    extra={"concentration": c, "cmax": cmax},
+                    matlab=output_matlab, vtk=output_vtk)
+
+        for i_step in range(num_steps):
+            _out(i_step, p, flux)
             p, flux, _, _ = model.pressure_solve_polymer(sw, c, cmax,
                                                          self.src)
             c_inj = self.inflow.at(t)
@@ -80,6 +96,7 @@ class SimulatorPolymer:
             rep.produced_polymer += float(
                 -(prod * fw * np.asarray(c) * mc).sum()) * dt
             rep.water_prod.append(float(-(prod * fw).sum()))
+        _out(num_steps, p, flux)
         return PolymerState(pressure=p, sw=sw, c=c, cmax=cmax, flux=flux), \
             rep
 
@@ -108,12 +125,26 @@ class SimulatorCompressiblePolymer:
         return CompPolymerState(pressure=p0, sw=sw0, c=c, cmax=c, z=z,
                                 flux=jnp.zeros(model.grid.nf))
 
-    def run(self, state: CompPolymerState, dt, num_steps):
+    def run(self, state: CompPolymerState, dt, num_steps, *,
+            output_dir=None, output_vtk=False, output_matlab=False):
         model = self.model
         poly = model.poly
         rep = PolymerReport()
         t = 0.0
-        for _ in range(num_steps):
+
+        def _out(i, st):
+            # SimulatorCompressiblePolymer.cpp:524-556 output pattern
+            if output_dir and (output_vtk or output_matlab):
+                from opm_tpu.io.matlab import output_simple_state
+                output_simple_state(
+                    output_dir, i, model.grid, pressure=st.pressure,
+                    sw=st.sw, flux=st.flux,
+                    extra={"concentration": st.c, "cmax": st.cmax,
+                           "surfvolume": np.asarray(st.z).T.reshape(-1)},
+                    matlab=output_matlab, vtk=output_vtk)
+
+        for i_step in range(num_steps):
+            _out(i_step, state)
             p_old = state.pressure
             p, flux, _, _, _ = model.pressure_solve_polymer(
                 p_old, state.sw, state.c, state.cmax, state.z, self.src, dt)
@@ -137,4 +168,5 @@ class SimulatorCompressiblePolymer:
             rep.produced_polymer += float(
                 -(prod * ff * np.asarray(c) * mc).sum()) * dt
             rep.water_prod.append(float(-(prod * ff).sum()))
+        _out(num_steps, state)
         return state, rep

@@ -41,14 +41,30 @@ class SimulatorIncompTwophase:
             from opm_tpu.models.reorder import ReorderTwophaseTransport
             self._reorder = ReorderTwophaseTransport(grid, props)
 
-    def run(self, sw0, dt, num_steps, *, p_fix_val=1e7) -> tuple:
+    def run(self, sw0, dt, num_steps, *, p_fix_val=1e7, output_dir=None,
+            output_vtk=False, output_matlab=False) -> tuple:
         model = self.model
         sw = jnp.asarray(sw0)
         rep = TwophaseReport()
         t = 0.0
         p = None
         flux = None
-        for _ in range(num_steps):
+
+        def _out(i, p_, flux_):
+            # per-step vtk/matlab dumps at the loop top + once after the
+            # loop (SimulatorIncompTwophaseAd.cpp:330-342 output pattern)
+            if output_dir and (output_vtk or output_matlab):
+                from opm_tpu.io.matlab import output_simple_state
+                output_simple_state(
+                    output_dir, i, model.grid,
+                    pressure=(np.zeros(model.nc) if p_ is None else p_),
+                    sw=sw,
+                    flux=(np.zeros(model.grid.nf)
+                          if flux_ is None else flux_),
+                    matlab=output_matlab, vtk=output_vtk)
+
+        for i_step in range(num_steps):
+            _out(i_step, p, flux)
             p, flux, q_bc, pit = model.pressure_solve(
                 sw, self.src, p_fix_val=p_fix_val)
             # boundary fluxes act as transport sources (inflow = water)
@@ -69,4 +85,5 @@ class SimulatorIncompTwophase:
             rep.water_inj.append(float(np.maximum(self.src, 0.0).sum()))
             rep.water_prod.append(float(-(prod * fw).sum()))
             rep.oil_prod.append(float(-(prod * (1 - fw)).sum()))
+        _out(num_steps, p, flux)
         return TwophaseState(pressure=p, sw=sw, flux=flux), rep

@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--poly-days", type=float, default=1e30,
                     help="polymer slug duration")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--output-dir", default=None,
+                    help="per-step vtk/matlab dump directory")
+    ap.add_argument("--vtk", action="store_true")
+    ap.add_argument("--matlab", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -96,7 +100,10 @@ def main(argv=None):
         sim = SimulatorIncompTwophase(g, iprops, src,
                                       gravity_on=args.gravity,
                                       transport=args.transport)
-        state, rep = sim.run(np.zeros(g.nc), dt=dt, num_steps=args.steps)
+        state, rep = sim.run(np.zeros(g.nc), dt=dt, num_steps=args.steps,
+                             output_dir=args.output_dir,
+                             output_vtk=args.vtk,
+                             output_matlab=args.matlab)
         hist = dict(times=rep.times, water_prod=rep.water_prod,
                     oil_prod=rep.oil_prod)
         last = dict(water_cut=rep.water_prod[-1]
@@ -106,7 +113,9 @@ def main(argv=None):
         sim = SimulatorCompressibleTwophase(g, cprops, src,
                                             gravity_on=args.gravity)
         st = sim.initial_state(np.full(g.nc, 2e7), np.zeros(g.nc))
-        st, rep = sim.run(st, dt=dt, num_steps=args.steps)
+        st, rep = sim.run(st, dt=dt, num_steps=args.steps,
+                          output_dir=args.output_dir,
+                          output_vtk=args.vtk, output_matlab=args.matlab)
         hist = dict(times=rep.times, water_prod=rep.water_prod_surface,
                     oil_prod=rep.oil_prod_surface,
                     avg_pressure=rep.avg_pressure)
@@ -120,13 +129,19 @@ def main(argv=None):
             sim = SimulatorPolymer(g, iprops, poly, src, inflow,
                                    gravity_on=args.gravity)
             state, rep = sim.run(np.zeros(g.nc), dt=dt,
-                                 num_steps=args.steps)
+                                 num_steps=args.steps,
+                                 output_dir=args.output_dir,
+                                 output_vtk=args.vtk,
+                                 output_matlab=args.matlab)
         else:
             sim = SimulatorCompressiblePolymer(g, cprops, poly, src,
                                                inflow,
                                                gravity_on=args.gravity)
             st = sim.initial_state(np.full(g.nc, 2e7), np.zeros(g.nc))
-            state, rep = sim.run(st, dt=dt, num_steps=args.steps)
+            state, rep = sim.run(st, dt=dt, num_steps=args.steps,
+                                  output_dir=args.output_dir,
+                                  output_vtk=args.vtk,
+                                  output_matlab=args.matlab)
         hist = dict(times=rep.times, water_prod=rep.water_prod)
         last = dict(injected_polymer=rep.injected_polymer,
                     produced_polymer=rep.produced_polymer)

@@ -63,3 +63,40 @@ def test_simulator_write_matlab(tmp_path):
     assert p.min() > 1e6 and p.max() < 1e9  # plausible Pa range
     s = read_matlab_file(out, "saturation", 1).reshape(nc, 3)
     assert np.allclose(s.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_simple_sim_output(tmp_path):
+    """Simple-sim family per-step dumps (SimulatorIncompTwophaseAd /
+    SimulatorPolymer output pattern: loop-top + final)."""
+    import jax.numpy as jnp
+
+    from opm_tpu.grid import cartesian_grid
+    from opm_tpu.props.incomp import IncompProps
+    from opm_tpu.props.polymer import PolymerProperties
+    from opm_tpu.sim.polymer import PolymerInflow, SimulatorPolymer
+
+    out = str(tmp_path)
+    g = cartesian_grid((6, 6, 1), (60.0, 60.0, 5.0), perm=1e-13, poro=0.2)
+    props = IncompProps(viscosity=(0.5e-3, 2e-3), density=(1000.0, 850.0),
+                        exponent=2.0)
+    visc = jnp.asarray([[0.0, 1.0], [1.0, 4.0], [5.0, 20.0]])
+    ads = jnp.asarray([[0.0, 0.0], [5.0, 2e-5]])
+    poly = PolymerProperties(c_max=5.0, mix_param=1.0, rock_density=2000.0,
+                             dead_pore_vol=0.05, res_factor=1.0,
+                             visc_table=visc, ads_table=ads)
+    src = np.zeros(g.nc)
+    src[0], src[-1] = 1e-5, -1e-5
+    sim = SimulatorPolymer(g, props, poly, src,
+                           PolymerInflow(0.0, 1e30, 2.0))
+    sim.run(np.zeros(g.nc), dt=86400.0, num_steps=2, output_dir=out,
+            output_matlab=True, output_vtk=True)
+    # loop-top dumps 000..001 + final 002
+    for step in (0, 1, 2):
+        for name in ("pressure", "saturation", "concentration", "cmax",
+                     "velocity"):
+            a = read_matlab_file(out, name, step)
+            assert np.all(np.isfinite(a)), (name, step)
+    assert read_matlab_file(out, "saturation", 2).shape == (2 * g.nc,)
+    assert os.path.exists(os.path.join(out, "vtk_files", "output-002.vtr"))
+    # injected polymer shows up in the final concentration field
+    assert read_matlab_file(out, "concentration", 2).max() > 0.0
