@@ -252,7 +252,15 @@ class DeviceAmg:
             x = jacobi_sweep(omega, diag, x, b, ell_vals, x[cols_ell])
         return x
 
-    def vcycle(self, vals, b, *, level=0, pre=1, post=1):
+    def vcycle(self, vals, b, *, level=0, pre=1, post=1, cycles=1):
+        if level == 0 and cycles > 1:
+            # multiplicative re-cycling (OPM_TPU_GMG_CYCLES analogue)
+            x = self.vcycle(vals, b, level=0, pre=pre, post=post)
+            diag0, ell0 = vals[0]
+            for _ in range(cycles - 1):
+                r = b - self._matvec(0, diag0, ell0, x)
+                x = x + self.vcycle(vals, r, level=0, pre=pre, post=post)
+            return x
         diag, ell_vals = vals[level]
         if level == len(self.levels):
             # coarsest: precomputed f32 inverse (or extra Jacobi sweeps)

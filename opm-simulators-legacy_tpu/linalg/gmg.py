@@ -299,7 +299,24 @@ class StructuredGmg:
             x3 = _take(x3, lv.axis, slice(None, -1))
         return x3
 
-    def vcycle(self, vals, b, *, pre=1, post=1):
+    def vcycle(self, vals, b, *, pre=1, post=1, cycles=1):
         nz, ny, nx = self.dims
-        x3 = self._vcycle3(vals, b.reshape(nz, ny, nx), 0, pre, post)
+        b3 = b.reshape(nz, ny, nx)
+        x3 = self._vcycle3(vals, b3, 0, pre, post)
+        # multiplicative re-cycling (OPM_TPU_GMG_CYCLES>1): each extra
+        # cycle corrects the true level-0 residual — a stronger pressure
+        # stage per CPR apply at the cost of one pressure matvec + V-cycle
+        for _ in range(cycles - 1):
+            if not self.levels:
+                break   # dense-coarsest-only hierarchy: already exact
+            lv0 = self.levels[0]
+            diag3, offs = vals[0]   # stored for the (possibly padded) top
+            xp, bp = x3, b3
+            if lv0.pad:
+                xp = _pad_axis(x3, lv0.axis, 1)
+                bp = _pad_axis(b3, lv0.axis, 1)
+            r3 = bp - self._matvec(diag3, offs, xp)
+            if lv0.pad:
+                r3 = _take(r3, lv0.axis, slice(None, -1))
+            x3 = x3 + self._vcycle3(vals, r3, 0, pre, post)
         return x3.reshape(-1)

@@ -265,10 +265,12 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
         k = ii // (nx * ny)
         red = jnp.asarray(((i + j + k) % 2 == 0).astype(_np.float64))
 
+    cycles = int(_os.environ.get("OPM_TPU_GMG_CYCLES", "1"))
+
     def vcyc(rp):
         try:
-            return amg.vcycle(vals, rp, pre=pre, post=post)
-        except TypeError:   # preconditioners without pre/post knobs
+            return amg.vcycle(vals, rp, pre=pre, post=post, cycles=cycles)
+        except TypeError:   # preconditioners without pre/post/cycle knobs
             return amg.vcycle(vals, rp)
 
     if red is not None and f32:
@@ -325,9 +327,11 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
         vals = _cast_tree(vals, jnp.float32)
         sys = _cast_tree(sys, jnp.float32)
 
+    cycles = int(_os.environ.get("OPM_TPU_GMG_CYCLES", "1"))
+
     def vcyc(rp):
         try:
-            return amg.vcycle(vals, rp, pre=pre, post=post)
+            return amg.vcycle(vals, rp, pre=pre, post=post, cycles=cycles)
         except TypeError:
             return amg.vcycle(vals, rp)
 

@@ -45,6 +45,25 @@ def _matvec_f32_knob():
     return v == "1"
 
 
+def _krylov_f32_knob():
+    """OPM_TPU_KRYLOV_F32: run the WHOLE BiCGStab inner loop in f32
+    (vectors, dots, coefficients) with f64 outer true-residual
+    verification + refinement restart (krylov.bicgstab_mp). Measured on
+    v5e SPE10-132k: the f64 recurrence is ~9 of the 13 ms/iteration.
+    'auto' = on for real accelerators, off on CPU. Distinct from
+    OPM_TPU_MATVEC_F32 (operator-only) and OPM_TPU_F32_SOLVE (f32 with NO
+    f64 verification — diverges at scale)."""
+    import os as _os
+
+    v = _os.environ.get("OPM_TPU_KRYLOV_F32", "auto")
+    if v == "auto":
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+    return v == "1"
+
+
 def dense_solve(J, r, dtype=None):
     """Dense LU solve with symmetric row/column equilibration.
 
@@ -261,8 +280,19 @@ class NonlinearSolver:
             mv, rhs, recover = linearize.schur_eliminate_wells(
                 sys, dims=self._dims, op_dtype=op_dtype)
             M = make_cpr_cells(sys, self.amg, dims=self._dims)
-            res = krylov(mv, rhs, precond=M, tol=self.linear_tol,
-                         maxiter=self.linear_maxiter)
+            if krylov is bicgstab and _krylov_f32_knob():
+                # all-f32 inner Krylov + f64 true-residual refinement
+                # (bicgstab_mp): mv/M preserve input dtype, so the f32
+                # inner loop and the f64 verification share the closures
+                from opm_tpu.linalg.krylov import bicgstab_mp
+                mv64, _, _ = linearize.schur_eliminate_wells(
+                    sys, dims=self._dims, op_dtype=None)
+                res = bicgstab_mp(mv, rhs, precond=M, matvec_check=mv64,
+                                  tol=self.linear_tol,
+                                  maxiter=self.linear_maxiter)
+            else:
+                res = krylov(mv, rhs, precond=M, tol=self.linear_tol,
+                             maxiter=self.linear_maxiter)
             du_c = res.x
             du_w = recover(du_c)
         else:
