@@ -194,6 +194,33 @@ def _pressure_off_for(amg, off_p, dims):
     return jnp.concatenate([off_p[:nfc], off_p[nf_all:nf_all + nfc]])
 
 
+def _is_accel():
+    import jax as _jax
+
+    try:
+        return _jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _smooth_cycles_knobs(smoother_steps):
+    """Resolve OPM_TPU_CPR_SMOOTH / OPM_TPU_GMG_CYCLES with per-backend
+    'auto' defaults. Measured on v5e SPE10-132k (lin_ab, mp-Krylov): a
+    2-cycle pressure stage with ONE stage-2 smooth beats the old
+    1-cycle/2-smooth default 181->100 ms (hard t=0 state) and 42->32 ms
+    (production-like state); CPU keeps 1 cycle / 2 smooths (f64 V-cycles
+    are relatively expensive there and the old default measured best)."""
+    import os as _os
+
+    accel = _is_accel()
+    if smoother_steps is None:
+        v = _os.environ.get("OPM_TPU_CPR_SMOOTH", "auto")
+        smoother_steps = (1 if accel else 2) if v == "auto" else int(v)
+    cv = _os.environ.get("OPM_TPU_GMG_CYCLES", "auto")
+    cycles = (2 if accel else 1) if cv == "auto" else int(cv)
+    return smoother_steps, cycles
+
+
 def _f32_knob():
     """OPM_TPU_CPR_F32=1: run the WHOLE preconditioner apply (pressure
     V-cycle + block smoothing) in float32. The preconditioner only shapes
@@ -227,13 +254,13 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     quasi-IMPES pressure V-cycle + block-Jacobi smoothing on the cell
     diagonal (the Schur correction is left to the Krylov operator).
     Tuning env knobs (profiling levers): OPM_TPU_CPR_SMOOTH (stage-2
-    steps, default 2 — A/B-measured ~4% faster than 1 on SPE10-132k),
-    OPM_TPU_GMG_PRE / OPM_TPU_GMG_POST (pressure V-cycle smoothing,
-    default 1/1)."""
+    steps) and OPM_TPU_GMG_CYCLES (pressure V-cycles per apply) — both
+    'auto': accelerators get 1 smooth / 2 cycles, CPU 2 smooths / 1 cycle
+    (v5e lin_ab A/B, see _smooth_cycles_knobs); OPM_TPU_GMG_PRE /
+    OPM_TPU_GMG_POST (V-cycle smoothing, default 1/1)."""
     import os as _os
 
-    if smoother_steps is None:
-        smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "2"))
+    smoother_steps, cycles = _smooth_cycles_knobs(smoother_steps)
     pre = int(_os.environ.get("OPM_TPU_GMG_PRE", "1"))
     post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
     # stage-2 smoother: 'jacobi' (default) or 'rbgs' (red-black block
@@ -264,8 +291,6 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
         j = (ii // nx) % ny
         k = ii // (nx * ny)
         red = jnp.asarray(((i + j + k) % 2 == 0).astype(_np.float64))
-
-    cycles = int(_os.environ.get("OPM_TPU_GMG_CYCLES", "1"))
 
     def vcyc(rp):
         try:
@@ -313,8 +338,7 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     """
     import os as _os
 
-    if smoother_steps is None:
-        smoother_steps = int(_os.environ.get("OPM_TPU_CPR_SMOOTH", "2"))
+    smoother_steps, cycles = _smooth_cycles_knobs(smoother_steps)
     pre = int(_os.environ.get("OPM_TPU_GMG_PRE", "1"))
     post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
     f32 = _f32_knob()
@@ -326,8 +350,6 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
         w = w.astype(jnp.float32)
         vals = _cast_tree(vals, jnp.float32)
         sys = _cast_tree(sys, jnp.float32)
-
-    cycles = int(_os.environ.get("OPM_TPU_GMG_CYCLES", "1"))
 
     def vcyc(rp):
         try:
