@@ -136,8 +136,9 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         return accumulation_from_q(q)          # (3, nc)
 
     acc_val, acc_jvp = jax.linearize(acc_all, p, sw, x)
-    ones_c = jnp.ones(nc)
-    zero_c = jnp.zeros(nc)
+    fdt = p.dtype    # seed dtype must match the primal dtype (ASM_F32)
+    ones_c = jnp.ones(nc, fdt)
+    zero_c = jnp.zeros(nc, fdt)
     acc_jac = jnp.stack([
         acc_jvp(ones_c, zero_c, zero_c),
         acc_jvp(zero_c, ones_c, zero_c),
@@ -149,14 +150,14 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     # water-only cells (so = sg = 0): the gas equation is identically zero
     # and carries no sensitivity to the rs variable — regularize the (gas, x)
     # diagonal so the block stays invertible (drs then solves to ~0)
-    diag = diag + _EYE_GX[:, :, None] * (degenerate_x_mask(model, state)
-                                         * pvdt)
+    diag = diag + jnp.asarray(_EYE_GX, diag.dtype)[:, :, None] * (
+        degenerate_x_mask(model, state) * pvdt).astype(diag.dtype)
 
     # ---- faces: value + L/R blocks ---------------------------------------
     nf = model.face_cells.shape[0]
     thr = model.threshold_dp
     if thr is None:
-        thr = jnp.zeros(nf)
+        thr = jnp.zeros(nf, fdt)
 
     if getattr(model, "structured", False):
         # Structured path: evaluate cell quantities + their three tangent
@@ -169,8 +170,8 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
                                            sgmax=smax, ireg=ireg)
 
         q_val, q_jvp = jax.linearize(q_all, p, sw, x)
-        ones_c = jnp.ones(nc)
-        zero_c = jnp.zeros(nc)
+        ones_c = jnp.ones(nc, fdt)
+        zero_c = jnp.zeros(nc, fdt)
         q_tan = [q_jvp(*s) for s in ((ones_c, zero_c, zero_c),
                                      (zero_c, ones_c, zero_c),
                                      (zero_c, zero_c, ones_c))]
@@ -276,8 +277,8 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
 
         flux_val, flux_jvp = jax.linearize(
             flux_all, p[c1], sw[c1], x[c1], p[c2], sw[c2], x[c2])
-        ones_f = jnp.ones(nf)
-        zero_f = jnp.zeros(nf)
+        ones_f = jnp.ones(nf, fdt)
+        zero_f = jnp.zeros(nf, fdt)
 
         def _col(side, j):
             seeds = [zero_f] * 6
@@ -370,7 +371,7 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         slot_arr, dp_arr = vfp[1], vfp[2]
     else:
         slot_arr = jnp.full(nw, -1)
-        dp_arr = jnp.zeros(nw)
+        dp_arr = jnp.zeros(nw, fdt)
     ctrl_res = jax.vmap(ctrl_local)(state.qs, state.bhp, g, state.control,
                                     state.target, slot_arr, dp_arr)
     ctrl_jq, ctrl_jb = jax.vmap(jax.jacfwd(ctrl_local, argnums=(0, 1)))(
@@ -381,7 +382,7 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     r_well = jnp.concatenate([flux_res, ctrl_res[:, None]], axis=1)
 
     # well diagonal blocks
-    eye34 = jnp.zeros((3, 4)).at[:, :3].set(jnp.eye(3))
+    eye34 = jnp.zeros((3, 4), fdt).at[:, :3].set(jnp.eye(3, dtype=fdt))
     dwv_sum = jac_wv.reshape(nw, mp, 3, 4).sum(axis=1)   # d(sum cq)/dwv
     flux_rows = eye34[None] - dwv_sum                    # (nw, 3, 4)
     flux_rows = jnp.where(closed[:, None, None], eye34[None], flux_rows)

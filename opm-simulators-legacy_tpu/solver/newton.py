@@ -45,6 +45,27 @@ def _matvec_f32_knob():
     return v == "1"
 
 
+def _asm_f32_knob():
+    """OPM_TPU_ASM_F32: assemble the Jacobian BLOCKS in f32 (the whole
+    linearize.assemble runs on an f32 shadow of model/props/state), while
+    the rhs is the f64 residual — reused from the fused Newton body when
+    available, recomputed otherwise. Jacobian entries only steer the
+    Krylov space and the inexact-Newton direction (1e-2 forcing), so f32
+    entry accuracy (~1e-7, ~2e-4 through pressure cancellation in face
+    potentials) is far inside tolerance, while Newton convergence remains
+    gated by the separate f64 residual/convergence kernel. 'auto' = on for
+    real accelerators (f64 is software-emulated there), off on CPU."""
+    import os as _os
+
+    v = _os.environ.get("OPM_TPU_ASM_F32", "auto")
+    if v == "auto":
+        try:
+            return jax.devices()[0].platform not in ("cpu",)
+        except Exception:
+            return False
+    return v == "1"
+
+
 def _krylov_f32_knob():
     """OPM_TPU_KRYLOV_F32: run the WHOLE BiCGStab inner loop in f32
     (vectors, dots, coefficients) with f64 outer true-residual
@@ -239,13 +260,16 @@ class NonlinearSolver:
         return update_state(model, state, du), jnp.asarray(1), \
             jnp.asarray(True)
 
-    def _solve_cpr(self, state, acc0, dt, wd, cdp, omega):
+    def _solve_cpr(self, state, acc0, dt, wd, cdp, omega, res64=None):
         """Block-sparse assembly + BiCGStab/CPR-AMG Newton increment
         (computeNewtonIncrement analogue,
         NewtonIterationBlackoilCPR.cpp:80-185). Well unknowns are
         Schur-eliminated by default (eliminateVariable/recoverVariable,
         NewtonIterationUtilities.cpp:45-184) so the Krylov space holds only
-        cell dofs; OPM_TPU_SCHUR=0 keeps wells in the Krylov system."""
+        cell dofs; OPM_TPU_SCHUR=0 keeps wells in the Krylov system.
+        res64: optional precomputed f64 Residual at `state` (the fused
+        body's convergence residual) — reused as the rhs under
+        OPM_TPU_ASM_F32 so the f32 assembly never degrades the rhs."""
         import os as _os
 
         from opm_tpu.linalg.krylov import bicgstab, gmres
@@ -258,7 +282,28 @@ class NonlinearSolver:
             else bicgstab
 
         model = self.model
-        sys = linearize.assemble(model, state, acc0, dt, wd, cdp)
+        if _asm_f32_knob():
+            # f32 Jacobian assembly on the f32 shadow model; f64 rhs from
+            # the (reused or recomputed) f64 residual. sys.r_well layout
+            # [flux_res | ctrl_res] is pinned bit-equal to the Residual
+            # well rows by tests/test_linalg.py::test_asm_f32_*.
+            from opm_tpu.utils.cast import cast_floats, shadow_model
+
+            if getattr(self, "_model32", None) is None:
+                self._model32 = shadow_model(model, jnp.float32)
+            f32 = jnp.float32
+            sys = linearize.assemble(
+                self._model32, cast_floats(state, f32),
+                cast_floats(acc0, f32), cast_floats(dt, f32),
+                cast_floats(wd, f32), cast_floats(cdp, f32))
+            if res64 is None:
+                res64 = model.residual(state, acc0, dt, wd, cdp)
+            sys = sys._replace(
+                r_cell=res64.cell,
+                r_well=jnp.concatenate(
+                    [res64.well_flux, res64.well_ctrl[:, None]], axis=1))
+        else:
+            sys = linearize.assemble(model, state, acc0, dt, wd, cdp)
         if self._f32_solve:
             # single-precision linear solve (the reference's
             # LinearisedBlackoilResidual singlePrecision path,
@@ -479,11 +524,15 @@ class NonlinearSolver:
         min_iter = self.min_iter
 
         if self.linear_solver == "cpr":
-            solve = lambda s, omega: self._solve_cpr(s, acc0, dt, wd, cdp,
-                                                     omega)
+            # res64: the body's f64 convergence residual, reused as the
+            # Krylov rhs under OPM_TPU_ASM_F32 (it is not stale: control
+            # switching changes only state.control/target, which enter the
+            # residual through the freshly-assembled well ctrl rows)
+            solve = lambda s, omega, res64: self._solve_cpr(
+                s, acc0, dt, wd, cdp, omega, res64=res64)
         else:
-            solve = lambda s, omega: self._solve_dense(s, acc0, dt, wd, cdp,
-                                                       omega)
+            solve = lambda s, omega, res64: self._solve_dense(
+                s, acc0, dt, wd, cdp, omega)
 
         def body(carry):
             state, it, done, bad, lin_tot, mb_hist, omega, hist = carry
@@ -516,7 +565,7 @@ class NonlinearSolver:
             mb_hist = (f1, mb)
 
             def do_solve(s):
-                s2, lin, ok = solve(s, omega)
+                s2, lin, ok = solve(s, omega, res)
                 return s2, lin, ok
 
             def skip(s):

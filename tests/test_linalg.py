@@ -560,3 +560,49 @@ def test_gmg_cycles_knob(spe1_system, monkeypatch):
     M2 = make_cpr_cells(sys, amg, dims=dims)
     res = bicgstab(mv64, rhs, precond=M2, tol=1e-3, maxiter=200)
     assert bool(res.converged)
+
+
+def test_asm_f32_system_matches_f64(spe1_system, monkeypatch):
+    """OPM_TPU_ASM_F32 (TPU default): the f32-shadow-assembled Jacobian
+    blocks must match the f64 assembly to f32 resolution, and the solver
+    path must splice the f64 residual in as the rhs (solver/newton.py
+    _solve_cpr). Well-row layout equality (r_well == [well_flux |
+    well_ctrl] bit-for-bit) is what makes the splice exact."""
+    from opm_tpu.models import linearize
+    from opm_tpu.utils.cast import cast_floats, shadow_model
+
+    model, state, acc0, dt, wd, cdp, sys = spe1_system
+    res = model.residual(state, acc0, dt, wd, cdp)
+    # rhs splice precondition: assemble's well rows == Residual well rows
+    rw = np.concatenate([np.asarray(res.well_flux),
+                         np.asarray(res.well_ctrl)[:, None]], axis=1)
+    assert np.array_equal(np.asarray(sys.r_well), rw)
+    assert np.array_equal(np.asarray(sys.r_cell), np.asarray(res.cell))
+
+    f32 = jnp.float32
+    m32 = shadow_model(model, f32)
+    sys32 = linearize.assemble(m32, cast_floats(state, f32),
+                               cast_floats(acc0, f32),
+                               cast_floats(dt, f32),
+                               cast_floats(wd, f32), cast_floats(cdp, f32))
+    assert sys32.diag.dtype == f32
+    # entrywise: almost all entries at f32 accuracy; a handful of isolated
+    # branch flips (upwind direction / PVT table segment at near-ties in
+    # f32) are expected and harmless for an inexact-Newton Jacobian
+    for name in ("diag", "face_L", "face_R", "wd_diag"):
+        a64 = np.asarray(getattr(sys, name), dtype=np.float64)
+        a32 = np.asarray(getattr(sys32, name), dtype=np.float64)
+        scale = np.abs(a64).max()
+        bad = np.abs(a32 - a64) > 1e-4 * scale
+        assert bad.mean() < 0.02, (name, bad.mean())
+    # operator-level: J32 @ v within ~f32 resolution of J64 @ v
+    rng = np.random.RandomState(7)
+    nc, nw = model.nc, state.bhp.shape[0]
+    v_cell = jnp.asarray(rng.randn(3, nc))
+    v_well = jnp.asarray(rng.randn(nw, 4))
+    oc64, ow64 = linearize.matvec(sys, v_cell, v_well)
+    oc32, ow32 = linearize.matvec(
+        sys32, v_cell.astype(f32), v_well.astype(f32))
+    nrm = float(jnp.linalg.norm(oc64))
+    assert float(jnp.linalg.norm(
+        oc64 - jnp.asarray(oc32, jnp.float64))) < 2e-3 * nrm
