@@ -22,13 +22,22 @@ Phases (each in its own subprocess: isolates device/trace state; shares
 the persistent compilation cache):
   spe1      TPU SPE1 e2e wall-clock, 120 report steps / 10 years (headline)
   spe1cpu   the same run on CPU (the measured baseline)
+  spe10     SPE10-like 132k-cell fused substeps: ms per Newton (scaling)
+  spe10e2e  SPE10-like 132k-cell FULL 20-report-step schedule, e2e
+            wall-clock with summary output on
+  --full additionally runs:
   spe9      SPE9 (data/SPE9.DATA, real corner-point deck, 26 wells):
             FULL 900-day schedule e2e wall-clock
   norne     Norne-class faulted corner-point synthetic (75.6k active,
             embedded-structured path): full schedule e2e + ms/Newton
-  spe10     SPE10-like 132k-cell fused substeps: ms per Newton (scaling)
-  spe10e2e  SPE10-like 132k-cell FULL 20-report-step schedule, e2e
-            wall-clock with summary output on
+
+Evidence is incremental by construction (round-2 lesson: a driver
+timeout must not erase completed phases): after EVERY phase the full
+merged JSON line — always carrying metric/value/unit/vs_baseline — is
+re-printed to stdout and flushed, so the last line of a truncated run
+is still a complete, parseable result for everything that finished.
+A global wall-clock budget (env OPM_TPU_BENCH_BUDGET_S, default 1500 s)
+skips remaining phases rather than overrun.
 """
 
 import json
@@ -216,6 +225,38 @@ _PHASES = {
 }
 
 
+# Same-machine CPU SPE1 e2e measured idle in round 1 (BASELINE.md §CPU-leg:
+# 38.7 s idle / 56.7 s loaded). Used for vs_baseline ONLY when the fresh
+# spe1cpu leg did not fit in this run's budget; provenance is labeled.
+_RECORDED_CPU_SPE1_S = 38.7
+
+
+def _emit(out):
+    """(Re)print the full merged result line with headline fields filled
+    from whatever has completed so far, and flush — the last stdout line
+    is always a complete parseable result."""
+    tpu = out.get("spe1_wall_s")
+    cpu = out.get("spe1cpu_wall_s")
+    out["metric"] = "spe1_e2e_wall"
+    out["value"] = tpu if tpu is not None else -1.0
+    out["unit"] = "s"
+    if tpu and cpu:
+        out["vs_baseline"] = round(cpu / tpu, 3)
+        out["baseline"] = (
+            "same-machine CPU run of this framework, measured in this "
+            "bench invocation (flow_legacy unbuildable here and publishes "
+            "no numbers — see BASELINE.md)")
+    elif tpu:
+        out["vs_baseline"] = round(_RECORDED_CPU_SPE1_S / tpu, 3)
+        out["baseline"] = (
+            "same-machine CPU run of this framework RECORDED idle in a "
+            "prior bench (38.7 s, BASELINE.md) — fresh CPU leg did not "
+            "fit this run's wall budget")
+    else:
+        out["vs_baseline"] = 0.0
+    print(json.dumps(out), flush=True)
+
+
 def main():
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
@@ -224,10 +265,17 @@ def main():
 
     import subprocess
 
-    def run_phase(name, timeout, cpu=False):
+    budget = float(os.environ.get("OPM_TPU_BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
+
+    def remaining():
+        return budget - (time.perf_counter() - t_start)
+
+    def run_phase(name, cap, cpu=False):
         env = dict(os.environ)
         if cpu:
             env["OPM_TPU_BENCH_CPU"] = "1"
+        timeout = min(cap, max(remaining() - 20.0, 1.0))
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", name],
@@ -241,27 +289,21 @@ def main():
         except Exception as e:
             return {f"{name}_error": f"{type(e).__name__}: {e}"[:200]}
 
-    out = {}
-    out.update(run_phase("spe1", 2400))
-    out.update(run_phase("spe1cpu", 2400, cpu=True))
-    out.update(run_phase("spe9", 2400))
-    # norne's 113k fused-substep program costs ~19 min to compile COLD
-    # through the tunnel (~2-3 min executable reload warm)
-    out.update(run_phase("norne", 3600))
-    out.update(run_phase("spe10", 1800))
-    out.update(run_phase("spe10e2e", 2400))
+    # Value-first order; spe9/norne only under --full (their cold fused-span
+    # compiles — norne ~19 min through the tunnel — don't fit the budget).
+    plan = [("spe1", 2400, False), ("spe1cpu", 2400, True),
+            ("spe10", 1800, False), ("spe10e2e", 2400, False)]
+    if "--full" in sys.argv:
+        plan += [("spe9", 2400, False), ("norne", 3600, False)]
 
-    tpu = out.get("spe1_wall_s")
-    cpu = out.get("spe1cpu_wall_s")
-    out["metric"] = "spe1_e2e_wall"
-    out["value"] = tpu if tpu is not None else -1.0
-    out["unit"] = "s"
-    out["vs_baseline"] = (round(cpu / tpu, 3)
-                          if tpu and cpu else 0.0)
-    out["baseline"] = ("same-machine CPU run of this framework, measured "
-                       "in this bench invocation (flow_legacy unbuildable "
-                       "here and publishes no numbers — see BASELINE.md)")
-    print(json.dumps(out))
+    out = {}
+    for name, cap, cpu in plan:
+        if remaining() < 120.0:
+            out[f"{name}_skipped"] = "wall budget exhausted"
+            continue
+        out.update(run_phase(name, cap, cpu=cpu))
+        _emit(dict(out))
+    _emit(out)
 
 
 if __name__ == "__main__":
