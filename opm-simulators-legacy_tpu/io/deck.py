@@ -395,17 +395,21 @@ class DeckParser:
         if name in FLAG_KEYWORDS:
             return DeckKeyword(name)
         if name in SUMMARY_WELL_KEYWORDS or name in SUMMARY_REGION_KEYWORDS:
-            # optional single record listing wells/regions (or lone '/')
+            # optional single record listing wells/regions (or lone '/').
+            # A quoted well name ('PROD') tokenizes to a keyword-shaped
+            # string, so a line CONTAINING '/' is always a record — keyword
+            # lines never carry the record terminator.
             line = ts.peek_line()
             recs = []
             if line is not None:
                 t0 = _TokenStream.split_tokens(line)
-                if t0 and not _KEYWORD_RE.match(t0[0].upper()):
+                if t0 and t0[0] == "/":
+                    ts.next_line()
+                elif t0 and ("/" in t0
+                             or not _KEYWORD_RE.match(t0[0].upper())):
                     rec = self._read_record(ts)
                     if rec:
                         recs = [rec]
-                elif t0 and t0[0] == "/":
-                    ts.next_line()
             return DeckKeyword(name, recs)
         if name in SUMMARY_BLOCK_KEYWORDS:
             return DeckKeyword(name, self._read_list(ts))

@@ -548,6 +548,9 @@ class EclipseCase:
 
     # ------------------------------------------------------------------
     def _parse_summary(self, deck: Deck) -> list:
+        """[(mnemonic, records)] with records a list of string-token
+        records ([] for flag mnemonics) — the SummaryConfig input
+        consumed by io/summaryconfig.expand_requests."""
         reqs = []
         sections = _section_spans(deck)
         for kw in deck:
@@ -555,8 +558,8 @@ class EclipseCase:
                 continue
             if kw.name in ("SUMMARY", "RUNSUM", "EXCEL", "SEPARATE"):
                 continue
-            wells = [str(x) for x in kw.records[0]] if kw.records else []
-            reqs.append((kw.name, wells))
+            recs = [[str(x) for x in r] for r in kw.records]
+            reqs.append((kw.name, recs))
         return reqs
 
 

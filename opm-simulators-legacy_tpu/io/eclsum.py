@@ -131,24 +131,44 @@ def _unit_for(mnemonic: str, system: str):
 
 
 def write_summary(base_path: str, rows: List[dict], *, dims=(1, 1, 1),
-                  start_date=None, unit_system="METRIC"):
-    """Write CASE.SMSPEC + CASE.UNSMRY from SummaryCollector rows (SI)."""
+                  start_date=None, unit_system="METRIC", requested=None):
+    """Write CASE.SMSPEC + CASE.UNSMRY from SummaryCollector rows (SI).
+
+    With `requested` (the deck SUMMARY section expanded by
+    io/summaryconfig.expand_requests) the files carry EXACTLY those
+    vectors plus TIME — the reference's SummaryConfig-driven output;
+    region keys ("RPR:3") map to SMSPEC NUMS, block keys ("BPR:i,j,k")
+    to the 1-based cartesian cell index."""
     start_date = start_date or datetime.datetime(1983, 1, 1)
-    keys = sorted({k for r in rows for k in r if k != "time"})
+    if requested is not None:
+        keys = list(requested)
+    else:
+        keys = sorted({k for r in rows for k in r if k != "time"})
     mnemonics = ["TIME"]
     wgnames = [":+:+:+:+"]
     units = ["DAYS"]
     factors = [1.0]
+    nums = [0]
     for k in keys:
         if ":" in k:
-            mnem, well = k.split(":", 1)
+            mnem, rest = k.split(":", 1)
         else:
-            mnem, well = k, ":+:+:+:+"
+            mnem, rest = k, ""
+        well = ":+:+:+:+"
+        num = 0
+        if mnem.startswith("R") and rest.isdigit():
+            num = int(rest)
+        elif mnem.startswith("B") and "," in rest:
+            i, j, kk = (int(t) for t in rest.split(","))
+            num = (kk - 1) * dims[0] * dims[1] + (j - 1) * dims[0] + i
+        elif rest:
+            well = rest
         u, f = _unit_for(mnem, unit_system)
         mnemonics.append(mnem)
         wgnames.append(well)
         units.append(u)
         factors.append(f)
+        nums.append(num)
     nlist = len(mnemonics)
 
     os.makedirs(os.path.dirname(os.path.abspath(base_path)), exist_ok=True)
@@ -158,7 +178,7 @@ def write_summary(base_path: str, rows: List[dict], *, dims=(1, 1, 1),
                       [nlist, dims[0], dims[1], dims[2], 0, -1])
         write_keyword(f, "KEYWORDS", "CHAR", mnemonics)
         write_keyword(f, "WGNAMES", "CHAR", wgnames)
-        write_keyword(f, "NUMS", "INTE", [0] * nlist)
+        write_keyword(f, "NUMS", "INTE", nums)
         write_keyword(f, "UNITS", "CHAR", units)
         write_keyword(f, "STARTDAT", "INTE",
                       [start_date.day, start_date.month, start_date.year,
@@ -179,9 +199,23 @@ def read_summary(base_path: str) -> Dict[str, np.ndarray]:
     spec = {n: v for n, t, v in read_ecl_file(base_path + ".SMSPEC")}
     mnemonics = spec["KEYWORDS"]
     wgnames = spec["WGNAMES"]
+    nums = spec.get("NUMS", [0] * len(mnemonics))
+    nxy = None
+    if "DIMENS" in spec:
+        d = spec["DIMENS"]
+        nxy = (int(d[1]), int(d[2]))
     keys = []
-    for m, w in zip(mnemonics, wgnames):
-        keys.append(m if w in ("", ":+:+:+:+") else f"{m}:{w}")
+    for m, w, n in zip(mnemonics, wgnames, nums):
+        if m.startswith("R") and n > 0:
+            keys.append(f"{m}:{int(n)}")
+        elif m.startswith("B") and n > 0 and nxy:
+            g = int(n) - 1
+            i = g % nxy[0] + 1
+            j = (g // nxy[0]) % nxy[1] + 1
+            k = g // (nxy[0] * nxy[1]) + 1
+            keys.append(f"{m}:{i},{j},{k}")
+        else:
+            keys.append(m if w in ("", ":+:+:+:+") else f"{m}:{w}")
     series = {k: [] for k in keys}
     for name, typ, vals in read_ecl_file(base_path + ".UNSMRY"):
         if name == "PARAMS":

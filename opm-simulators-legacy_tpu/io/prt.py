@@ -28,6 +28,11 @@ class PrtLogger:
         self._f.write(f"-- PRT run log: {case_title}\n")
         self._f.flush()
 
+    def warning(self, msg: str):
+        """OpmLog::warning analogue — one flagged line in the run log."""
+        self._f.write(f"-- WARNING: {msg}\n")
+        self._f.flush()
+
     # -- substep/Newton level -------------------------------------------
     def substep(self, report_step: int, t_days: float, dt_days: float,
                 iterations: int, converged: bool,

@@ -70,14 +70,77 @@ class SimulatorReportTotals:
 
 class SummaryCollector:
     """Accumulates well/field time series (the BlackoilOutputWriter summary
-    role, SimulatorFullyImplicitBlackoilOutput.hpp:206)."""
+    role, SimulatorFullyImplicitBlackoilOutput.hpp:206).
 
-    def __init__(self, well_names: List[str]):
+    With `requests` (the deck SUMMARY section, io/eclstate.py
+    summary_requests) the collector additionally computes every requested
+    vector it supports — per-well ratios/cumulatives, per-FIPNUM region
+    pressure and in-place volumes, block pressures — and
+    `requested_keys`/`unsupported` drive the ECL writer's vector selection
+    and the PRT warning (the reference's SummaryConfig role, SURVEY §2.J)."""
+
+    def __init__(self, well_names: List[str], requests=None, grid=None):
         self.well_names = well_names
         self.rows: List[dict] = []
         self._totals = dict(FOPT=0.0, FWPT=0.0, FGPT=0.0, FWIT=0.0,
-                            FGIT=0.0)
+                            FGIT=0.0, FLPT=0.0)
         self._last_t = 0.0
+        self.requested_keys: Optional[List[str]] = None
+        self.unsupported: List[str] = []
+        self._need: set = set()
+        self._block = []              # [(key, active_cell_index)]
+        self._fipnum = None
+        self._nreg = 1
+        self._well_totals = {}        # key -> per-well cumulative array
+        if requests:
+            from opm_tpu.io.summaryconfig import block_cells, expand_requests
+            nreg = 1
+            ijk_to_cell = None
+            if grid is not None:
+                fip = (np.zeros(grid.nc, dtype=np.int64)
+                       if grid.fipnum is None else np.asarray(grid.fipnum))
+                if grid.active_mask is not None:
+                    self._fipnum = np.where(np.asarray(grid.active_mask),
+                                            fip, -1)
+                else:
+                    self._fipnum = fip
+                nreg = int(fip.max()) + 1 if fip.size else 1
+                nx, ny, nz = grid.dims
+                cart = np.full(nx * ny * nz, -1, dtype=np.int64)
+                rc = grid.real_cells
+                cart[np.asarray(grid.global_cell)[rc]] = rc
+
+                def ijk_to_cell(i, j, k, _cart=cart, _d=(nx, ny, nz)):
+                    nx_, ny_, nz_ = _d
+                    if not (0 <= i < nx_ and 0 <= j < ny_ and 0 <= k < nz_):
+                        return None
+                    c = _cart[(k * ny_ + j) * nx_ + i]
+                    return None if c < 0 else int(c)
+
+            self._nreg = nreg
+            keys, unsup, need = expand_requests(
+                requests, well_names, nreg, ijk_to_cell)
+            self.requested_keys = keys
+            self.unsupported = unsup
+            self._need = need
+            if ijk_to_cell is not None:
+                self._block = block_cells(keys, ijk_to_cell)
+            if "well_totals" in need:
+                nw = len(well_names)
+                for k in ("WOPT", "WWPT", "WGPT", "WWIT", "WGIT"):
+                    self._well_totals[k] = np.zeros(nw)
+
+    def region_spec(self):
+        """(fipnum, nreg) when region vectors are requested, else None —
+        the device-side span program computes the per-region reductions
+        from this (solver/fused_span.py summary extras)."""
+        if "region" in self._need and self._fipnum is not None:
+            return self._fipnum, self._nreg
+        return None
+
+    def block_spec(self):
+        """[(key, cell)] block-pressure requests (device extras input)."""
+        return self._block if "block" in self._need else []
 
     def record(self, t, state: BlackoilState, model, extra=None):
         qs = np.asarray(state.qs)
@@ -86,9 +149,32 @@ class SummaryCollector:
         p = np.asarray(state.pressure)
         fpr = float((p * pv).sum() / pv.sum())
         fip = fluid_in_place(model, state)
-        return self.record_arrays(t, qs, bhp, fpr, fip, extra)
+        region = None
+        if self.region_spec() is not None:
+            fipn = self._fipnum
+            ok = fipn >= 0
+            reg = np.where(ok, fipn, 0)
+            wpv = np.where(ok, pv, 0.0)
+            rpv = np.zeros(self._nreg)
+            rppv = np.zeros(self._nreg)
+            np.add.at(rpv, reg, wpv)
+            np.add.at(rppv, reg, p * wpv)
+            rpr = rppv / np.maximum(rpv, 1e-300)
+            if self._nreg > 1:
+                rfip = fluid_in_place(model, state, regions=reg)
+                if rfip.shape[0] < self._nreg:   # trailing empty regions
+                    rfip = np.vstack([rfip, np.zeros(
+                        (self._nreg - rfip.shape[0], 3))])
+            else:
+                rfip = fip[None, :]
+            region = (rpr, rfip)
+        block = (p[[c for _, c in self._block]]
+                 if self._block else None)
+        return self.record_arrays(t, qs, bhp, fpr, fip, extra,
+                                  region=region, block=block)
 
-    def record_arrays(self, t, qs, bhp, fpr, fip, extra=None):
+    def record_arrays(self, t, qs, bhp, fpr, fip, extra=None, *,
+                      region=None, block=None):
         """Build a summary row from precomputed arrays (the device-side
         span path computes (qs, bhp, fpr, fip) on-chip, one pull per
         chunk of report steps — solver/fused_span.py)."""
@@ -103,6 +189,7 @@ class SummaryCollector:
         row["FOPR"] = prod[:, OIL].sum()
         row["FWPR"] = prod[:, WATER].sum()
         row["FGPR"] = prod[:, GAS].sum()
+        row["FLPR"] = row["FOPR"] + row["FWPR"]
         row["FOIR"] = inj[:, OIL].sum()
         row["FWIR"] = inj[:, WATER].sum()
         row["FGIR"] = inj[:, GAS].sum()
@@ -118,7 +205,14 @@ class SummaryCollector:
         self._totals["FGPT"] += row["FGPR"] * dt
         self._totals["FWIT"] += row["FWIR"] * dt
         self._totals["FGIT"] += row["FGIR"] * dt
+        self._totals["FLPT"] += row["FLPR"] * dt
         row.update(self._totals)
+        if self._well_totals:
+            self._well_totals["WOPT"] += prod[:, OIL] * dt
+            self._well_totals["WWPT"] += prod[:, WATER] * dt
+            self._well_totals["WGPT"] += prod[:, GAS] * dt
+            self._well_totals["WWIT"] += inj[:, WATER] * dt
+            self._well_totals["WGIT"] += inj[:, GAS] * dt
         # fluid in place (FOIP/FWIP/FGIP field totals; the reference prints
         # FIP per report step, BlackoilModelBase_impl.hpp:2459 +
         # SimulatorBase FIP report)
@@ -135,6 +229,30 @@ class SummaryCollector:
             gor = prod[iw, GAS] / prod[iw, OIL] if prod[iw, OIL] > 1e-12 \
                 else 0.0
             row[f"WGOR:{name}"] = gor
+            if self.requested_keys is not None:
+                liq = prod[iw, OIL] + prod[iw, WATER]
+                row[f"WLPR:{name}"] = liq
+                row[f"WWCT:{name}"] = (prod[iw, WATER] / liq
+                                       if liq > 1e-12 else 0.0)
+                row[f"WGLR:{name}"] = (prod[iw, GAS] / liq
+                                       if liq > 1e-12 else 0.0)
+                row[f"WOIR:{name}"] = inj[iw, OIL]
+                # THP is only defined through a VFP back-solve; wells
+                # without VFP report 0 (the reference does the same for
+                # missing THP lookups)
+                row.setdefault(f"WTHP:{name}", 0.0)
+                for k, tot in self._well_totals.items():
+                    row[f"{k}:{name}"] = tot[iw]
+        if region is not None:
+            rpr, rfip = region
+            for r in range(self._nreg):
+                row[f"RPR:{r + 1}"] = float(rpr[r])
+                row[f"ROIP:{r + 1}"] = float(rfip[r, OIL])
+                row[f"RWIP:{r + 1}"] = float(rfip[r, WATER])
+                row[f"RGIP:{r + 1}"] = float(rfip[r, GAS])
+        if block is not None:
+            for (key, _c), val in zip(self._block, np.asarray(block)):
+                row[key] = float(val)
         if extra:
             row.update(extra)
         self.rows.append(row)
@@ -244,7 +362,9 @@ class SimulatorFullyImplicitBlackoil:
             import jax as _jax
             fused = _jax.default_backend() != "cpu"
         self.fused = fused
-        self.summary = SummaryCollector(names)
+        self.summary = SummaryCollector(
+            names, requests=getattr(case, "summary_requests", None),
+            grid=self.grid)
         self.report = SimulatorReportTotals()
 
     # ------------------------------------------------------------------
@@ -523,6 +643,8 @@ class SimulatorFullyImplicitBlackoil:
             prt = PrtLogger(
                 _os2.path.join(self.output_dir, self._out_base() + ".PRT"),
                 self.case.runspec.title or "")
+            for m in self.summary.unsupported:
+                prt.warning(f"SUMMARY mnemonic not supported, ignored: {m}")
         start_step = 0
         if restart_file is not None:
             if restart_file.upper().endswith(".UNRST"):
@@ -677,11 +799,19 @@ class SimulatorFullyImplicitBlackoil:
                     # fresh jax.jit wrapper, and re-tracing the chunk
                     # program costs ~20 s — reuse must survive across
                     # Simulator instances sharing a solver (bench warm-up)
+                    region_spec = self.summary.region_spec()
+                    block_cells = self.summary.block_spec()
+                    skey = (None if region_spec is None
+                            else int(region_spec[1]),
+                            tuple(block_cells))
                     runner = getattr(self.solver, "_span_runner", None)
                     if (runner is None or runner.chunk != span_chunk
-                            or runner.p != self.ts.p):
+                            or runner.p != self.ts.p
+                            or runner.summary_key != skey):
                         runner = FusedSpanRunner(
-                            self.solver, self.ts.p, span_chunk)
+                            self.solver, self.ts.p, span_chunk,
+                            region_spec=region_spec,
+                            block_cells=block_cells)
                         self.solver._span_runner = runner
                     self._span_runner = runner
                     t0s = time.perf_counter()
@@ -713,8 +843,11 @@ class SimulatorFullyImplicitBlackoil:
                                 (s2.index, s2.end_time / DAY, wall,
                                  int(stats.substeps[k]),
                                  int(stats.newtons[k])))
+                            qs_k, bhp_k, fpr_k, fip_k, reg_k, blk_k = \
+                                summaries[k]
                             row = self.summary.record_arrays(
-                                s2.end_time, *summaries[k])
+                                s2.end_time, qs_k, bhp_k, fpr_k, fip_k,
+                                region=reg_k, block=blk_k)
                             if prt is not None:
                                 prt.report_step(
                                     s2.index, s2.end_time / DAY, row,
@@ -912,7 +1045,8 @@ class SimulatorFullyImplicitBlackoil:
                 os.path.join(self.output_dir, base), self.summary.rows,
                 dims=self.case.runspec.dims,
                 start_date=self.case.runspec.start_date,
-                unit_system=self.case.runspec.unit_system)
+                unit_system=self.case.runspec.unit_system,
+                requested=self.summary.requested_keys)
             if self._unrst_steps:
                 from opm_tpu.io.eclsum import write_unrst
                 base = self._out_base()

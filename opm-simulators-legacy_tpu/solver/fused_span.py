@@ -11,13 +11,18 @@ event dt reset — into one XLA program, and lax.scan it over a fixed-size
 chunk of report steps, emitting per-step summary vectors on device.  One
 host round trip per CHUNK of report steps instead of several per substep.
 
-Semantics mirror solver/timestepping.py step() exactly (iterationcount
-controller): on failure restore state, dt = max(dt*restart_factor, min_dt),
-up to solver_restart_max retries; on success dt *= min(growth, cap) with
-cap = failed_growth right after a restart; suggested_dt carries across
-report steps.  A report step that exhausts its retries marks the chunk
-`fatal` from that step on; the host falls back to the per-step path for the
-whole span (state at span start is still on the host).
+Semantics mirror solver/timestepping.py step() exactly — ALL THREE step
+controllers (AdaptiveTimeStepping_impl.hpp:118-158): on failure restore
+state, dt = max(dt*restart_factor, min_dt), up to solver_restart_max
+retries; on success the next dt comes from the iterationcount controller
+(dt *= clamp(target/its)), the PID-on-solution-change controller (error
+history threaded through the scan carry AND handed back to the host so
+span and per-step paths stay interchangeable mid-run), or pid+iteration;
+growth is capped by failed_growth right after a restart; suggested_dt
+carries across report steps.  A report step that exhausts its retries
+marks the chunk `fatal` from that step on; the host falls back to the
+per-step path for the whole span (state at span start is still on the
+host).
 
 Report steps are padded to the chunk length with zero durations (the
 substep loop exits immediately; the host drops the pad rows) so every chunk
@@ -76,23 +81,51 @@ class SpanStats(NamedTuple):
     fatal: jnp.ndarray
 
 
-def summary_arrays(model, state):
-    """Device-side summary payload per report step: (qs, bhp, fpr, fip).
-    The host expands these into the SummaryCollector row (field rates,
-    GOR/WCT ratios, cumulatives)."""
+def summary_arrays(model, state, region_spec=None, block_cells=None):
+    """Device-side summary payload per report step:
+    (qs, bhp, fpr, fip, region, block) with region = (rpr, rfip) per-FIPNUM
+    reductions and block = requested cell pressures (None when the deck's
+    SUMMARY section doesn't ask for them).  The host expands these into the
+    SummaryCollector row (field rates, GOR/WCT ratios, cumulatives)."""
     pv = getattr(model, "pv_out", model.pv)
     fpr = jnp.sum(state.pressure * pv) / jnp.sum(pv)
-    fip = jnp.sum(model.accumulation(state) * pv[None, :], axis=1)
-    return state.qs, state.bhp, fpr, fip
+    vol = model.accumulation(state) * pv[None, :]          # (3, nc)
+    fip = jnp.sum(vol, axis=1)
+    region = None
+    if region_spec is not None:
+        fipnum, nreg = region_spec
+        fipnum = jnp.asarray(np.asarray(fipnum), dtype=jnp.int32)
+        ok = fipnum >= 0
+        reg = jnp.where(ok, fipnum, 0)
+        wpv = jnp.where(ok, pv, 0.0)
+        rpv = jax.ops.segment_sum(wpv, reg, num_segments=nreg)
+        rppv = jax.ops.segment_sum(state.pressure * wpv, reg,
+                                   num_segments=nreg)
+        rpr = rppv / jnp.maximum(rpv, 1e-300)
+        rfip = jax.ops.segment_sum(
+            jnp.where(ok[None, :], vol, 0.0).T, reg,
+            num_segments=nreg)                              # (nreg, 3)
+        region = (rpr, rfip)
+    block = None
+    if block_cells:
+        cells = jnp.asarray([c for _, c in block_cells], dtype=jnp.int32)
+        block = state.pressure[cells]
+    return state.qs, state.bhp, fpr, fip, region, block
 
 
 class FusedSpanRunner:
     """Owns the jitted chunk program for one (solver, ts-params, chunk)."""
 
-    def __init__(self, solver, ts_params, chunk: int = 16):
+    def __init__(self, solver, ts_params, chunk: int = 16, *,
+                 region_spec=None, block_cells=None):
         self.solver = solver
         self.p = ts_params
         self.chunk = chunk
+        self.region_spec = region_spec
+        self.block_cells = tuple(block_cells or ())
+        # cache key for reuse across Simulator instances (sim/blackoil.py)
+        self.summary_key = (None if region_spec is None
+                            else int(region_spec[1]), self.block_cells)
         self._jit = jax.jit(self._span)
 
     # -- device program ---------------------------------------------------
@@ -153,7 +186,8 @@ class FusedSpanRunner:
             state, dt_sugg, stats = self._report_step(
                 state, dt_sugg, duration, event, wd)
             fatal = fatal_in | stats.fatal
-            summ = summary_arrays(self.solver.model, state)
+            summ = summary_arrays(self.solver.model, state,
+                                  self.region_spec, self.block_cells)
             return (state, dt_sugg, fatal), (summ, stats)
 
         (state, dt_sugg, _f), (summs, stats) = jax.lax.scan(
@@ -177,6 +211,10 @@ class FusedSpanRunner:
             state, jnp.asarray(dur), jnp.asarray(ev),
             jnp.asarray(float(suggested_dt)), wd)
         stats = SpanStats(*[np.asarray(a)[:n] for a in stats])
-        qs, bhp, fpr, fip = [np.asarray(a) for a in summs]
-        summaries = [(qs[i], bhp[i], fpr[i], fip[i]) for i in range(n)]
+        qs, bhp, fpr, fip, region, block = jax.tree.map(np.asarray, summs)
+        summaries = [
+            (qs[i], bhp[i], fpr[i], fip[i],
+             None if region is None else (region[0][i], region[1][i]),
+             None if block is None else block[i])
+            for i in range(n)]
         return state, float(dt_sugg), summaries, stats
