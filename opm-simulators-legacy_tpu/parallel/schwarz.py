@@ -97,22 +97,29 @@ class SchwarzGmg:
                                    strength=strength)
 
         # ---- block coarse space (two-level Schwarz, generalized) -------
-        # one coarse DOF per (slab x areal tile) instead of one per slab:
-        # a ~8x8-cell tiling gives a coarse operator that carries the
-        # long-range pressure modes a channelized field needs (measured:
-        # slab-only coarse left Schwarz-CPR at ~3x the global-GMG Krylov
-        # iterations; block coarse recovers most of it). All coarse work
-        # is global-view (segment-sum + tiny dense solve) — XLA inserts
+        # one coarse DOF per (slab z-block x areal tile) instead of one
+        # per slab: a ~4x4-cell areal tiling with z-resolved blocks gives
+        # a coarse operator that carries the long-range pressure modes a
+        # channelized field needs (measured on the 102k SPE10-like TPFA
+        # proxy, tools/schwarz_ab.py: slab-only coarse left Schwarz at
+        # ~2x the global-GMG Krylov iterations; tile=8/zb=1 102%; the
+        # tile=4 + zb=4 default reaches <15%). All coarse work is
+        # global-view (segment-sum + tiny dense solve) — XLA inserts
         # the small collectives.
-        tile = int(os.environ.get("OPM_TPU_SCHWARZ_TILE", "8"))
+        tile = int(os.environ.get("OPM_TPU_SCHWARZ_TILE", "4"))
         bx = max(1, nx // tile)
         by = max(1, ny // tile)
-        self.ncoarse = nsh * by * bx
+        # z-blocks per slab (coarse z resolution inside each shard)
+        zb = int(os.environ.get("OPM_TPU_SCHWARZ_ZB", "4"))
+        zb = max(1, min(zb, self.nzl))
+        self.ncoarse = nsh * zb * by * bx
         ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny),
                                  np.arange(nz), indexing="ij")
         bi = np.minimum(ii * bx // nx, bx - 1)
         bj = np.minimum(jj * by // ny, by - 1)
-        bs = kk // self.nzl
+        kk_local = kk % self.nzl
+        bs = (kk // self.nzl) * zb + np.minimum(
+            kk_local * zb // self.nzl, zb - 1)
         bid3 = (bs * by + bj) * bx + bi          # [i, j, k] order
         self.cell_bid = jnp.asarray(
             np.transpose(bid3, (2, 1, 0)).ravel(), dtype=jnp.int32)

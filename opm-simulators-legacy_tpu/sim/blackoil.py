@@ -25,6 +25,7 @@ from opm_tpu.models.blackoil import (BlackoilModel, ModelParams,
                                      make_well_device_arrays)
 from opm_tpu.models.state import (GAS, OIL, WATER, BlackoilState, rs_rv,
                                   saturations)
+from opm_tpu.parallel.io_gather import host_value, is_io_process
 from opm_tpu.props.blackoil import BlackoilProps
 from opm_tpu.sim.init import initial_state
 from opm_tpu.solver.newton import NonlinearSolver, SolverReport
@@ -143,10 +144,10 @@ class SummaryCollector:
         return self._block if "block" in self._need else []
 
     def record(self, t, state: BlackoilState, model, extra=None):
-        qs = np.asarray(state.qs)
-        bhp = np.asarray(state.bhp)
+        qs = host_value(state.qs)
+        bhp = host_value(state.bhp)
         pv = np.asarray(getattr(model, "pv_out", model.pv))
-        p = np.asarray(state.pressure)
+        p = host_value(state.pressure)
         fpr = float((p * pv).sum() / pv.sum())
         fip = fluid_in_place(model, state)
         region = None
@@ -284,7 +285,8 @@ def fluid_in_place(model, state: BlackoilState, regions=None):
 
     if not hasattr(model, "_acc_jit"):
         model._acc_jit = jax.jit(model.accumulation)
-    acc = np.asarray(model._acc_jit(state)).T        # (nc, 3)
+    from opm_tpu.parallel.io_gather import host_value as _hv
+    acc = _hv(model._acc_jit(state)).T               # (nc, 3)
     pv = np.asarray(getattr(model, "pv_out", model.pv))
     vol = acc * pv[:, None]
     if regions is None:
@@ -301,8 +303,18 @@ class SimulatorFullyImplicitBlackoil:
                  params: Optional[ModelParams] = None,
                  ts_params: Optional[TimeStepControlParams] = None,
                  output_dir: Optional[str] = None,
-                 fused: Optional[bool] = None):
+                 fused: Optional[bool] = None,
+                 mesh=None):
+        """mesh: a jax.sharding.Mesh over the cell axis for global-view
+        domain decomposition — single-process multi-device OR multi-process
+        (after parallel.distributed.initialize_distributed; the reference's
+        MPI redistribution, FlowMain.hpp:252-284 +
+        RedistributeDataHandles.hpp).  Cell-axis state arrays are sharded
+        over it, well/scalar state replicated; every host pull goes through
+        the collective-safe io_gather.host_value, and files are written by
+        the IO process only."""
         self.case = case
+        self.mesh = mesh
         self.grid = build_grid(case)
         self.props = BlackoilProps.from_case(case)
         if self.props.satfunc is not None:
@@ -377,7 +389,7 @@ class SimulatorFullyImplicitBlackoil:
         from opm_tpu.wells import standard as stdwells
         from opm_tpu.wells.econ import check_econ_limits
 
-        qs = np.asarray(state.qs)
+        qs = host_value(state.qs)
         idx = {n: i for i, n in enumerate(self.well_names)}
         # per-connection rates are only needed for ratio workovers; compute
         # them lazily and JITTED (an eager evaluation here cost ~2 s of
@@ -452,7 +464,7 @@ class SimulatorFullyImplicitBlackoil:
         p_avg, rs_avg, rv_avg = region_averages(self.model, state, region)
         coef = np.asarray(voidage_coefficients(self.props, p_avg, rs_avg,
                                                rv_avg))[0]
-        qs = np.asarray(state.qs)
+        qs = host_value(state.qs)
         prod = np.clip(-qs, 0.0, None)
         return float((prod * coef[None, :]).sum())
 
@@ -505,9 +517,9 @@ class SimulatorFullyImplicitBlackoil:
         nw = ws.nw
         control = jnp.asarray(ws.control, dtype=jnp.int32)
         target = jnp.asarray(ws.target)
-        bhp = np.asarray(state.bhp).copy()
-        qs = np.asarray(state.qs).copy()
-        p = np.asarray(state.pressure)
+        bhp = host_value(state.bhp).copy()
+        qs = host_value(state.qs).copy()
+        p = host_value(state.pressure)
         for iw in range(nw):
             if not ws.open_mask[iw]:
                 continue
@@ -603,6 +615,126 @@ class SimulatorFullyImplicitBlackoil:
         except Exception:
             return None
 
+    def _write_step_outputs(self, state, step, writer, write_restart,
+                            write_vtk, write_matlab):
+        """Per-report-step output (restart checkpoint + UNRST accumulation,
+        VTK, Matlab) from a state pytree — shared by the per-step path and
+        the fused-span path (which hands back the stacked per-step states
+        from the device scan)."""
+        if not ((write_restart or write_vtk or write_matlab)
+                and self.output_dir):
+            return
+        # collective gather on ALL processes (host_value allgathers
+        # sharded leaves; output_dir is rank-uniform, only the WRITES are
+        # IO-rank-gated below)
+        state = jax.tree.map(host_value, state)
+        if not is_io_process():
+            return
+        import os
+        os.makedirs(self.output_dir, exist_ok=True)
+        if write_restart:
+            from opm_tpu.io.restart import save_restart
+            host_state = jax.tree.map(np.asarray, state)
+            writer.submit(
+                save_restart,
+                os.path.join(self.output_dir,
+                             f"restart_{step.index:04d}.npz"),
+                host_state, report_step=step.index,
+                time=step.end_time,
+                suggested_dt=self.ts.suggested_dt)
+            # accumulate ECL unified-restart solution steps
+            from opm_tpu.models.state import saturations as _sats
+            sw_, so_, sg_ = _sats(state)
+            rs_, rv_ = rs_rv(state, self.props, self.model.pvtnum)
+            p_unit = (1e-5 if self.case.runspec.unit_system
+                      == "METRIC" else 1.0 / 6894.757293168361)
+            xwel = np.concatenate([
+                np.asarray(state.bhp)[:, None],
+                np.asarray(state.qs),
+                np.asarray(state.control, dtype=np.float64)[:, None],
+                np.asarray(state.target)[:, None]], axis=1)
+            # embedded grids: ECL restart arrays cover the REAL
+            # active cells only (padding is an internal layout)
+            rc = (slice(None) if self.grid.active_mask is None
+                  else self.grid.real_cells)
+            self._unrst_steps.append(dict(
+                seqnum=step.index,
+                time_days=step.end_time / DAY,
+                PRESSURE=np.asarray(state.pressure)[rc] * p_unit,
+                SWAT=np.asarray(sw_)[rc], SGAS=np.asarray(sg_)[rc],
+                RS=np.asarray(rs_)[rc], RV=np.asarray(rv_)[rc],
+                # well state + stepper extras (SI), the analogue of
+                # the reference's OPM_XWEL/OPM_EXTRA restart data
+                OPM_XWEL=xwel.reshape(-1),
+                OPM_EXTRA=np.asarray([self.ts.suggested_dt])))
+        if write_vtk:
+            from opm_tpu.io.vtk import write_vtr
+            from opm_tpu.models.state import saturations
+            sw, so, sg = saturations(state)
+            writer.submit(
+                write_vtr,
+                os.path.join(self.output_dir,
+                             f"step_{step.index:04d}.vtr"),
+                self.grid,
+                dict(PRESSURE=np.asarray(state.pressure),
+                     SWAT=np.asarray(sw), SGAS=np.asarray(sg)))
+        if write_matlab:
+            # Matlab sub-writer (BlackoilMatlabWriter,
+            # SimulatorFullyImplicitBlackoilOutput.hpp:175-195):
+            # per-variable NNN.txt dumps + estimated cell velocity
+            from opm_tpu.grid.grid import estimate_cell_velocity
+            from opm_tpu.io.matlab import (output_state_matlab,
+                                           output_well_state_matlab)
+            from opm_tpu.models.state import saturations as _sats3
+            sw_m, so_m, sg_m = _sats3(state)
+            rs_m, rv_m = rs_rv(state, self.props, self.model.pvtnum)
+            q_m = self.model.cell_quantities(state)
+            flux_m = np.asarray(
+                self.model.face_fluxes(q_m)).sum(axis=0)
+            vel = estimate_cell_velocity(self.grid, flux_m)
+            rc_m = (slice(None) if self.grid.active_mask is None
+                    else self.grid.real_cells)
+            sat = np.stack([np.asarray(sw_m)[rc_m],
+                            np.asarray(so_m)[rc_m],
+                            np.asarray(sg_m)[rc_m]], axis=1)
+            writer.submit(
+                output_state_matlab, self.output_dir, step.index,
+                pressure=np.asarray(state.pressure)[rc_m],
+                saturation=sat, rs=np.asarray(rs_m)[rc_m],
+                rv=np.asarray(rv_m)[rc_m], velocity=vel[rc_m])
+            writer.submit(
+                output_well_state_matlab, self.output_dir,
+                step.index, bhp=np.asarray(state.bhp),
+                wellrates=np.asarray(state.qs))
+
+    def _shard_state(self, state: BlackoilState) -> BlackoilState:
+        """Lay the state out over self.mesh: cell-axis arrays sharded,
+        well/scalar arrays replicated.  Works for single- AND multi-process
+        meshes (make_array_from_callback only touches the addressable
+        shards, so each process materializes its local cells only)."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+
+        def put(x, spec):
+            if x is None:
+                return None
+            xh = host_value(x)
+            sh = NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(
+                xh.shape, sh, lambda idx, _x=xh: _x[idx])
+
+        cell = P(axis)
+        repl = P()
+        return state._replace(
+            pressure=put(state.pressure, cell), sw=put(state.sw, cell),
+            x=put(state.x, cell), hcstate=put(state.hcstate, cell),
+            sgmax=put(state.sgmax, cell), somax=put(state.somax, cell),
+            bhp=put(state.bhp, repl), qs=put(state.qs, repl),
+            control=put(state.control, repl), target=put(state.target, repl))
+
     def run(self, state: Optional[BlackoilState] = None, *,
             report_step_limit: Optional[int] = None, verbose: bool = False,
             restart_file: Optional[str] = None,
@@ -636,7 +768,7 @@ class SimulatorFullyImplicitBlackoil:
         from opm_tpu.utils.threadhandle import ThreadHandle
         writer = ThreadHandle()
         prt = None
-        if self.output_dir:
+        if self.output_dir and is_io_process():
             import os as _os2
             _os2.makedirs(self.output_dir, exist_ok=True)
             from opm_tpu.io.prt import PrtLogger
@@ -659,13 +791,14 @@ class SimulatorFullyImplicitBlackoil:
             self.ts.suggested_dt = meta["suggested_dt"]
         elif state is None:
             state = initial_state(self.grid, self.props, self.case, nw)
+        state = self._shard_state(state)
         if self._thpres_default_pairs:
             # defaulted THPRES: the sustained equilibrium pressure jump
             # across the barrier — max |p1 - p2| over the region interface
             # (computeMaxDp from equilibrated columns,
             # thresholdPressures.hpp:47)
             fc = self.grid.face_cells
-            p0 = np.asarray(state.pressure)
+            p0 = host_value(state.pressure)
             dp_face = np.abs(p0[fc[:, 0]] - p0[fc[:, 1]])
             thp = np.asarray(self.model.threshold_dp)
             for m in self._thpres_default_pairs:
@@ -700,10 +833,16 @@ class SimulatorFullyImplicitBlackoil:
                                           "50000")) or (1 << 62)
         has_subscribers = any(
             ev._handlers for ev in self.events._events.values())
-        use_spans = (self.fused and span_chunk > 1 and not write_restart
-                     and not write_vtk and not self._hysteresis
-                     and self.ts.pid is None and not has_subscribers
-                     and self.model.nc <= span_max_nc)
+        # spans now cover restart/vtk/matlab output (per-step states come
+        # back stacked from the device scan), hysteresis/VAPPARS memory
+        # (updated in the device report-step body), and all three step
+        # controllers (PID error history threaded through the scan carry);
+        # only per-substep event subscribers still force per-step dispatch
+        use_spans = (self.fused and span_chunk > 1
+                     and not has_subscribers
+                     and self.model.nc <= span_max_nc
+                     and jax.process_count() == 1)
+        span_emit_states = write_restart or write_vtk or write_matlab
         self._span_runner = None
 
         def _step_wells_for(stp):
@@ -756,7 +895,7 @@ class SimulatorFullyImplicitBlackoil:
             if step.groups and any(w.control == "GRUP" for w in step_wells):
                 # distribute group targets to GRUP wells
                 from opm_tpu.wells.groups import resolve_group_controls
-                rates = {n: np.asarray(state.qs)[i]
+                rates = {n: host_value(state.qs)[i]
                          for i, n in enumerate(self.well_names)}
                 voidage = self._field_voidage(state)
                 pots = self._well_potentials(state)
@@ -803,7 +942,8 @@ class SimulatorFullyImplicitBlackoil:
                     block_cells = self.summary.block_spec()
                     skey = (None if region_spec is None
                             else int(region_spec[1]),
-                            tuple(block_cells))
+                            tuple(block_cells), span_emit_states,
+                            self._hysteresis, self._vappars)
                     runner = getattr(self.solver, "_span_runner", None)
                     if (runner is None or runner.chunk != span_chunk
                             or runner.p != self.ts.p
@@ -811,19 +951,26 @@ class SimulatorFullyImplicitBlackoil:
                         runner = FusedSpanRunner(
                             self.solver, self.ts.p, span_chunk,
                             region_spec=region_spec,
-                            block_cells=block_cells)
+                            block_cells=block_cells,
+                            emit_states=span_emit_states,
+                            hysteresis=self._hysteresis,
+                            vappars=self._vappars)
                         self.solver._span_runner = runner
                     self._span_runner = runner
                     t0s = time.perf_counter()
-                    new_state, dt_sugg, summaries, stats = \
-                        self._span_runner.run_chunk(
-                            state,
-                            [s.end_time - s.start_time for s in span_steps],
-                            [bool(s.events) for s in span_steps],
-                            self.ts.suggested_dt, wd)
+                    pid_errs = (self.ts.pid.errors
+                                if self.ts.pid is not None else None)
+                    (new_state, dt_sugg, pid_errs, summaries, stats,
+                     span_states) = self._span_runner.run_chunk(
+                        state,
+                        [s.end_time - s.start_time for s in span_steps],
+                        [bool(s.events) for s in span_steps],
+                        self.ts.suggested_dt, wd, pid_errors=pid_errs)
                     if not stats.fatal.any():
                         state = new_state
                         self.ts.suggested_dt = dt_sugg
+                        if self.ts.pid is not None:
+                            self.ts.pid.errors = pid_errs
                         wall = (time.perf_counter() - t0s) / len(span_steps)
                         if prt is not None:
                             prt.span(span_steps[0].index,
@@ -848,6 +995,12 @@ class SimulatorFullyImplicitBlackoil:
                             row = self.summary.record_arrays(
                                 s2.end_time, qs_k, bhp_k, fpr_k, fip_k,
                                 region=reg_k, block=blk_k)
+                            if span_emit_states and span_states is not None:
+                                st_k = jax.tree.map(
+                                    lambda a, _k=k: a[_k], span_states)
+                                self._write_step_outputs(
+                                    st_k, s2, writer, write_restart,
+                                    write_vtk, write_matlab)
                             if prt is not None:
                                 prt.report_step(
                                     s2.index, s2.end_time / DAY, row,
@@ -943,84 +1096,8 @@ class SimulatorFullyImplicitBlackoil:
                                 fip=[row["FWIP"], row["FOIP"],
                                      row["FGIP"]])
             self._check_econ_limits(step_wells, state, ws, wd)
-            if (write_restart or write_vtk or write_matlab) \
-                    and self.output_dir:
-                import os
-                os.makedirs(self.output_dir, exist_ok=True)
-                if write_restart:
-                    from opm_tpu.io.restart import save_restart
-                    host_state = jax.tree.map(np.asarray, state)
-                    writer.submit(
-                        save_restart,
-                        os.path.join(self.output_dir,
-                                     f"restart_{step.index:04d}.npz"),
-                        host_state, report_step=step.index,
-                        time=step.end_time,
-                        suggested_dt=self.ts.suggested_dt)
-                    # accumulate ECL unified-restart solution steps
-                    from opm_tpu.models.state import saturations as _sats
-                    sw_, so_, sg_ = _sats(state)
-                    rs_, rv_ = rs_rv(state, self.props, self.model.pvtnum)
-                    p_unit = (1e-5 if self.case.runspec.unit_system
-                              == "METRIC" else 1.0 / 6894.757293168361)
-                    xwel = np.concatenate([
-                        np.asarray(state.bhp)[:, None],
-                        np.asarray(state.qs),
-                        np.asarray(state.control, dtype=np.float64)[:, None],
-                        np.asarray(state.target)[:, None]], axis=1)
-                    # embedded grids: ECL restart arrays cover the REAL
-                    # active cells only (padding is an internal layout)
-                    rc = (slice(None) if self.grid.active_mask is None
-                          else self.grid.real_cells)
-                    self._unrst_steps.append(dict(
-                        seqnum=step.index,
-                        time_days=step.end_time / DAY,
-                        PRESSURE=np.asarray(state.pressure)[rc] * p_unit,
-                        SWAT=np.asarray(sw_)[rc], SGAS=np.asarray(sg_)[rc],
-                        RS=np.asarray(rs_)[rc], RV=np.asarray(rv_)[rc],
-                        # well state + stepper extras (SI), the analogue of
-                        # the reference's OPM_XWEL/OPM_EXTRA restart data
-                        OPM_XWEL=xwel.reshape(-1),
-                        OPM_EXTRA=np.asarray([self.ts.suggested_dt])))
-                if write_vtk:
-                    from opm_tpu.io.vtk import write_vtr
-                    from opm_tpu.models.state import saturations
-                    sw, so, sg = saturations(state)
-                    writer.submit(
-                        write_vtr,
-                        os.path.join(self.output_dir,
-                                     f"step_{step.index:04d}.vtr"),
-                        self.grid,
-                        dict(PRESSURE=np.asarray(state.pressure),
-                             SWAT=np.asarray(sw), SGAS=np.asarray(sg)))
-                if write_matlab:
-                    # Matlab sub-writer (BlackoilMatlabWriter,
-                    # SimulatorFullyImplicitBlackoilOutput.hpp:175-195):
-                    # per-variable NNN.txt dumps + estimated cell velocity
-                    from opm_tpu.grid.grid import estimate_cell_velocity
-                    from opm_tpu.io.matlab import (output_state_matlab,
-                                                   output_well_state_matlab)
-                    from opm_tpu.models.state import saturations as _sats3
-                    sw_m, so_m, sg_m = _sats3(state)
-                    rs_m, rv_m = rs_rv(state, self.props, self.model.pvtnum)
-                    q_m = self.model.cell_quantities(state)
-                    flux_m = np.asarray(
-                        self.model.face_fluxes(q_m)).sum(axis=0)
-                    vel = estimate_cell_velocity(self.grid, flux_m)
-                    rc_m = (slice(None) if self.grid.active_mask is None
-                            else self.grid.real_cells)
-                    sat = np.stack([np.asarray(sw_m)[rc_m],
-                                    np.asarray(so_m)[rc_m],
-                                    np.asarray(sg_m)[rc_m]], axis=1)
-                    writer.submit(
-                        output_state_matlab, self.output_dir, step.index,
-                        pressure=np.asarray(state.pressure)[rc_m],
-                        saturation=sat, rs=np.asarray(rs_m)[rc_m],
-                        rv=np.asarray(rv_m)[rc_m], velocity=vel[rc_m])
-                    writer.submit(
-                        output_well_state_matlab, self.output_dir,
-                        step.index, bhp=np.asarray(state.bhp),
-                        wellrates=np.asarray(state.qs))
+            self._write_step_outputs(state, step, writer, write_restart,
+                                     write_vtk, write_matlab)
             if verbose:
                 r = self.summary.rows[-1]
                 print(f"step {step.index:4d} t={step.end_time / DAY:9.1f} d "
@@ -1034,6 +1111,10 @@ class SimulatorFullyImplicitBlackoil:
             prt.final_report(self.report)
             prt.close()
         if self.output_dir:
+            # collective on all processes (gathers sharded state)
+            fip_reg = fluid_in_place(self.model, state,
+                                     regions=self.grid.fipnum)
+        if self.output_dir and is_io_process():
             import os
             os.makedirs(self.output_dir, exist_ok=True)
             self.summary.to_csv(
@@ -1067,9 +1148,8 @@ class SimulatorFullyImplicitBlackoil:
             except Exception:
                 pass  # synthetic cases without geometric arrays
             # per-FIPNUM-region fluid in place (the reference's FIP report
-            # tables, SimulatorBase_impl.hpp FIP output)
-            fip_reg = fluid_in_place(self.model, state,
-                                     regions=self.grid.fipnum)
+            # tables, SimulatorBase_impl.hpp FIP output; computed
+            # collectively above)
             with open(os.path.join(self.output_dir, "fip_report.txt"),
                       "w") as f:
                 f.write("# FIPNUM  water[sm3]  oil[sm3]  gas[sm3]  (end of "

@@ -502,16 +502,32 @@ def spe9_cp_case(**kw) -> EclipseCase:
     return load_case_string(spe9_cp_deck(**kw))
 
 
-def spe3like_deck(tsteps="5 10 3*15 22*30") -> str:
+def spe3like_deck(tsteps="5 10 3*15 22*30", cycling=False,
+                  blowdown_tsteps="12*30") -> str:
     """SPE3-class retrograde gas-condensate depletion (Kenyon & Behie,
     SPE-12278, black-oil conversion as in the reference's SPE3 regression,
     compareECLFiles.cmake:107-112): 9x9x4 grid, wet gas with vaporized
     oil (VAPOIL + PVTG), dead condensate oil (PVDO), immobile connate
     water. The whole column initializes as UNDERSATURATED gas (rv below
     the dew-point rv_sat via RVVD); drawdown below the dew point drops
-    condensate out — the HC_GASONLY <-> HC_GASOIL switching path."""
+    condensate out — the HC_GASONLY <-> HC_GASOIL switching path.
+
+    cycling=True adds the PUBLISHED study's gas-cycling period (produced
+    gas stripped at the separator and reinjected dry at ~75% of the
+    produced volume for the `tsteps` period, then the injector shuts and
+    the field blows down for `blowdown_tsteps`) — the harder VAPOIL test:
+    rv RISES where undersaturated dry gas re-vaporizes dropped-out
+    condensate, then falls again in blowdown."""
     n = 9 * 9 * 4
     nlay = 9 * 9
+    wspec_inj = "\n 'INJ'  'G1' 1 1 7530 'GAS' /" if cycling else ""
+    compdat_inj = ("\n 'INJ'  1 1 1 2 'OPEN' 1* 1* 0.5 /"
+                   if cycling else "")
+    inje = ("\nWCONINJE\n 'INJ' 'GAS' 'OPEN' 'RATE' 22500 1* 4000 /\n/"
+            if cycling else "")
+    shut_and_blowdown = (
+        "\nWCONINJE\n 'INJ' 'GAS' 'SHUT' 'RATE' 22500 1* 4000 /\n/"
+        "\nTSTEP\n " + blowdown_tsteps + " /" if cycling else "")
     return f"""
 RUNSPEC
 TITLE
@@ -599,16 +615,16 @@ FGPR
 FOPR
 SCHEDULE
 WELSPECS
- 'PROD' 'G1' 7 7 7530 'GAS' /
+ 'PROD' 'G1' 7 7 7530 'GAS' /{wspec_inj}
 /
 COMPDAT
- 'PROD' 7 7 3 4 'OPEN' 1* 1* 0.5 /
+ 'PROD' 7 7 3 4 'OPEN' 1* 1* 0.5 /{compdat_inj}
 /
 WCONPROD
  'PROD' 'OPEN' 'GRAT' 2* 30000 2* 500 /
-/
+/{inje}
 TSTEP
- {tsteps} /
+ {tsteps} /{shut_and_blowdown}
 END
 """
 

@@ -117,34 +117,62 @@ class FusedSpanRunner:
     """Owns the jitted chunk program for one (solver, ts-params, chunk)."""
 
     def __init__(self, solver, ts_params, chunk: int = 16, *,
-                 region_spec=None, block_cells=None):
+                 region_spec=None, block_cells=None, emit_states=False,
+                 hysteresis=False, vappars=False):
         self.solver = solver
         self.p = ts_params
         self.chunk = chunk
         self.region_spec = region_spec
         self.block_cells = tuple(block_cells or ())
+        self.emit_states = emit_states    # stack per-step states (restart/
+        #                                   vtk/matlab output with spans on)
+        self.hysteresis = hysteresis      # sgmax update at step start
+        self.vappars = vappars            # somax update at step start
         # cache key for reuse across Simulator instances (sim/blackoil.py)
         self.summary_key = (None if region_spec is None
-                            else int(region_spec[1]), self.block_cells)
+                            else int(region_spec[1]), self.block_cells,
+                            emit_states, hysteresis, vappars)
         self._jit = jax.jit(self._span)
 
     # -- device program ---------------------------------------------------
-    def _report_step(self, state, dt_sugg, duration, event, wd):
+    def _solution_change(self, s0, s1):
+        """Device twin of timestepping._solution_change (the PID error
+        measure): rms relative pressure change + rms saturation-like
+        change — bit-compatible so span and per-step PID trajectories
+        stay interchangeable."""
+        ep = jnp.sqrt(jnp.mean(((s1.pressure - s0.pressure)
+                                / jnp.maximum(jnp.abs(s1.pressure), 1.0))
+                               ** 2))
+        es = jnp.sqrt(jnp.mean((s1.sw - s0.sw) ** 2))
+        xs = jnp.maximum(jnp.abs(s1.x), 1.0)
+        es = es + jnp.sqrt(jnp.mean(((s1.x - s0.x) / xs) ** 2))
+        return jnp.maximum(ep + es, 1e-12)
+
+    def _report_step(self, state, dt_sugg, errs, duration, event, wd):
         p = self.p
         solver = self.solver
+        if self.hysteresis:
+            # updateSatHyst at report-step start (SimulatorBase_impl.hpp:146)
+            from opm_tpu.models.state import saturations as _sats
+            state = state._replace(
+                sgmax=jnp.maximum(state.sgmax, _sats(state)[2]))
+        if self.vappars:
+            from opm_tpu.models.state import saturations as _sats
+            state = state._replace(
+                somax=jnp.maximum(state.somax, _sats(state)[1]))
         state = reset_well_state(state, wd)
         dt0 = jnp.minimum(jnp.minimum(dt_sugg, duration), p.max_dt)
         if p.event_reset:
             dt0 = jnp.where(event, jnp.minimum(p.initial_dt, duration), dt0)
 
         def cond(c):
-            (_s, remaining, _dt, _restarts, _jf, _nsub, _nfail, _nnewt,
-             _nlin, fatal) = c
+            (_s, remaining, _dt, _errs, _restarts, _jf, _nsub, _nfail,
+             _nnewt, _nlin, fatal) = c
             return (remaining > 1e-6) & ~fatal
 
         def body(c):
-            (s, remaining, dt, restarts, just_failed, nsub, nfail, nnewt,
-             nlin, fatal) = c
+            (s, remaining, dt, errs, restarts, just_failed, nsub, nfail,
+             nnewt, nlin, fatal) = c
             dt_try = jnp.minimum(dt, remaining)
             s2, done, bad, it, lin, _hist = solver._fused_substep(
                 s, dt_try, wd)
@@ -153,63 +181,93 @@ class FusedSpanRunner:
             fatal = fatal | (~success & (restarts2 > p.solver_restart_max))
             # failure: chop (AdaptiveTimeStepping_impl.hpp:244-372)
             dt_fail = jnp.maximum(dt_try * p.restart_factor, p.min_dt)
-            # success: iteration-count growth, capped after a restart
+            # success: the configured step controller
             its = jnp.maximum(it - 1, 1)
-            grow = jnp.minimum(p.growth_factor,
-                               jnp.maximum(0.1, p.target_iterations / its))
+            if p.controller.startswith("pid"):
+                # PID on relative solution change (PIDTimeStepControl):
+                # dt' = dt (e1/e2)^kP (tol/e2)^kI (e1^2/(e2 e0))^kD
+                e = self._solution_change(s, s2)
+                errs2 = jnp.stack([errs[1], errs[2], e])
+                e0, e1, e2 = errs2[0], errs2[1], errs2[2]
+                factor = ((e1 / e2) ** p.pid_kP
+                          * (p.pid_tol / e2) ** p.pid_kI
+                          * ((e1 * e1) / (e2 * e0)) ** p.pid_kD)
+                if p.controller == "pid+iteration":
+                    factor = jnp.where(
+                        its > p.target_iterations,
+                        jnp.minimum(factor, p.target_iterations / its),
+                        factor)
+                grow = jnp.clip(factor, 0.1, p.growth_factor)
+            else:
+                # iteration-count growth (SimpleIterationCount semantics)
+                errs2 = errs
+                grow = jnp.minimum(
+                    p.growth_factor,
+                    jnp.maximum(0.1, p.target_iterations / its))
             cap = jnp.where(just_failed, p.failed_growth, p.growth_factor)
             dt_ok = jnp.clip(dt_try * jnp.minimum(grow, cap),
                              p.min_dt, p.max_dt)
             s = jax.tree.map(lambda a, b: jnp.where(success, a, b), s2, s)
+            errs = jnp.where(success, errs2, errs)
             remaining = remaining - jnp.where(success, dt_try, 0.0)
             dt = jnp.where(success, dt_ok, dt_fail)
-            return (s, remaining, dt, restarts2, ~success,
+            return (s, remaining, dt, errs, restarts2, ~success,
                     nsub + success.astype(jnp.int32),
                     nfail + (~success).astype(jnp.int32),
                     nnewt + jnp.where(success, jnp.maximum(it - 1, 0), 0),
                     nlin + jnp.where(success, lin, 0), fatal)
 
         z = jnp.asarray(0, dtype=jnp.int32)
-        init = (state, duration, dt0, z, jnp.asarray(False),
+        init = (state, duration, dt0, errs, z, jnp.asarray(False),
                 z, z, z, z, jnp.asarray(False))
-        (state, _rem, dt, _re, _jf, nsub, nfail, nnewt, nlin,
+        (state, _rem, dt, errs, _re, _jf, nsub, nfail, nnewt, nlin,
          fatal) = jax.lax.while_loop(cond, body, init)
-        return state, dt, SpanStats(nsub, nfail, nnewt, nlin, fatal)
+        # pad steps (duration 0) must not clobber the carried suggestion:
+        # dt0 was clamped to the zero duration before the loop exited
+        dt = jnp.where(duration > 0.0, dt, dt_sugg)
+        return state, dt, errs, SpanStats(nsub, nfail, nnewt, nlin, fatal)
 
-    def _span(self, state, durations, events, dt_sugg, wd):
+    def _span(self, state, durations, events, dt_sugg, errs, wd):
         def scan_body(carry, inp):
-            state, dt_sugg, fatal_in = carry
+            state, dt_sugg, errs, fatal_in = carry
             duration, event = inp
             # a fatal earlier step poisons the rest of the chunk: zero the
             # remaining durations so their substep loops exit immediately
             duration = jnp.where(fatal_in, 0.0, duration)
-            state, dt_sugg, stats = self._report_step(
-                state, dt_sugg, duration, event, wd)
+            state, dt_sugg, errs, stats = self._report_step(
+                state, dt_sugg, errs, duration, event, wd)
             fatal = fatal_in | stats.fatal
             summ = summary_arrays(self.solver.model, state,
                                   self.region_spec, self.block_cells)
-            return (state, dt_sugg, fatal), (summ, stats)
+            out_state = state if self.emit_states else None
+            return (state, dt_sugg, errs, fatal), (summ, stats, out_state)
 
-        (state, dt_sugg, _f), (summs, stats) = jax.lax.scan(
-            scan_body, (state, dt_sugg, jnp.asarray(False)),
+        (state, dt_sugg, errs, _f), (summs, stats, states) = jax.lax.scan(
+            scan_body, (state, dt_sugg, errs, jnp.asarray(False)),
             (durations, events))
-        return state, dt_sugg, summs, stats
+        return state, dt_sugg, errs, summs, stats, states
 
     # -- host front end ---------------------------------------------------
-    def run_chunk(self, state, durations, events, suggested_dt, wd):
+    def run_chunk(self, state, durations, events, suggested_dt, wd,
+                  pid_errors=None):
         """durations/events: python sequences with len <= chunk; returns
-        (state, suggested_dt, summaries, stats) with pad rows dropped.
-        summaries is a list of (qs, bhp, fpr, fip) numpy tuples per real
-        report step.  Raises nothing — the caller checks stats.fatal."""
+        (state, suggested_dt, pid_errors, summaries, stats, states) with
+        pad rows dropped.  summaries is a list of
+        (qs, bhp, fpr, fip, region, block) numpy tuples per real report
+        step; states is the stacked per-step state pytree (emit_states)
+        or None.  Raises nothing — the caller checks stats.fatal."""
         n = len(durations)
         assert n <= self.chunk
         dur = np.zeros(self.chunk)
         ev = np.zeros(self.chunk, dtype=bool)
         dur[:n] = durations
         ev[:n] = events
-        state, dt_sugg, summs, stats = self._jit(
+        if pid_errors is None:
+            pid_errors = [self.p.pid_tol] * 3
+        state, dt_sugg, errs, summs, stats, states = self._jit(
             state, jnp.asarray(dur), jnp.asarray(ev),
-            jnp.asarray(float(suggested_dt)), wd)
+            jnp.asarray(float(suggested_dt)),
+            jnp.asarray(np.asarray(pid_errors, dtype=np.float64)), wd)
         stats = SpanStats(*[np.asarray(a)[:n] for a in stats])
         qs, bhp, fpr, fip, region, block = jax.tree.map(np.asarray, summs)
         summaries = [
@@ -217,4 +275,5 @@ class FusedSpanRunner:
              None if region is None else (region[0][i], region[1][i]),
              None if block is None else block[i])
             for i in range(n)]
-        return state, float(dt_sugg), summaries, stats
+        return (state, float(dt_sugg), [float(e) for e in np.asarray(errs)],
+                summaries, stats, states)

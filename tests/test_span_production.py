@@ -1,0 +1,134 @@
+"""Fused-span production configurations (VERDICT r2 #4): PID dt control,
+restart/vtk output, and hysteresis all run INSIDE the device span instead
+of forcing per-substep host dispatch.  Reference semantics:
+AdaptiveTimeStepping_impl.hpp:118-158 (PID controller),
+SimulatorBase_impl.hpp:146 (updateSatHyst), BlackoilOutputWriter
+writeTimeStep (per-report-step restart output)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from opm_tpu.io.eclstate import load_case
+from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+from opm_tpu.solver.timestepping import TimeStepControlParams
+
+SPE1 = os.path.join(os.path.dirname(__file__), "..", "data",
+                    "SPE1CASE2.DATA")
+N_STEPS = 8
+
+
+def _run(spans, controller="iterationcount", n=N_STEPS, **kw):
+    """spans=True: fused-span chunks; spans=False: the same fused substep
+    kernel dispatched per substep from the host (OPM_TPU_SPAN=1) — the
+    pair isolates the span STATE MACHINE (dt control, chopping, PID
+    history) from the Newton kernel."""
+    import os as _os
+    case = load_case(SPE1)
+    ts = TimeStepControlParams(controller=controller)
+    old = _os.environ.get("OPM_TPU_SPAN")
+    if not spans:
+        _os.environ["OPM_TPU_SPAN"] = "1"
+    try:
+        sim = SimulatorFullyImplicitBlackoil(case, fused=True, ts_params=ts,
+                                             **{k: v for k, v in kw.items()
+                                                if k != "run"})
+        state = sim.run(report_step_limit=n, **kw.get("run", {}))
+    finally:
+        if not spans:
+            if old is None:
+                _os.environ.pop("OPM_TPU_SPAN", None)
+            else:
+                _os.environ["OPM_TPU_SPAN"] = old
+    return sim, state
+
+
+@pytest.mark.parametrize("controller", ["pid", "pid+iteration"])
+def test_pid_span_matches_per_step(controller):
+    """The device PID state machine reproduces the host PID trajectory.
+    Bit-equality is impossible (host float ** vs XLA pow differ by ULPs,
+    and the PID dt sequence is dynamically sensitive, so tiny dt
+    differences compound over months), so the claim is semantic: over a
+    short horizon the substep/Newton counts match exactly-ish; over a
+    longer horizon the counts stay within ~15% and the states agree to
+    solver tolerance at the common report times."""
+    sim_h, st_h = _run(False, controller, n=3)
+    assert sim_h._span_runner is None
+    sim_s, st_s = _run(True, controller, n=3)
+    assert sim_s._span_runner is not None, "span path not exercised"
+    assert abs(sim_s.report.substeps - sim_h.report.substeps) <= 1
+    assert abs(sim_s.report.newton_iterations
+               - sim_h.report.newton_iterations) <= 3
+    assert sim_s.report.failed_substeps == sim_h.report.failed_substeps
+    np.testing.assert_allclose(np.asarray(st_s.pressure),
+                               np.asarray(st_h.pressure), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_s.sw), np.asarray(st_h.sw),
+                               atol=1e-6)
+
+
+def test_pid_span_long_horizon():
+    """Longer PID horizon: dt-sequence chaos means counts drift, but the
+    controller behavior stays equivalent (counts within 15%, states at
+    the common report times equal to solver tolerance)."""
+    sim_h, st_h = _run(False, "pid")
+    sim_s, st_s = _run(True, "pid")
+    assert sim_s._span_runner is not None
+    rel = abs(sim_s.report.substeps - sim_h.report.substeps) \
+        / max(sim_h.report.substeps, 1)
+    assert rel < 0.15, (sim_s.report.substeps, sim_h.report.substeps)
+    # once the dt sequences diverge, the two runs sample TEMPORAL
+    # truncation error at different substep boundaries — states at the
+    # common report time then agree to discretization accuracy (~1e-3
+    # relative for backward-Euler at these dt), not solver tolerance
+    np.testing.assert_allclose(np.asarray(st_s.pressure),
+                               np.asarray(st_h.pressure), rtol=5e-3)
+
+
+def test_pid_grows_dt():
+    """PID control must actually control: over ~8 months of SPE1 the dt
+    grows well past initial_dt on average (PID oscillates, so assert on
+    the substep COUNT — ~243 days would need ~243 substeps if dt never
+    grew; the controller does it in a fraction of that)."""
+    sim, _ = _run(True, "pid")
+    days = sum(s.end_time - s.start_time
+               for s in sim.schedule.report_steps[:N_STEPS]) / 86400.0
+    assert sim.report.substeps < 0.5 * days
+    assert sim.ts.suggested_dt > 0.0  # pad steps must not zero it
+
+
+def test_restart_output_with_spans(tmp_path):
+    """write_restart runs span-on and produces the same UNRST solution
+    steps as the per-step path."""
+    out_s = str(tmp_path / "span")
+    out_h = str(tmp_path / "host")
+    sim_s, _ = _run(True, output_dir=out_s,
+                    run=dict(write_restart=True))
+    assert sim_s._span_runner is not None, "span path not exercised"
+    assert sim_s._span_runner.emit_states
+    sim_h, _ = _run(False, output_dir=out_h,
+                    run=dict(write_restart=True))
+    # npz checkpoints for every report step
+    for k in range(N_STEPS):
+        assert os.path.exists(os.path.join(out_s, f"restart_{k:04d}.npz"))
+    from opm_tpu.io.eclsum import read_unrst
+    st_s = read_unrst(os.path.join(out_s, sim_s._out_base() + ".UNRST"))
+    st_h = read_unrst(os.path.join(out_h, sim_h._out_base() + ".UNRST"))
+    assert len(st_s) == len(st_h) == N_STEPS
+    # span and per-step are different XLA programs (scan vs per-substep
+    # dispatch): reduction orders differ in f64 roundoff, amplified to
+    # ~1e-6 rel by Newton-tolerance chaos over 8 report steps — well
+    # inside the reference's own restart tolerance (rel 4e-5,
+    # compareECLFiles.cmake:121-136)
+    for a, b in zip(st_s, st_h):
+        assert a["seqnum"] == b["seqnum"]
+        np.testing.assert_allclose(a["PRESSURE"], b["PRESSURE"], rtol=4e-5)
+        np.testing.assert_allclose(a["SWAT"], b["SWAT"], atol=1e-5)
+
+
+def test_vtk_output_with_spans(tmp_path):
+    out = str(tmp_path / "vtk")
+    sim, _ = _run(True, output_dir=out, run=dict(write_vtk=True))
+    assert sim._span_runner is not None
+    for k in range(N_STEPS):
+        assert os.path.exists(os.path.join(out, f"step_{k:04d}.vtr"))

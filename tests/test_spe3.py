@@ -93,6 +93,123 @@ def test_oil_component_mass_conservation(run):
     assert gas_int == pytest.approx(produced_gas, rel=1e-3)
 
 
+# ---------------------------------------------------------------------------
+# Gas cycling + blowdown (the PUBLISHED SPE3 study shape, Kenyon & Behie:
+# produced gas stripped and reinjected dry, then blowdown) — the harder
+# VAPOIL direction: rv RISES under injection (repressurized saturated
+# cells track rv_sat upward; swept condensate re-vaporizes), then falls
+# again in blowdown. Reference regression class:
+# compareECLFiles.cmake:107-112; switching semantics
+# BlackoilModelBase_impl.hpp:1232-1356.
+# ---------------------------------------------------------------------------
+CYCLE_STEPS = "5 10 3*15 10*30"   # 375 days of cycling
+BLOWDOWN_STEPS = "6*30"           # 180 days of blowdown
+N_CYCLE = 15                      # report steps in the cycling period
+
+
+@pytest.fixture(scope="module")
+def cycled():
+    case = spe3like_case(tsteps=CYCLE_STEPS, cycling=True,
+                         blowdown_tsteps=BLOWDOWN_STEPS)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    import opm_tpu.sim.init as im
+    state0 = im.initial_state(sim.grid, sim.props, case,
+                              len(sim.well_names))
+    fip0 = fluid_in_place(sim.model, state0)
+    snaps = []   # (t_days, x, hcstate, so, pressure) per report step
+
+    def _collect(state, step):
+        x = np.asarray(state.x)
+        hc = np.asarray(state.hcstate)
+        so = np.asarray(saturations(state)[1])
+        p = np.asarray(state.pressure)
+        snaps.append((step.end_time / DAY, x, hc, so, p))
+
+    sim.events.event("report_step_completed").add(_collect)
+    state = sim.run()
+    return case, sim, state0, fip0, state, snaps
+
+
+@pytest.fixture(scope="module")
+def depleted_short(run):
+    """The depletion fixture shares the cycling period's first 15 report
+    steps' schedule (same TSTEP prefix), so index N_CYCLE-1 is the same
+    simulation time in both runs."""
+    return run
+
+
+def test_cycling_maintains_pressure(cycled, depleted_short):
+    _, sim_c, _, _, _, _ = cycled
+    _, sim_d, _, _, _ = depleted_short
+    fpr_c = sim_c.summary.series("FPR") / PSI
+    fpr_d = sim_d.summary.series("FPR") / PSI
+    t_c = sim_c.summary.series("time")
+    t_d = sim_d.summary.series("time")
+    assert t_c[N_CYCLE - 1] == t_d[N_CYCLE - 1]
+    # reinjection retards the decline (75% voidage replacement)
+    assert fpr_c[N_CYCLE - 1] > fpr_d[N_CYCLE - 1] + 50.0
+    # injector actually injected gas
+    fgir = sim_c.summary.series("FGIR")
+    assert fgir[:N_CYCLE].min() > 0.0
+
+
+def test_rv_rises_under_injection(cycled):
+    """The anti-depletion signature: somewhere in the field rv INCREASES
+    while the injector runs (saturated cells repressurized track rv_sat
+    upward / swept condensate re-vaporizes into undersaturated dry gas).
+    Pure depletion can only decrease rv."""
+    _, sim, state0, _, _, snaps = cycled
+    rv0 = np.asarray(state0.x)
+    rose = 0.0
+    for k in range(1, N_CYCLE):
+        _, x_prev, hc_prev, _, _ = snaps[k - 1]
+        _, x_k, hc_k, _, _ = snaps[k]
+        gas_both = (hc_prev != 1) & (hc_k != 1)   # not OILONLY
+        if gas_both.any():
+            rose = max(rose, float((x_k - x_prev)[gas_both].max()))
+    assert rose > 1e-5, f"rv never rose during injection (max rise {rose})"
+
+
+def test_condensate_revaporizes_in_swept_zone(cycled):
+    """Cells swept by dry gas lose their dropped-out condensate: some
+    cell's so DECREASES during the cycling period after condensate had
+    appeared (re-vaporization), while field pressure is still declining."""
+    _, sim, _, _, _, snaps = cycled
+    drop = 0.0
+    for k in range(1, N_CYCLE):
+        so_prev = snaps[k - 1][3]
+        so_k = snaps[k][3]
+        drop = max(drop, float((so_prev - so_k).max()))
+    assert drop > 1e-6, "no condensate re-vaporization seen during cycling"
+
+
+def test_blowdown_after_shut(cycled):
+    """After the injector shuts, the field blows down: FGIR -> 0, FPR
+    declines, and condensate drops out again (so rises)."""
+    _, sim, _, _, state, snaps = cycled
+    fgir = sim.summary.series("FGIR")
+    fpr = sim.summary.series("FPR") / PSI
+    assert fgir[N_CYCLE:].max() == 0.0
+    assert fpr[-1] < fpr[N_CYCLE - 1] - 100.0
+    so_end = np.asarray(saturations(state)[1])
+    so_cycle_end = snaps[N_CYCLE - 1][3]
+    assert so_end.max() > so_cycle_end.max()
+
+
+def test_gas_balance_through_control_switch(cycled):
+    """Component balance across the injector OPEN->SHUT switch: gas FIP
+    decline equals produced minus injected gas."""
+    _, sim, state0, fip0, state, _ = cycled
+    fip_end = fluid_in_place(sim.model, state)
+    t = sim.summary.series("time") * DAY
+    tt = np.concatenate([[0.0], t])
+    fgpr = sim.summary.series("FGPR")
+    fgir = sim.summary.series("FGIR")
+    net = fgpr - fgir
+    net_int = np.trapezoid(np.concatenate([[net[0]], net]), tt)
+    assert net_int == pytest.approx(fip0[2] - fip_end[2], rel=2e-3)
+
+
 def test_spe3_deck_file_loads_and_matches_synthetic():
     """data/SPE3.DATA (the on-disk ECL deck for this regression class) must
     parse to the same case the synthetic generator builds: same grid,
