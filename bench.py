@@ -171,15 +171,34 @@ def bench_spe10like_132k():
 
     state, rep, dt = try_step(state, dt0)     # warm-up/compile
     newtons = 0
+    linears = 0
     t0 = time.perf_counter()
     for _ in range(4):
         state, rep, dt = try_step(state, min(dt * 2, dt0))
         newtons += rep.iterations
+        linears += rep.linear_iterations
     wall = time.perf_counter() - t0
     ms = 1000.0 * wall / max(newtons, 1)
+    # hardware anchor (BASELINE.md §external anchors): a LOWER BOUND on
+    # the HBM bytes a Newton must touch — the f32 block-CSR Jacobian
+    # (nc*7 stencil*3x3 blocks) written once at assembly and re-read by
+    # every Krylov matvec, plus the CPR pressure stencil (nc*7, ~1.5x for
+    # the GMG hierarchy) per preconditioner apply and 6 nc*3-vectors per
+    # BiCGStab iteration. Everything else (property evaluation, AD,
+    # fusion temporaries) is gravy, so achieved/peak is conservative.
+    nc = sim.model.nc
+    jac = nc * 7 * 9 * 4
+    cpr = nc * 7 * 4 * 1.5 * 3            # 3 smoother sweeps per apply
+    vecs = nc * 3 * 8 * 6
+    lin_per_newton = linears / max(newtons, 1)
+    bytes_per_newton = 2 * jac + lin_per_newton * (jac + cpr + vecs)
+    gbps = bytes_per_newton / (ms / 1e3) / 1e9
     return dict(
         spe10_132k_ms_per_newton=round(ms, 1),
         spe10_132k_cell_newtons_per_s=round(sim.model.nc * newtons / wall),
+        spe10_132k_linear_per_newton=round(lin_per_newton, 2),
+        spe10_132k_min_achieved_gb_s=round(gbps, 1),
+        spe10_132k_hbm_peak_frac=round(gbps / 819.0, 3),   # v5e: 819 GB/s
     )
 
 
@@ -215,6 +234,81 @@ def bench_spe10_e2e():
     )
 
 
+def bench_mixed_precision_132k():
+    """At-scale mixed-precision equivalence evidence (VERDICT r2 #5):
+    ~10 fused substeps on the channelized 132k case with the production
+    f32 paths (ASM_F32 + KRYLOV_F32 + CPR_F32 + MATVEC_F32) ON vs all
+    OFF, from the same initial state.  Asserted: Newton-count parity
+    (±1 per substep), linear-iteration parity (±20%), and matching final
+    pressures — the reference's maxSinglePrecisionDays caution
+    (BlackoilModelParameters.cpp:76-103) answered with numbers at the
+    scale where f32 sensitivity is worst."""
+    _maybe_cpu()
+    import numpy as np
+
+    import opm_tpu  # noqa: F401
+    from opm_tpu.models.blackoil import make_well_device_arrays
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.init import initial_state
+    from opm_tpu.sim.testcases import spe10like_case
+    from opm_tpu.solver.newton import NonlinearSolver, SolverReport
+
+    knobs = ("OPM_TPU_ASM_F32", "OPM_TPU_KRYLOV_F32",
+             "OPM_TPU_CPR_F32", "OPM_TPU_MATVEC_F32")
+    case = spe10like_case(nx=60, ny=220, nz=10)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state0 = initial_state(sim.grid, sim.props, case, len(sim.well_names))
+    ws = sim._pad_well_set(sim._well_set_for(sim.schedule.report_steps[0]))
+    wd = make_well_device_arrays(ws, sim.grid.gravity)
+    state0 = sim._init_well_state(state0, ws, True)
+    n_sub = 10
+    dt = 0.5 * 86400.0
+
+    def leg(enabled):
+        # knobs are read at trace time, so a fresh solver per leg gives
+        # each configuration its own compiled programs
+        for k in knobs:
+            os.environ[k] = "1" if enabled else "0"
+        try:
+            solver = NonlinearSolver(sim.model)
+            st = state0
+            newtons = []
+            linears = 0
+            t0 = time.perf_counter()
+            for _ in range(n_sub):
+                st, rep = solver.step_fused(st, dt, wd, SolverReport())
+                newtons.append(rep.iterations)
+                linears += rep.linear_iterations
+            wall = time.perf_counter() - t0
+            return st, newtons, linears, wall
+        finally:
+            for k in knobs:
+                os.environ.pop(k, None)
+
+    st_on, n_on, l_on, w_on = leg(True)
+    st_off, n_off, l_off, w_off = leg(False)
+    p_on = np.asarray(st_on.pressure)
+    p_off = np.asarray(st_off.pressure)
+    rel_dp = float(np.max(np.abs(p_on - p_off)
+                          / np.maximum(np.abs(p_off), 1.0)))
+    max_newton_diff = int(np.max(np.abs(np.array(n_on) - np.array(n_off))))
+    lin_rel = (l_on - l_off) / max(l_off, 1)
+    return dict(
+        mp132k_substeps=n_sub,
+        mp132k_newtons_f32=int(sum(n_on)),
+        mp132k_newtons_f64=int(sum(n_off)),
+        mp132k_max_newton_diff_per_substep=max_newton_diff,
+        mp132k_linear_f32=int(l_on),
+        mp132k_linear_f64=int(l_off),
+        mp132k_linear_rel_diff=round(lin_rel, 4),
+        mp132k_max_rel_dp=rel_dp,
+        mp132k_ms_per_newton_f32=round(1e3 * w_on / max(sum(n_on), 1), 1),
+        mp132k_ms_per_newton_f64=round(1e3 * w_off / max(sum(n_off), 1), 1),
+        mp132k_parity_ok=bool(max_newton_diff <= 1 and abs(lin_rel) <= 0.2
+                              and rel_dp < 1e-6),
+    )
+
+
 _PHASES = {
     "spe1": lambda: bench_spe1("spe1"),
     "spe1cpu": lambda: bench_spe1("spe1cpu"),
@@ -222,6 +316,7 @@ _PHASES = {
     "norne": bench_norne,
     "spe10": bench_spe10like_132k,
     "spe10e2e": bench_spe10_e2e,
+    "mp132k": bench_mixed_precision_132k,
 }
 
 
@@ -265,7 +360,7 @@ def main():
 
     import subprocess
 
-    budget = float(os.environ.get("OPM_TPU_BENCH_BUDGET_S", "1500"))
+    budget = float(os.environ.get("OPM_TPU_BENCH_BUDGET_S", "1800"))
     t_start = time.perf_counter()
 
     def remaining():
@@ -292,7 +387,8 @@ def main():
     # Value-first order; spe9/norne only under --full (their cold fused-span
     # compiles — norne ~19 min through the tunnel — don't fit the budget).
     plan = [("spe1", 2400, False), ("spe1cpu", 2400, True),
-            ("spe10", 1800, False), ("spe10e2e", 2400, False)]
+            ("spe10", 1800, False), ("spe10e2e", 2400, False),
+            ("mp132k", 1800, False)]
     if "--full" in sys.argv:
         plan += [("spe9", 2400, False), ("norne", 3600, False)]
 

@@ -515,13 +515,23 @@ class SimulatorFullyImplicitBlackoil:
         """Reset controls to the schedule and give fresh wells a sane guess
         (WellStateFullyImplicitBlackoil::init semantics)."""
         nw = ws.nw
-        control = jnp.asarray(ws.control, dtype=jnp.int32)
-        target = jnp.asarray(ws.target)
+        control_np = np.asarray(ws.control, dtype=np.int32).copy()
+        target_np = np.asarray(ws.target, dtype=np.float64).copy()
         bhp = host_value(state.bhp).copy()
         qs = host_value(state.qs).copy()
         p = host_value(state.pressure)
         for iw in range(nw):
             if not ws.open_mask[iw]:
+                # SHUT/STOP wells are kept in the padded set with their
+                # residuals pinned (well_residuals: rates -> 0, bhp ->
+                # bhp_limit). Classify them as BHP-type so the control
+                # norm scales the pinned pressure residual as a pressure
+                # (/1e5), and start bhp AT the limit: a zero bhp can never
+                # escape the relative dbhp chop (update_state dpMaxRel).
+                control_np[iw] = CTRL_BHP
+                target_np[iw] = ws.bhp_limit[iw]
+                bhp[iw] = ws.bhp_limit[iw]
+                qs[iw] = 0.0
                 continue
             c0 = ws.perf_cell[iw][ws.perf_mask[iw]]
             p_ref = p[c0[0]] if len(c0) else 1e7
@@ -541,7 +551,8 @@ class SimulatorFullyImplicitBlackoil:
                     if sgn is not None:
                         qs[iw, sgn] = -t
         return state._replace(bhp=jnp.asarray(bhp), qs=jnp.asarray(qs),
-                              control=control, target=target)
+                              control=jnp.asarray(control_np),
+                              target=jnp.asarray(target_np))
 
     # ------------------------------------------------------------------
     def _apply_geo_modifiers(self, mods):

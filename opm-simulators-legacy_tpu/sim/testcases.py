@@ -503,7 +503,7 @@ def spe9_cp_case(**kw) -> EclipseCase:
 
 
 def spe3like_deck(tsteps="5 10 3*15 22*30", cycling=False,
-                  blowdown_tsteps="12*30") -> str:
+                  cycle_tsteps="10*30", blowdown_tsteps="6*30") -> str:
     """SPE3-class retrograde gas-condensate depletion (Kenyon & Behie,
     SPE-12278, black-oil conversion as in the reference's SPE3 regression,
     compareECLFiles.cmake:107-112): 9x9x4 grid, wet gas with vaporized
@@ -512,21 +512,29 @@ def spe3like_deck(tsteps="5 10 3*15 22*30", cycling=False,
     the dew-point rv_sat via RVVD); drawdown below the dew point drops
     condensate out — the HC_GASONLY <-> HC_GASOIL switching path.
 
-    cycling=True adds the PUBLISHED study's gas-cycling period (produced
-    gas stripped at the separator and reinjected dry at ~75% of the
-    produced volume for the `tsteps` period, then the injector shuts and
-    the field blows down for `blowdown_tsteps`) — the harder VAPOIL test:
-    rv RISES where undersaturated dry gas re-vaporizes dropped-out
-    condensate, then falls again in blowdown."""
+    cycling=True adds the PUBLISHED study's gas-cycling structure
+    (Kenyon & Behie: separator gas reinjected dry, then blowdown) on an
+    accelerated clock: `tsteps` of depletion drops condensate out, then
+    the injector opens at 1.5x the offtake (45 MMscf/d dry gas:
+    full reinjection plus makeup gas, so the cycle genuinely
+    repressurizes) for
+    `cycle_tsteps`, then shuts for a `blowdown_tsteps` blowdown — the
+    harder VAPOIL direction: rv RISES where the dry front repressurizes
+    saturated cells / re-vaporizes dropped-out condensate, then falls
+    again in blowdown."""
     n = 9 * 9 * 4
     nlay = 9 * 9
     wspec_inj = "\n 'INJ'  'G1' 1 1 7530 'GAS' /" if cycling else ""
     compdat_inj = ("\n 'INJ'  1 1 1 2 'OPEN' 1* 1* 0.5 /"
                    if cycling else "")
-    inje = ("\nWCONINJE\n 'INJ' 'GAS' 'OPEN' 'RATE' 22500 1* 4000 /\n/"
+    # injector exists from t=0 but stays explicitly SHUT through the
+    # depletion period
+    inje = ("\nWCONINJE\n 'INJ' 'GAS' 'SHUT' 'RATE' 45000 1* 6000 /\n/"
             if cycling else "")
     shut_and_blowdown = (
-        "\nWCONINJE\n 'INJ' 'GAS' 'SHUT' 'RATE' 22500 1* 4000 /\n/"
+        "\nWCONINJE\n 'INJ' 'GAS' 'OPEN' 'RATE' 45000 1* 6000 /\n/"
+        "\nTSTEP\n " + cycle_tsteps + " /"
+        "\nWCONINJE\n 'INJ' 'GAS' 'SHUT' 'RATE' 45000 1* 6000 /\n/"
         "\nTSTEP\n " + blowdown_tsteps + " /" if cycling else "")
     return f"""
 RUNSPEC

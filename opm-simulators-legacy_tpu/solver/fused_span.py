@@ -69,6 +69,15 @@ def reset_well_state(state, wd):
         (phase[:, None] == jnp.arange(3)[None, :]), -tgt[:, None], 0.0)
     guess = jnp.where(is_inj[:, None], inj_guess, prod_guess)
     qs = jnp.where((open_ & qs_zero)[:, None], guess, state.qs)
+
+    # closed (SHUT/STOP) wells mirror _init_well_state: BHP-classified
+    # with bhp pinned AT the limit (a zero bhp can never escape the
+    # relative dbhp chop) and zero rates
+    closed = ~open_
+    bhp = jnp.where(closed, wd["bhp_limit"], bhp)
+    qs = jnp.where(closed[:, None], 0.0, qs)
+    ctrl = jnp.where(closed, CTRL_BHP, ctrl)
+    tgt = jnp.where(closed, wd["bhp_limit"], tgt)
     return state._replace(bhp=bhp, qs=qs, control=ctrl, target=tgt)
 
 
