@@ -100,12 +100,14 @@ class SchwarzGmg:
         # one coarse DOF per (slab z-block x areal tile) instead of one
         # per slab: a ~4x4-cell areal tiling with z-resolved blocks gives
         # a coarse operator that carries the long-range pressure modes a
-        # channelized field needs (measured on the 102k SPE10-like TPFA
-        # proxy, tools/schwarz_ab.py: slab-only coarse left Schwarz at
-        # ~2x the global-GMG Krylov iterations; tile=8/zb=1 102%; the
-        # tile=4 + zb=4 default reaches <15%). All coarse work is
-        # global-view (segment-sum + tiny dense solve) — XLA inserts
-        # the small collectives.
+        # channelized field needs.  Measured on the REAL 102k CPR system
+        # (tools/schwarz_cpr_ab.py, round 3): with the PRE-coarse hybrid
+        # ordering (see vcycle) the well-dominated t=0 full-CPR solve is
+        # 1 iteration (global GMG: 1) and the production-like state is
+        # 3 vs 2 — the TPFA proxy (tools/schwarz_ab.py) understated the
+        # coarse-ordering effect.  All coarse work is global-view
+        # (segment-sum + tiny dense solve) — XLA inserts the small
+        # collectives.
         tile = int(os.environ.get("OPM_TPU_SCHWARZ_TILE", "4"))
         bx = max(1, nx // tile)
         by = max(1, ny // tile)
@@ -282,29 +284,54 @@ class SchwarzGmg:
                    ((aLz, aRz), (aLy, aRy), (aLx, aRx)))
         return (local_vals, coarse_inv, stencil)
 
-    def vcycle(self, vals, b, **_):
-        local_vals, coarse_inv, stencil = vals
-        b0 = b
-        nx, ny, nz0 = self.dims
+    def _local(self, local_vals, b):
+        """One RAS sweep of shard-local V-cycles (pad/unpad around the
+        shard_map program)."""
+        nx, ny, _ = self.dims
         if self.pad_layers:
             b = jnp.concatenate([
                 b, jnp.zeros(self.pad_layers * ny * nx, b.dtype)])
-        b2 = b.reshape(self.n_shards, -1)
-        out = self._vcycle_sm(local_vals, b2).reshape(-1)
-        if self.pad_layers:
-            out = out[: self.nc]
-        # MULTIPLICATIVE coarse correction x += R^T A_c^{-1} R (b - A x)
-        # over the block coarse space (hybrid two-level Schwarz, Smith/
-        # Bjorstad/Gropp ch.2): correcting the POST-local residual lets the
-        # coarse operator target exactly the long-range error the local
-        # solves leave behind — measured on the channelized 102k dryrun
-        # leg it cuts Krylov iterations ~2x vs the additive form. Costs
-        # one global 7-point stencil apply (XLA halo collectives) plus the
-        # segment-sum + tiny dense product.
+        out = self._vcycle_sm(local_vals, b.reshape(self.n_shards, -1))
+        out = out.reshape(-1)
+        return out[: self.nc] if self.pad_layers else out
+
+    def _coarse(self, coarse_inv, r):
+        rc = jnp.zeros(self.ncoarse, r.dtype).at[self.cell_bid].add(r)
+        return (coarse_inv @ rc)[self.cell_bid]
+
+    def vcycle(self, vals, b, **_):
+        local_vals, coarse_inv, stencil = vals
+        nx, ny, nz0 = self.dims
         diag3, offs = stencil
-        Ax = StructuredGmg._matvec(diag3, offs,
-                                   out.reshape(nz0, ny, nx)).reshape(-1)
-        r = b0 - Ax
-        rc = jnp.zeros(self.ncoarse, b0.dtype).at[self.cell_bid].add(r)
-        ec = coarse_inv @ rc
-        return out + ec[self.cell_bid]
+
+        def resid(x):
+            Ax = StructuredGmg._matvec(diag3, offs,
+                                       x.reshape(nz0, ny, nx)).reshape(-1)
+            return b - Ax
+
+        # Hybrid two-level Schwarz (Smith/Bjorstad/Gropp ch.2). Mode knob
+        # OPM_TPU_SCHWARZ_COARSE:
+        #   pre  (default): coarse solve FIRST, local V-cycles on the
+        #        corrected residual — the local sweeps smooth away the
+        #        blocky (piecewise-constant) coarse correction, so no
+        #        high-frequency error survives the apply.  Measured on the
+        #        REAL 102k CPR system (tools/schwarz_cpr_ab) the old
+        #        post-coarse order left full-system BiCGStab at 48 its on
+        #        the well-dominated t=0 state (global GMG: 1) because the
+        #        coarse blockiness was the LAST thing written; pre-coarse
+        #        recovers near-global counts.
+        #   post: local first, coarse on the post-local residual
+        #   add : additive (coarse + local on the same residual)
+        #   off : local only (debugging)
+        # Each multiplicative mode costs one global 7-point stencil apply
+        # (XLA halo collectives) + segment-sum + tiny dense product.
+        mode = os.environ.get("OPM_TPU_SCHWARZ_COARSE", "pre")
+        if mode == "off":
+            return self._local(local_vals, b)
+        if mode == "add":
+            return self._local(local_vals, b) + self._coarse(coarse_inv, b)
+        if mode == "post":
+            out = self._local(local_vals, b)
+            return out + self._coarse(coarse_inv, resid(out))
+        ec = self._coarse(coarse_inv, b)
+        return ec + self._local(local_vals, resid(ec))

@@ -835,13 +835,15 @@ class SimulatorFullyImplicitBlackoil:
         # device (solver/fused_span.py) — one round trip per chunk
         import os as _os
         span_chunk = int(_os.environ.get("OPM_TPU_SPAN", "16"))
-        # spans pay off when per-substep DISPATCH latency dominates (small
-        # cases through the tunnel); at 100k+ cells device compute
-        # dominates and the deeply nested scan-of-while program has
-        # crashed the axon TPU runtime — default off above the threshold
-        # (OPM_TPU_SPAN_MAX_CELLS=0 removes the gate)
+        # spans are the default at EVERY size: the round-2 axon-runtime
+        # crash of the 132k scan-of-while program no longer reproduces
+        # (retested round 3: chunk=4 and chunk=16 both run 132k clean),
+        # and spans WIN at scale — SPE10-132k 600-day e2e with summary
+        # output measured 48.6 s span-on vs ~110 s per-substep dispatch
+        # (v5e). OPM_TPU_SPAN_MAX_CELLS=N restores a cell-count gate
+        # (0 = no gate) if a runtime regresses.
         span_max_nc = int(_os.environ.get("OPM_TPU_SPAN_MAX_CELLS",
-                                          "50000")) or (1 << 62)
+                                          "0")) or (1 << 62)
         has_subscribers = any(
             ev._handlers for ev in self.events._events.values())
         # spans now cover restart/vtk/matlab output (per-step states come

@@ -197,6 +197,55 @@ def test_schwarz_gmg_preconditioned_solve(mesh8, dims):
     assert int(res.iterations) < 2 * max(int(res_ref.iterations), 1) + 4
 
 
+def test_schwarz_coarse_pre_on_line_source(mesh8):
+    """Hybrid coarse ordering regression (OPM_TPU_SCHWARZ_COARSE=pre, the
+    default): a full-depth line-source rhs — a well column crossing every
+    z-slab, the hardest shape for slab-local preconditioning — must
+    converge in near the global hierarchy's iteration count.  The old
+    post-coarse ordering measured 44-48 full-CPR iterations vs global's 1
+    on the real 102k system (the coarse correction's block edges were the
+    apply's LAST write, leaving unsmoothed high-frequency error);
+    tools/schwarz_cpr_ab.py re-measures that A/B."""
+    from opm_tpu.linalg.gmg import StructuredGmg
+    from opm_tpu.linalg.krylov import bicgstab
+    from opm_tpu.parallel.schwarz import SchwarzGmg
+
+    dims = (12, 12, 24)
+    g = cartesian_grid(dims, (12.0, 12.0, 24.0), perm=1e-13)
+    rng = np.random.default_rng(3)
+    tr = jnp.asarray(g.trans * np.exp(rng.normal(0, 1.5, g.nf)))
+    c1 = jnp.asarray(g.face_cells[:, 0])
+    c2 = jnp.asarray(g.face_cells[:, 1])
+    diag = jnp.zeros(g.nc).at[c1].add(tr).at[c2].add(tr) + 1e-10
+    off = jnp.concatenate([-tr, -tr])
+
+    def matvec(x):
+        y = diag * x
+        y = y.at[c1].add(-tr * x[c2])
+        y = y.at[c2].add(-tr * x[c1])
+        return y
+
+    # line source down the (1,1) column — nonzero in every slab
+    nx, ny, nz = dims
+    cells = 1 + 1 * nx + np.arange(nz) * nx * ny
+    b = jnp.zeros(g.nc).at[jnp.asarray(cells)].set(1.0)
+
+    ref_gmg = StructuredGmg(dims, np.asarray(g.trans))
+    vals_ref = ref_gmg.coarsen_values(diag, off)
+    res_ref = bicgstab(matvec, b,
+                       precond=lambda r: ref_gmg.vcycle(vals_ref, r),
+                       tol=1e-8, maxiter=400)
+    sch = SchwarzGmg(dims, mesh8, "cells", np.asarray(g.trans))
+    vals = sch.coarsen_values(diag, off)
+    res = bicgstab(matvec, b, precond=lambda r: sch.vcycle(vals, r),
+                   tol=1e-8, maxiter=400)
+    assert bool(res.converged)
+    assert np.allclose(np.asarray(res.x), np.asarray(res_ref.x),
+                       rtol=1e-6, atol=1e-8 * float(jnp.abs(res_ref.x).max()))
+    assert int(res.iterations) <= int(res_ref.iterations) + 4, (
+        int(res.iterations), int(res_ref.iterations))
+
+
 def test_schwarz_cpr_newton_increment(mesh8):
     """Production CPR with the Schwarz pressure stage: the Newton increment
     agrees with the single-hierarchy CPR increment to the Krylov
