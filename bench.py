@@ -36,7 +36,7 @@ timeout must not erase completed phases): after EVERY phase the full
 merged JSON line — always carrying metric/value/unit/vs_baseline — is
 re-printed to stdout and flushed, so the last line of a truncated run
 is still a complete, parseable result for everything that finished.
-A global wall-clock budget (env OPM_TPU_BENCH_BUDGET_S, default 1500 s)
+A global wall-clock budget (env OPM_TPU_BENCH_BUDGET_S, default 1800 s)
 skips remaining phases rather than overrun.
 """
 
