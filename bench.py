@@ -21,10 +21,14 @@ Baseline provenance (honest by construction):
 Phases (each in its own subprocess: isolates device/trace state; shares
 the persistent compilation cache):
   spe1      TPU SPE1 e2e wall-clock, 120 report steps / 10 years (headline)
-  spe1cpu   the same run on CPU (the measured baseline)
   spe10     SPE10-like 132k-cell fused substeps: ms per Newton (scaling)
+  mp132k    mixed-precision parity at 132k cells (f32 paths on vs off)
   spe10e2e  SPE10-like 132k-cell FULL 20-report-step schedule, e2e
             wall-clock with summary output on
+  spe10full SPE10 model-2 FULL SIZE (1.122M cells) warm ms/Newton
+  spe1cpu   spe1 on the host CPU (the measured baseline; runs LAST —
+            ms/Newton carries the cross-round signal and the CPU leg is
+            load-noisy)
   --full additionally runs:
   spe9      SPE9 (data/SPE9.DATA, real corner-point deck, 26 wells):
             FULL 900-day schedule e2e wall-clock
@@ -220,6 +224,56 @@ def bench_spe10like_132k():
     )
 
 
+def bench_spe10_full():
+    """FULL-SIZE SPE10 model 2 (60x220x85 = 1.122M cells, channelized
+    stand-in field — the BASELINE.json north-star config, configs[4]):
+    warm fused substeps on ONE chip, ms/Newton + cell-Newtons/s.
+    VERDICT r3 #3: this number existed only as round-2 prose — now it is
+    driver-captured."""
+    _maybe_cpu()
+    import opm_tpu  # noqa: F401
+    from opm_tpu.models.blackoil import make_well_device_arrays
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.init import initial_state
+    from opm_tpu.sim.testcases import spe10like_case
+    from opm_tpu.solver.newton import (LinearSolverProblem, NumericalIssue,
+                                       SolverReport, TooManyIterations)
+
+    case = spe10like_case(nx=60, ny=220, nz=85)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = initial_state(sim.grid, sim.props, case, len(sim.well_names))
+    ws = sim._pad_well_set(sim._well_set_for(sim.schedule.report_steps[0]))
+    wd = make_well_device_arrays(ws, sim.grid.gravity)
+    state = sim._init_well_state(state, ws, True)
+    dt0 = 0.5 * 86400.0
+
+    def try_step(s, dti):
+        for _ in range(8):
+            try:
+                s2, rep = sim.solver.step_fused(s, dti, wd, SolverReport())
+                return s2, rep, dti
+            except (NumericalIssue, TooManyIterations, LinearSolverProblem):
+                dti *= 0.33
+        raise RuntimeError("no stable dt")
+
+    state, rep, dt = try_step(state, dt0)     # warm-up/compile
+    newtons = 0
+    linears = 0
+    t0 = time.perf_counter()
+    for _ in range(4):
+        state, rep, dt = try_step(state, min(dt * 2, dt0))
+        newtons += rep.iterations
+        linears += rep.linear_iterations
+    wall = time.perf_counter() - t0
+    ms = 1000.0 * wall / max(newtons, 1)
+    return dict(
+        spe10full_cells=sim.model.nc,
+        spe10full_ms_per_newton=round(ms, 1),
+        spe10full_cell_newtons_per_s=round(sim.model.nc * newtons / wall),
+        spe10full_linear_per_newton=round(linears / max(newtons, 1), 2),
+    )
+
+
 def bench_spe10_e2e():
     """Full multi-report-step SPE10-like schedule, wall-clock, with
     summary output ON (the BASELINE.md north-star protocol: e2e
@@ -334,6 +388,7 @@ _PHASES = {
     "norne": bench_norne,
     "spe10": bench_spe10like_132k,
     "spe10e2e": bench_spe10_e2e,
+    "spe10full": bench_spe10_full,
     "mp132k": bench_mixed_precision_132k,
 }
 
@@ -402,11 +457,16 @@ def main():
         except Exception as e:
             return {f"{name}_error": f"{type(e).__name__}: {e}"[:200]}
 
-    # Value-first order; spe9/norne only under --full (their cold fused-span
-    # compiles — norne ~19 min through the tunnel — don't fit the budget).
-    plan = [("spe1", 2400, False), ("spe1cpu", 2400, True),
-            ("spe10", 1800, False), ("spe10e2e", 2400, False),
-            ("mp132k", 1800, False)]
+    # Value-first order (VERDICT r3 #3): the noisy same-machine CPU
+    # baseline runs LAST — ms/Newton carries the cross-round signal, and
+    # in round 3 spe1cpu's ~40% budget share crowded out mp132k entirely.
+    # When spe1cpu is skipped, vs_baseline falls back to the recorded idle
+    # CPU number with labeled provenance (_emit). spe9/norne only under
+    # --full (their cold fused-span compiles — norne ~19 min through the
+    # tunnel — don't fit the budget).
+    plan = [("spe1", 2400, False), ("spe10", 1800, False),
+            ("mp132k", 1800, False), ("spe10e2e", 2400, False),
+            ("spe10full", 2400, False), ("spe1cpu", 2400, True)]
     if "--full" in sys.argv:
         plan += [("spe9", 2400, False), ("norne", 3600, False)]
 

@@ -33,9 +33,21 @@ def _tof_sweep(tof, upcell, downcell, absf, pv, outflux):
     return (pv + influx) / outflux
 
 
-def solve_tof(face_cells, flux, pore_volume, source, *, nsweeps=None):
+def solve_tof(face_cells, flux, pore_volume, source, *, nsweeps=None,
+              face_dir=None):
     """Forward time-of-flight from inflow (source > 0). For backward TOF
-    (from producers), call with flux negated and source = -source."""
+    (from producers), call with flux negated and source = -source.
+
+    face_dir: optional (nf,) int axis id per face (0/1/2 on structured
+    grids). When given, the solver uses MULTIDIMENSIONAL (transverse)
+    upwinding — the TofReorder use_multidim_upwind option
+    (/root/reference/opm/core/flowdiagnostics/TofReorder.hpp:48-50,
+    TofReorder.cpp:239-448, TMU weighting after Keilegavlen-Kozdon-
+    Mallison): each outflow face's TOF blends the upwind cell's value
+    with the TOFs of that cell's TRANSVERSE inflow faces (vertex-adjacent
+    faces ≡ different-axis faces on a cartesian grid), weighted by
+    w = min(transverse influx / outflux, 1). Cuts the cross-wind smearing
+    of single-point upwinding on flow oblique to the grid."""
     nc = len(pore_volume)
     face_cells = jnp.asarray(face_cells)
     flux = jnp.asarray(flux)
@@ -48,11 +60,69 @@ def solve_tof(face_cells, flux, pore_volume, source, *, nsweeps=None):
         sched = upwind_levels(nc, np.asarray(face_cells), np.asarray(flux))
         nsweeps = sched.nlevels + (30 if sched.max_scc > 1 else 1)
 
-    def body(_, tof):
-        return _tof_sweep(tof, upcell, downcell, absf, pv, outflux)
+    if face_dir is None:
+        def body(_, tof):
+            return _tof_sweep(tof, upcell, downcell, absf, pv, outflux)
+
+        tof0 = pv / outflux
+        return jax.lax.fori_loop(0, int(nsweeps), body, tof0)
+    return _solve_tof_multidim(upcell, downcell, absf, pv, src, outflux,
+                               jnp.asarray(face_dir, dtype=jnp.int32),
+                               int(nsweeps))
+
+
+def _solve_tof_multidim(upcell, downcell, absf, pv, src, outflux, face_dir,
+                        nsweeps):
+    """Fixed-point sweeps of the face-level TMU scheme: iteration state is
+    (cell tof, face tof).  Per sweep and face f with upwind cell u:
+        T_f    = transverse influx of u (inflow faces with axis != axis_f)
+        w_f    = min(T_f / |flux_f|, 1)            (TMU weightFunc)
+        fterm  = w_f * (influx-weighted mean of those faces' TOFs)
+        cfac   = 1 - w_f
+        tof_f  = fterm + cfac * tof_u
+    and the cell balance becomes
+        tof_c = (pv + sum_in |q| tof_f - sum_out |q| fterm)
+                / (sum_out |q| cfac + sink)
+    which reduces to single-point upwind when w_f = 0 (TofReorder.cpp:
+    solveSingleCellMultidimUpwind:239-283, localMultidimUpwindTerms:
+    393-448 with the per-vertex terms aggregated per face — the
+    TPU-native shape keeps everything as segment-sums over (cell, axis)
+    bins instead of per-vertex lists)."""
+    nc = pv.shape[0]
+    naxes = 3
+    # per-(cell, axis) influx bins of the DOWNWIND cell
+    bin_idx = downcell * naxes + face_dir
+    sink = jnp.maximum(-src, 0.0)
+
+    def body(_, carry):
+        tof, face_tof = carry
+        q_tof = absf * face_tof
+        in_ax = jnp.zeros(nc * naxes).at[bin_idx].add(absf)
+        s_ax = jnp.zeros(nc * naxes).at[bin_idx].add(q_tof)
+        in_tot = in_ax.reshape(nc, naxes).sum(axis=1)
+        s_tot = s_ax.reshape(nc, naxes).sum(axis=1)
+        # transverse (different-axis) influx of the upwind cell, per face
+        u_bin = upcell * naxes + face_dir
+        T = in_tot[upcell] - in_ax[u_bin]
+        S = s_tot[upcell] - s_ax[u_bin]
+        # the 1/2 is the reference's per-vertex averaging: only the
+        # upstream-side vertex of the outflow face sees transverse influx
+        # (multidimUpwindTerms averages the per-node w over the face's
+        # nodes, TofReorder.cpp:346-368) — it also keeps cfac >= 1/2, so
+        # the cell balance denominator never collapses
+        w = 0.5 * jnp.minimum(T / jnp.maximum(absf, 1e-300), 1.0)
+        w = jnp.where(absf > 0.0, w, 0.0)
+        fterm = w * S / jnp.maximum(T, 1e-300)
+        cfac = 1.0 - w
+        num = (pv + jnp.zeros(nc).at[downcell].add(q_tof)
+               - jnp.zeros(nc).at[upcell].add(absf * fterm))
+        den = jnp.zeros(nc).at[upcell].add(absf * cfac) + sink
+        tof = num / jnp.maximum(den, 1e-300)
+        face_tof = fterm + cfac * tof[upcell]
+        return tof, face_tof
 
     tof0 = pv / outflux
-    tof = jax.lax.fori_loop(0, int(nsweeps), body, tof0)
+    tof, _ = jax.lax.fori_loop(0, int(nsweeps), body, (tof0, tof0[upcell]))
     return tof
 
 

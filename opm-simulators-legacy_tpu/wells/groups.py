@@ -67,7 +67,9 @@ def resolve_group_controls(step_wells: List[WellConfig],
                     # explicit WGRUPCON guide rates take precedence
                     explicit = np.array([getattr(w, "guide_rate", np.nan)
                                          for w in members])
-                    if np.isfinite(explicit).all() and explicit.sum() > 0:
+                    static_guides = bool(np.isfinite(explicit).all()
+                                         and explicit.sum() > 0)
+                    if static_guides:
                         guides = explicit
                     else:
                         guides = np.array([
@@ -91,7 +93,8 @@ def resolve_group_controls(step_wells: List[WellConfig],
                         collect.append(dict(
                             kind="prod", ctl=ctl, total=float(target),
                             members=[w.name for w in members],
-                            guides=list(np.asarray(guides, dtype=float))))
+                            guides=list(np.asarray(guides, dtype=float)),
+                            static=static_guides))
         # --- injection groups -------------------------------------------
         if g.inj_control and g.inj_control not in ("NONE", "FLD"):
             members = [w for w in wells
@@ -146,9 +149,14 @@ def resolve_group_controls(step_wells: List[WellConfig],
 def make_group_device_arrays(collected: List[dict], name_order: List[str]):
     """Collected group distributions -> static tuple of per-group device
     specs consumed by wells.standard.update_controls every Newton
-    iteration: (ctl_code, phase_vec (3,), total, member_mask (nw,),
-    guides (nw,)). The group STRUCTURE is trace-time static; only the
-    masks/targets are device arrays."""
+    iteration AND by the span path's per-report-step re-distribution
+    (solver/fused_span.py reset_well_state):
+    (ctl_code, phase_vec (3,), total, member_mask (nw,), guides (nw,),
+    sign, guide_phase_vec-or-None). guide_phase_vec None marks
+    explicit/static (WGRUPCON) guides; otherwise the device recomputes
+    guide rates from the members' current rates each report step, the
+    twin of the host's per-step re-resolution. The group STRUCTURE is
+    trace-time static; only the masks/targets are device arrays."""
     import jax.numpy as jnp
 
     from opm_tpu.wells.wells import _CTRL_CODE, CTRL_SURFACE_RATE
@@ -158,6 +166,9 @@ def make_group_device_arrays(collected: List[dict], name_order: List[str]):
     out = []
     phase_vec = {ORAT: (0.0, 1.0, 0.0), WRAT: (1.0, 0.0, 0.0),
                  GRAT: (0.0, 0.0, 1.0), LRAT: (1.0, 1.0, 0.0)}
+    # guide rates use the SINGLE phase of _PHASE_OF (LRAT guides on oil)
+    guide_vec = {ORAT: (0.0, 1.0, 0.0), WRAT: (1.0, 0.0, 0.0),
+                 GRAT: (0.0, 0.0, 1.0), LRAT: (0.0, 1.0, 0.0)}
     for g in collected:
         mask = np.zeros(nw)
         guides = np.zeros(nw)
@@ -172,6 +183,7 @@ def make_group_device_arrays(collected: List[dict], name_order: List[str]):
         if g["kind"] == "prod":
             code = _CTRL_CODE[g["ctl"]]
             pv = phase_vec.get(g["ctl"], (0.0, 1.0, 0.0))
+            gpv = guide_vec.get(g["ctl"], (0.0, 1.0, 0.0))
             sign = -1.0       # production rates are negative in qs
         else:
             code = CTRL_SURFACE_RATE
@@ -179,7 +191,10 @@ def make_group_device_arrays(collected: List[dict], name_order: List[str]):
                   "OIL": (0.0, 1.0, 0.0),
                   "GAS": (0.0, 0.0, 1.0)}.get(g.get("fluid", "WATER"),
                                               (1.0, 0.0, 0.0))
+            gpv = pv
             sign = 1.0
+        static = bool(g.get("static", False)) or g["kind"] != "prod"
         out.append((int(code), jnp.asarray(pv), jnp.asarray(g["total"]),
-                    jnp.asarray(mask), jnp.asarray(guides), float(sign)))
+                    jnp.asarray(mask), jnp.asarray(guides), float(sign),
+                    None if static else jnp.asarray(gpv)))
     return tuple(out)

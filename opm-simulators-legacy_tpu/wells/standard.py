@@ -203,18 +203,14 @@ def well_residuals(wd, qs, bhp, cq_s, control, target, *, resv_coef=None,
     return flux_res, ctrl_res
 
 
-def connection_pressure_offsets(wd, cellq, qs, perf_rates=None):
-    """Explicit wellbore hydrostatic pressure offsets cdp (nw, mp).
-
-    WellDensitySegmented semantics (WellDensitySegmented.hpp:40-75): mixture
-    density from surface rates partitioned with rs/rv into in-situ volumes;
-    hydrostatic integration from the well reference depth down the
-    depth-sorted perforation list. With perf_rates (nw, mp, 3) — the
-    previous iteration's perforation surface rates, as the reference's
-    perfPhaseRates — the segment mixture is the CUMULATIVE flow above each
-    perforation; otherwise the well-level mixture is used."""
+def wellbore_mixture_density(wd, cellq, qs, perf_rates=None):
+    """Per-connection wellbore mixture densities rho_mix (nw, mp)
+    (WellDensitySegmented computeConnectionDensities): surface-rate mixture
+    partitioned with rs/rv into in-situ volumes. Column 0 (the shallowest,
+    reference-depth-adjacent connection) is the density the reference uses
+    for the VFP hydrostatic datum correction
+    (computeHydrostaticCorrection, StandardWells_impl.hpp:918-960)."""
     c = wd["perf_cell"]
-    mask = wd["perf_mask"].astype(jnp.float64)
     b = _gather_ph(cellq["b"], c)
     rs = cellq["rs"][c]
     rv = cellq["rv"][c]
@@ -246,7 +242,21 @@ def connection_pressure_offsets(wd, cellq, qs, perf_rates=None):
     vol_g = (qg - rs * qo) / d / jnp.maximum(b[..., GAS], _EPS)
     vol = vol_w + vol_o + vol_g
     mass = (qw * sd[..., WATER] + qo * sd[..., OIL] + qg * sd[..., GAS])
-    rho_mix = jnp.where(vol > _EPS, mass / jnp.maximum(vol, _EPS), rho_cell)
+    return jnp.where(vol > _EPS, mass / jnp.maximum(vol, _EPS), rho_cell)
+
+
+def connection_pressure_offsets(wd, cellq, qs, perf_rates=None):
+    """Explicit wellbore hydrostatic pressure offsets cdp (nw, mp).
+
+    WellDensitySegmented semantics (WellDensitySegmented.hpp:40-75): mixture
+    density from surface rates partitioned with rs/rv into in-situ volumes;
+    hydrostatic integration from the well reference depth down the
+    depth-sorted perforation list. With perf_rates (nw, mp, 3) — the
+    previous iteration's perforation surface rates, as the reference's
+    perfPhaseRates — the segment mixture is the CUMULATIVE flow above each
+    perforation; otherwise the well-level mixture is used."""
+    mask = wd["perf_mask"].astype(jnp.float64)
+    rho_mix = wellbore_mixture_density(wd, cellq, qs, perf_rates)
 
     z = wd["perf_depth"]
     zprev = jnp.concatenate([wd["ref_depth"][:, None], z[:, :-1]], axis=1)
@@ -271,9 +281,16 @@ def well_potentials(wd, cellq, cdp):
 
 
 def update_controls(wd, bhp, qs, control, target, cq_sum=None):
-    """Constraint switching (updateWellControls): move to BHP control when
-    the pressure limit is violated; move back to the schedule's primary
-    control when, under BHP control, the primary rate target is exceeded.
+    """First-broken-constraint switching (updateWellControls,
+    StandardWells_impl.hpp:712-790): walk EVERY constraint the well
+    carries — BHP limit, THP limit (BHP target via the VFP tables already
+    on device, :884-960), producer ORAT/WRAT/GRAT/LRAT/RESV limits,
+    injector surface/reservoir rate limits — and switch to the first one
+    violated that is not already the active control, with its target.
+    This subsumes the primary<->BHP switching and adds the secondary-limit
+    switches the reference performs (an ORAT producer that trips its WRAT
+    limit moves to WRAT control; a THP-limited well moves to THP control).
+
     cq_sum (nw, 3), the current summed perforation rates, additionally
     switches rate-controlled producers whose CONTROLLED phase cannot flow
     (while others can — e.g. watered-out ORAT wells) to their BHP limit:
@@ -282,33 +299,88 @@ def update_controls(wd, bhp, qs, control, target, cq_sum=None):
     is_inj = wd["is_injector"].astype(bool)
     primary = wd["primary_control"]
     primary_target = wd["primary_target"]
+    prod = jnp.maximum(-qs, 0.0)
+    inj = jnp.maximum(qs, 0.0)
+    eps = 1e-10
 
     # pressure-limit violation
     viol_bhp = jnp.where(is_inj, bhp > wd["bhp_limit"],
                          bhp < wd["bhp_limit"])
-    not_bhp = control != CTRL_BHP
     if cq_sum is not None:
         gd = control_distribution(control, wd["comp_frac"])
-        prod = jnp.maximum(-cq_sum, 0.0)
-        sel = (jnp.abs(gd) > 0.0).astype(prod.dtype)
-        controlled = jnp.sum(sel * prod, axis=1)
-        total = jnp.sum(prod, axis=1)
+        cprod = jnp.maximum(-cq_sum, 0.0)
+        sel = (jnp.abs(gd) > 0.0).astype(cprod.dtype)
+        controlled = jnp.sum(sel * cprod, axis=1)
+        total = jnp.sum(cprod, axis=1)
         ctrl_dead = (~is_inj & (jnp.sum(jnp.abs(gd), axis=1) > 0)
                      & (controlled <= 1e-10 * jnp.maximum(total, 1e-30))
                      & (total > 1e-14))
         viol_bhp = viol_bhp | ctrl_dead
-    new_control = jnp.where(viol_bhp & not_bhp,
-                            jnp.full_like(control, CTRL_BHP), control)
-    new_target = jnp.where(viol_bhp & not_bhp, wd["bhp_limit"], target)
 
-    # rate-target violation while on BHP: current rate in primary-control
-    # direction exceeds the primary target
-    g = control_distribution(primary, wd["comp_frac"])
-    cur_rate = jnp.einsum("wp,wp->w", g, qs)
-    on_bhp = (control == CTRL_BHP) & (primary != CTRL_BHP)
-    viol_rate = cur_rate > primary_target * (1.0 + 1e-10)
-    new_control = jnp.where(on_bhp & viol_rate, primary, new_control)
-    new_target = jnp.where(on_bhp & viol_rate, primary_target, new_target)
+    # ordered candidate list [(code, violated, target)] — BHP (the hard
+    # physical backstop) first, then THP, then rate limits
+    candidates = [(CTRL_BHP, viol_bhp, wd["bhp_limit"])]
+
+    thp_lim = wd.get("thp_limit")
+    vfp = wd.get("vfp")
+    if vfp is not None and thp_lim is not None:
+        # the BHP the well would need to sustain its THP limit; the THP
+        # constraint is broken when the well operates beyond it
+        tables, slot, dp_corr = vfp
+        bhp_thp = jnp.zeros_like(bhp)
+        for si, tab in enumerate(tables):
+            vals = tab.bhp_at(qs, thp_lim) + dp_corr
+            bhp_thp = jnp.where(slot == si, vals, bhp_thp)
+        has = jnp.isfinite(thp_lim) & (slot >= 0)
+        viol_thp = has & jnp.where(is_inj, bhp > bhp_thp, bhp < bhp_thp)
+        candidates.append((CTRL_THP, viol_thp, thp_lim))
+
+    rt = wd.get("rate_targets")
+    is_hist = wd.get("is_history")
+    if rt is not None:
+        cur = {CTRL_ORAT: (prod[:, OIL], rt[:, 0]),
+               CTRL_WRAT: (prod[:, WATER], rt[:, 1]),
+               CTRL_GRAT: (prod[:, GAS], rt[:, 2]),
+               CTRL_LRAT: (prod[:, OIL] + prod[:, WATER], rt[:, 3])}
+        resv_coef = wd.get("resv_coef")
+        if resv_coef is not None:
+            cur[CTRL_RESV] = (jnp.sum(prod * resv_coef, axis=1), rt[:, 4])
+        for code, (rate, lim) in cur.items():
+            # the primary control's target may have been recomputed
+            # (group distribution, WCONHIST RESV voidage) — prefer it
+            lim = jnp.where(primary == code, primary_target, lim)
+            mask = ~is_inj & jnp.isfinite(lim)
+            if is_hist is not None:
+                # WCONHIST rate_targets are observed rates, not limits;
+                # only the primary-control target applies
+                mask = mask & (~is_hist.astype(bool) | (primary == code))
+            viol = mask & (rate > lim * (1.0 + eps))
+            candidates.append((code, viol, lim))
+
+    irt = wd.get("inj_rate_target")
+    if irt is not None:
+        lim = jnp.where(primary == CTRL_SURFACE_RATE, primary_target, irt)
+        viol = (is_inj & jnp.isfinite(lim)
+                & (jnp.sum(inj, axis=1) > lim * (1.0 + eps)))
+        candidates.append((CTRL_SURFACE_RATE, viol, lim))
+        irv = wd.get("inj_resv_target")
+        resv_coef = wd.get("resv_coef")
+        if irv is not None and resv_coef is not None:
+            lim = jnp.where(primary == CTRL_RESERVOIR_RATE,
+                            primary_target, irv)
+            viol = (is_inj & jnp.isfinite(lim)
+                    & (jnp.sum(inj * resv_coef, axis=1)
+                       > lim * (1.0 + eps)))
+            candidates.append((CTRL_RESERVOIR_RATE, viol, lim))
+
+    new_control, new_target = control, target
+    chosen = jnp.zeros(bhp.shape, dtype=bool)
+    for code, viol, tgt in candidates:
+        hit = viol & (control != code) & ~chosen
+        new_control = jnp.where(hit, jnp.full_like(control, code),
+                                new_control)
+        new_target = jnp.where(hit, tgt, new_target)
+        chosen = chosen | hit
     closed = ~wd["open"].astype(bool)
     new_control = jnp.where(closed, control, new_control)
     new_target = jnp.where(closed, target, new_target)
@@ -317,14 +389,21 @@ def update_controls(wd, bhp, qs, control, target, cq_sum=None):
     # BlackoilModelBase_impl.hpp:779-792, 2548-2596): members that fell to
     # their BHP limit contribute whatever they can make; the remaining
     # group target is redistributed over the members still on group
-    # control by their (static per report step) guide rates
-    for (code, pv, total, mask, guides, sign) in wd.get("groups", ()):
+    # control. Shares are proportional to the members' CURRENT targets
+    # (which entered the step proportional to the guide rates — identical
+    # shares, but consistent with the span path's per-step re-distribution
+    # of targets), falling back to the step-start guides when all current
+    # targets are zero.
+    for spec in wd.get("groups", ()):
+        code, pv, total, mask, guides, sign = spec[:6]
         on_grp = (mask > 0.0) & (new_control == code)
         on_bhp = (mask > 0.0) & (new_control == CTRL_BHP)
         made = jnp.maximum(sign * (qs @ pv), 0.0)
         absorbed = jnp.sum(jnp.where(on_bhp, made, 0.0))
         remaining = jnp.maximum(total - absorbed, 0.0)
-        gsum = jnp.sum(jnp.where(on_grp, guides, 0.0))
-        share = guides / jnp.maximum(gsum, 1e-300)
+        g_dyn = jnp.where(on_grp, jnp.abs(new_target), 0.0)
+        g_dyn = jnp.where(jnp.sum(g_dyn) > 0.0, g_dyn,
+                          jnp.where(on_grp, guides, 0.0))
+        share = g_dyn / jnp.maximum(jnp.sum(g_dyn), 1e-300)
         new_target = jnp.where(on_grp, remaining * share, new_target)
     return new_control, new_target
