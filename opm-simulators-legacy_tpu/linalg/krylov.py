@@ -141,7 +141,9 @@ def bicgstab_mp(matvec, b, precond: Callable = None, *,
     r = b
     rnorm = b_norm
     total_it = jnp.asarray(0)
-    for _ in range(cycles):
+
+    def cycle(carry):
+        x, r, rnorm, total_it = carry
         scale = jnp.where(rnorm > 0, 1.0 / jnp.maximum(rnorm, _EPS), 1.0)
         # inner reduction needed on the normalized residual; >= 1 means
         # already converged -> the inner while_loop runs zero iterations
@@ -153,6 +155,16 @@ def bicgstab_mp(matvec, b, precond: Callable = None, *,
         total_it = total_it + inner.iterations
         r = jax.tree.map(lambda bi, ai: bi - ai, b, matvec_check(x))
         rnorm = jnp.sqrt(jnp.real(_dot(r, r)))
+        return x, r, rnorm, total_it
+
+    carry = cycle((x, r, rnorm, total_it))
+    for _ in range(cycles - 1):
+        # later cycles only run when the f64 true residual still misses
+        # the target: the skip branch saves the cycle's f64 verification
+        # matvec (the single most expensive op in a converged solve —
+        # the usual case, since cycle 1's inner tol already targets `tol`)
+        carry = jax.lax.cond(carry[2] > target, cycle, lambda c: c, carry)
+    x, r, rnorm, total_it = carry
     rel = rnorm / jnp.where(b_norm == 0, 1.0, b_norm)
     return KrylovResult(x=x, iterations=total_it, rel_residual=rel,
                         converged=rel <= tol)

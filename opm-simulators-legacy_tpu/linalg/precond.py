@@ -102,36 +102,70 @@ def inv4x4(m):
     return inv / jnp.swapaxes(c, -1, -2) / jnp.swapaxes(r, -1, -2)
 
 
-def inv3x3_t(m):
-    """Closed-form inverse for (3, 3, n)-layout blocks -> (3, 3, n)."""
-    a, b, c = m[0, 0], m[0, 1], m[0, 2]
-    d, e, f = m[1, 0], m[1, 1], m[1, 2]
-    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+def _rows9(m):
+    """Normalize a 3x3 block family to the flat 9-row form: pass a 9-tuple
+    through, unstack a legacy (3, 3, n) array."""
+    if isinstance(m, (tuple, list)):
+        return m
+    return tuple(m[i, j] for i in range(3) for j in range(3))
+
+
+def inv3x3_rows(m):
+    """Closed-form inverse of a 3x3 block family (9-tuple of flat arrays,
+    or a legacy (3, 3, n) stack), returned as a FLAT TUPLE of nine (n,)
+    arrays (row-major).
+
+    Why not a stacked (3, 3, n) array: every consumer immediately slices
+    the nine planes back out (`dinv[i, j] * v[j]`), and on TPU that
+    stack+reslice materializes as a kLoop relayout fusion between the
+    T(4,128)-tiled 3-D stack and flat T(1024) vectors — measured 6.4
+    ms/Newton at SPE10-132k, the single fattest op in the fused substep
+    trace. A tuple of flat vectors keeps the whole inverse+apply chain
+    elementwise and fusable."""
+    a, b, c, d, e, f, g, h, i = _rows9(m)
     A = e * i - f * h
     B = -(d * i - f * g)
     C = d * h - e * g
     det = a * A + b * B + c * C
     det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
-    rows = [[A, -(b * i - c * h), (b * f - c * e)],
-            [B, (a * i - c * g), -(a * f - c * d)],
-            [C, -(a * h - b * g), (a * e - b * d)]]
-    return jnp.stack([jnp.stack([rows[i_][j_] / det for j_ in range(3)])
-                      for i_ in range(3)])
+    inv_det = 1.0 / det
+    return (A * inv_det, -(b * i - c * h) * inv_det,
+            (b * f - c * e) * inv_det,
+            B * inv_det, (a * i - c * g) * inv_det,
+            -(a * f - c * d) * inv_det,
+            C * inv_det, -(a * h - b * g) * inv_det,
+            (a * e - b * d) * inv_det)
+
+
+def bapply_rows(rows9, v):
+    """Nine-flat-rows block product: rows9 (tuple of 9 (n,) arrays,
+    row-major (3,3)) applied to v (3, n) -> (3, n). All elementwise —
+    no tiled-stack slicing (see inv3x3_rows)."""
+    return jnp.stack([
+        rows9[0] * v[0] + rows9[1] * v[1] + rows9[2] * v[2],
+        rows9[3] * v[0] + rows9[4] * v[1] + rows9[5] * v[2],
+        rows9[6] * v[0] + rows9[7] * v[1] + rows9[8] * v[2]])
+
+
+def inv3x3_t(m):
+    """Closed-form inverse for (3, 3, n)-layout blocks -> (3, 3, n).
+    Prefer inv3x3_rows on hot paths (stack-free)."""
+    return jnp.stack(inv3x3_rows(m)).reshape(3, 3, -1)
 
 
 def block_jacobi(sys: linearize.BlockSystem, dtype=None):
     """v -> (Dinv_cell r_cell, Dinv_well r_well). The inverses are formed
     at the incoming precision (f64 on the hot path — the det guards
     underflow in f32) and optionally stored/applied at `dtype`."""
-    dinv = inv3x3_t(sys.diag)
+    dinv = inv3x3_rows(sys.diag)
     winv = inv4x4(sys.wd_diag)
     if dtype is not None:
-        dinv = dinv.astype(dtype)
+        dinv = tuple(r.astype(dtype) for r in dinv)
         winv = winv.astype(dtype)
 
     def apply(v):
         rc, rw = v          # rc: (3, nc)
-        return (linearize._bapply(dinv, rc),
+        return (bapply_rows(dinv, rc),
                 jnp.einsum("nij,nj->ni", winv, rw))
 
     return apply
@@ -141,9 +175,13 @@ def quasi_impes_weights(diag_t):
     """Per-cell weights (3, nc) with w^T D = e_p^T: decouple local
     saturation derivatives from the pressure equation (the CPR weighting;
     plays the role of formEllipticSystem's row combinations).
-    w = (D^T)^{-1} e_p = row 0 of D^{-1}."""
-    dinv = inv3x3_t(diag_t)
-    return dinv[0]  # (3, nc): w_j = (D^{-1})_{0j}
+    w = (D^T)^{-1} e_p = row 0 of D^{-1} — computed DIRECTLY from the
+    first-row cofactors (no full inverse, no (3,3,n) stack)."""
+    a, b, c, d, e, f, g, h, i = _rows9(diag_t)
+    A = e * i - f * h
+    det = a * A + b * -(d * i - f * g) + c * (d * h - e * g)
+    det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    return jnp.stack([A, -(b * i - c * h), (b * f - c * e)]) / det
 
 
 def cpr_weights(sys: linearize.BlockSystem):
@@ -159,22 +197,68 @@ def cpr_weights(sys: linearize.BlockSystem):
         return quasi_impes_weights(sys.diag)
     c1 = sys.face_cells[:, 0]
     c2 = sys.face_cells[:, 1]
-    colsum = sys.diag
     # row c2 holds -face_L in column c1; row c1 holds +face_R in column c2
-    colsum = colsum.at[:, :, c1].add(-sys.face_L)
-    colsum = colsum.at[:, :, c2].add(sys.face_R)
+    colsum = tuple(
+        d.at[c1].add(-fl).at[c2].add(fr)
+        for d, fl, fr in zip(sys.diag, sys.face_L, sys.face_R))
     return quasi_impes_weights(colsum)
 
 
-def cpr_pressure_system(sys: linearize.BlockSystem, w):
+def cpr_pressure_system(sys: linearize.BlockSystem, w, dims=None):
     """Weighted pressure matrix entries: diag (nc,), off values aligned with
-    the AMG level-0 directed entry list [rows=c1|c2, cols=c2|c1]."""
-    c1 = sys.face_cells[:, 0]
-    c2 = sys.face_cells[:, 1]
-    # w: (3, nc); pressure columns are [:, 0, :] in the (eq, var, n) layout
-    diag_p = jnp.sum(w * sys.diag[:, 0, :], axis=0)
-    a_LR = jnp.sum(w[:, c1] * sys.face_R[:, 0, :], axis=0)
-    a_RL = -jnp.sum(w[:, c2] * sys.face_L[:, 0, :], axis=0)
+    the AMG level-0 directed entry list [rows=c1|c2, cols=c2|c1].
+
+    dims: static (nx, ny, nz) of a fully-active cartesian grid — the
+    per-face weight gathers w[i][c1] / w[i][c2] then become shifted
+    static slices. This matters: a scalar-indexed f32 gather of nf
+    (~3*nc) elements serializes on the TPU gather unit (measured 28 ms
+    per gather at SPE10-132k, ~130 ms/Newton across the six of them);
+    the slice form is bandwidth-speed. Extra (embedded-grid) faces past
+    the canonical stencil keep the small gather path."""
+    # w: (3, nc); the pressure column of block row i is flat row 3*i
+    pR = (sys.face_R[0], sys.face_R[3], sys.face_R[6])
+    pL = (sys.face_L[0], sys.face_L[3], sys.face_L[6])
+    diag_p = (w[0] * sys.diag[0] + w[1] * sys.diag[3]
+              + w[2] * sys.diag[6])
+    nf = pR[0].shape[0]
+    if dims is not None:
+        nx, ny, nz = dims
+        segs = [((slice(None), slice(None), slice(None, -1)),
+                 (slice(None), slice(None), slice(1, None)),
+                 (nx - 1) * ny * nz),
+                ((slice(None), slice(None, -1)), (slice(None),
+                                                  slice(1, None)),
+                 nx * (ny - 1) * nz),
+                ((slice(None, -1),), (slice(1, None),),
+                 nx * ny * (nz - 1))]
+        w3 = [wi.reshape(nz, ny, nx) for wi in (w[0], w[1], w[2])]
+        aLR_parts, aRL_parts = [], []
+        ofs = 0
+        for slL, slR, nf_d in segs:
+            aLR = sum(w3[i][slL].reshape(-1) * pR[i][ofs:ofs + nf_d]
+                      for i in range(3))
+            aRL = -sum(w3[i][slR].reshape(-1) * pL[i][ofs:ofs + nf_d]
+                       for i in range(3))
+            aLR_parts.append(aLR)
+            aRL_parts.append(aRL)
+            ofs += nf_d
+        if nf > ofs:        # extra faces: small gather-path correction
+            e1 = sys.face_cells[ofs:, 0]
+            e2 = sys.face_cells[ofs:, 1]
+            aLR_parts.append(sum(w[i][e1] * pR[i][ofs:]
+                                 for i in range(3)))
+            aRL_parts.append(-sum(w[i][e2] * pL[i][ofs:]
+                                  for i in range(3)))
+        a_LR = jnp.concatenate(aLR_parts)
+        a_RL = jnp.concatenate(aRL_parts)
+    else:
+        c1 = sys.face_cells[:, 0]
+        c2 = sys.face_cells[:, 1]
+        wst = jnp.stack([w[0], w[1], w[2]])
+        fRp = jnp.stack(pR)
+        fLp = jnp.stack(pL)
+        a_LR = jnp.sum(wst[:, c1] * fRp, axis=0)
+        a_RL = -jnp.sum(wst[:, c2] * fLp, axis=0)
     off = jnp.concatenate([a_LR, a_RL])
     return diag_p, off
 
@@ -270,17 +354,17 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     smoother = _os.environ.get("OPM_TPU_CPR_SMOOTHER", "jacobi")
     f32 = _f32_knob()
     w = cpr_weights(sys)
-    diag_p, off_p = cpr_pressure_system(sys, w)
+    diag_p, off_p = cpr_pressure_system(sys, w, dims=dims)
     vals = amg.coarsen_values(diag_p, _pressure_off_for(amg, off_p, dims))
-    dinv = inv3x3_t(sys.diag)
+    dinv = inv3x3_rows(sys.diag)
     if f32:
         # weights/hierarchy/inverses built in f64 (Galerkin sums and block
         # inverses are cancellation-prone), then stored and applied in f32
         w = w.astype(jnp.float32)
         vals = _cast_tree(vals, jnp.float32)
-        dinv = dinv.astype(jnp.float32)
+        dinv = tuple(r.astype(jnp.float32) for r in dinv)
         sys = _cast_tree(sys, jnp.float32)
-    zero_w = jnp.zeros((sys.nw, 4), sys.diag.dtype)
+    zero_w = jnp.zeros((sys.nw, 4), sys.op_dtype)
     red = None
     if smoother == "rbgs" and dims is not None:
         import numpy as _np
@@ -303,20 +387,20 @@ def make_cpr_cells(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
 
     def apply(rc):
         out_dtype = rc.dtype
-        rc = rc.astype(sys.diag.dtype)
+        rc = rc.astype(sys.op_dtype)
         rp = jnp.sum(w * rc, axis=0)
         dp = vcyc(rp)
         xc = jnp.zeros_like(rc).at[0].set(dp)
         for _ in range(smoother_steps):
             if red is not None:
                 ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)
-                xc = xc + red[None, :] * linearize._bapply(dinv, rc - ac)
+                xc = xc + red[None, :] * bapply_rows(dinv, rc - ac)
                 ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)
-                xc = xc + (1.0 - red)[None, :] * linearize._bapply(
+                xc = xc + (1.0 - red)[None, :] * bapply_rows(
                     dinv, rc - ac)
             else:
                 ac, _ = linearize.matvec(sys, xc, zero_w, dims=dims)
-                xc = xc + linearize._bapply(dinv, rc - ac)
+                xc = xc + bapply_rows(dinv, rc - ac)
         return xc.astype(out_dtype)
 
     return apply
@@ -343,7 +427,7 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     post = int(_os.environ.get("OPM_TPU_GMG_POST", "1"))
     f32 = _f32_knob()
     w = cpr_weights(sys)
-    diag_p, off_p = cpr_pressure_system(sys, w)
+    diag_p, off_p = cpr_pressure_system(sys, w, dims=dims)
     vals = amg.coarsen_values(diag_p, _pressure_off_for(amg, off_p, dims))
     bj = block_jacobi(sys, dtype=jnp.float32 if f32 else None)
     if f32:
@@ -360,8 +444,8 @@ def make_cpr(sys: linearize.BlockSystem, amg, *, smoother_steps=None,
     def apply(v):
         rc, rw = v          # rc: (3, nc)
         out_dtype = rc.dtype
-        rc = rc.astype(sys.diag.dtype)
-        rw = rw.astype(sys.diag.dtype)
+        rc = rc.astype(sys.op_dtype)
+        rw = rw.astype(sys.op_dtype)
         # stage 1: pressure correction
         rp = jnp.sum(w * rc, axis=0)
         dp = vcyc(rp)

@@ -357,6 +357,39 @@ class BlackoilModel:
         return dict(p_oil=q.po, mob=q.mob, b=q.b, rs=q.rs, rv=q.rv,
                     rho_avg=rho_avg, surface_density=sd)
 
+    def well_cell_quantities_local(self, state: BlackoilState, wd):
+        """PERF-LOCAL well cell quantities: evaluate the PVT/mobility
+        stack only at the (nw*mp) perforated cells instead of the whole
+        grid. Feeding this into connection_pressure_offsets /
+        perforation_fluxes (which detect the cellq["perf_local"] flag)
+        turns the per-substep cdp computation from a full-grid f64
+        property sweep (measured 13.5 ms at SPE10-132k) into a ~tens-of-
+        cells one. Semantically identical to
+        well_cell_quantities(cell_quantities(state)) gathered at
+        perf_cell."""
+        nw, mp = wd["perf_cell"].shape
+        pc_f = wd["perf_cell"].reshape(-1)
+        sg = None if state.sgmax is None else state.sgmax[pc_f]
+        ireg = None if self.imbnum is None else self.imbnum[pc_f]
+        somax = None if state.somax is None else state.somax[pc_f]
+        pvt_p = self.pvtnum[pc_f]
+        q = compute_cell_quantities(
+            self.props, state.pressure[pc_f], state.sw[pc_f],
+            state.x[pc_f], state.hcstate[pc_f], pvt_p, self.satnum[pc_f],
+            sgmax=sg, ireg=ireg, somax=somax)
+        sd = self.props.surface_density.T[:, pvt_p]            # (3, nw*mp)
+        rho_avg = jnp.sum(q.sat * q.rho, axis=0)
+
+        def pm(a3):                       # (3, nw*mp) -> (nw, mp, 3)
+            return jnp.moveaxis(a3, 0, -1).reshape(nw, mp, 3)
+
+        return dict(perf_local=True,
+                    p_oil=q.po.reshape(nw, mp), mob=pm(q.mob),
+                    b=pm(q.b), rs=q.rs.reshape(nw, mp),
+                    rv=q.rv.reshape(nw, mp),
+                    rho_avg=rho_avg.reshape(nw, mp),
+                    surface_density=pm(sd))
+
     # ------------------------------------------------------------------
     def residual(self, state: BlackoilState, acc0, dt, wd, cdp,
                  threshold_dp=None) -> Residual:

@@ -38,13 +38,6 @@ from opm_tpu.wells.wells import (CTRL_BHP, CTRL_RESERVOIR_RATE, CTRL_RESV,
                                  CTRL_THP)
 
 
-import numpy as _np
-
-# plain numpy: a module-level jnp OP would become a leaked tracer when this
-# module is first imported inside a jit trace (solver methods import it
-# lazily) — the bench's UnexpectedTracerError
-_EYE_GX = _np.zeros((3, 3))
-_EYE_GX[2, 2] = 1.0
 
 
 def degenerate_x_mask(model, state):
@@ -75,17 +68,27 @@ def degenerate_x_mask(model, state):
 
 
 class BlockSystem(NamedTuple):
-    """Assembled block-sparse Jacobian + residual."""
+    """Assembled block-sparse Jacobian + residual.
+
+    The 3x3 cell/face block families are stored as TUPLES of nine FLAT
+    1-D arrays, row-major over (eq, var): blocks[3*i + j] = dF_i/du_j.
+    Earlier rounds used stacked (3, 3, n) arrays; on TPU every consumer
+    (block products, inverses, pressure-column extraction) immediately
+    slices the nine planes back out, and each such slice of a
+    T(4,128)-tiled 3-D stack materializes as a serialized kLoop relayout
+    into flat T(1024) vectors — measured 6-8 ms/Newton at SPE10-132k,
+    the fattest single op in the fused-substep trace. Nine flat vectors
+    make every producer and consumer a plain elementwise op that XLA
+    fuses end to end; an (n, 3, 3) layout is worse still (~85x tile
+    padding, the SPE10-scale OOM)."""
 
     # residual
     r_cell: jnp.ndarray    # (3, nc) phase-leading
     r_well: jnp.ndarray    # (nw, 4)  [flux eqs (3), control eq]
-    # Jacobian blocks in TRANSPOSED (3, 3, n) layout: TPU tiles pad the two
-    # trailing dims to (8, 128) — an (n, 3, 3) layout would inflate memory
-    # ~85x (the SPE10-scale OOM); (3, 3, n) pads only 3 -> 8 on one dim.
-    diag: jnp.ndarray      # (3, 3, nc) true block diagonal [eq, var, cell]
-    face_L: jnp.ndarray    # (3, 3, nf) dF/du_L
-    face_R: jnp.ndarray    # (3, 3, nf) dF/du_R
+    # Jacobian 3x3 block families: 9-tuples of flat arrays (see above)
+    diag: tuple            # 9 x (nc,) true block diagonal [eq, var]
+    face_L: tuple          # 9 x (nf,) dF/du_L
+    face_R: tuple          # 9 x (nf,) dF/du_R
     # wells
     cw: jnp.ndarray        # (nw, mp, 3, 4) cell rows x well vars (-dcq/dwv)
     wc: jnp.ndarray        # (nw, mp, 3, 3) well flux rows x cell vars
@@ -97,11 +100,15 @@ class BlockSystem(NamedTuple):
 
     @property
     def nc(self):
-        return self.diag.shape[-1]
+        return self.diag[0].shape[-1]
 
     @property
     def nw(self):
         return self.wd_diag.shape[0]
+
+    @property
+    def op_dtype(self):
+        return self.diag[0].dtype
 
 
 def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
@@ -139,19 +146,18 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     fdt = p.dtype    # seed dtype must match the primal dtype (ASM_F32)
     ones_c = jnp.ones(nc, fdt)
     zero_c = jnp.zeros(nc, fdt)
-    acc_jac = jnp.stack([
-        acc_jvp(ones_c, zero_c, zero_c),
-        acc_jvp(zero_c, ones_c, zero_c),
-        acc_jvp(zero_c, zero_c, ones_c),
-    ], axis=1)                                  # (3 eq, 3 var, nc)
+    acc_tan = [acc_jvp(ones_c, zero_c, zero_c),
+               acc_jvp(zero_c, ones_c, zero_c),
+               acc_jvp(zero_c, zero_c, ones_c)]    # per var: (3 eq, nc)
     pvdt = model.pv / dt
     r_cell = pvdt * (acc_val - acc0)            # (3, nc)
-    diag = pvdt * acc_jac                       # (3, 3, nc)
+    # diag as nine flat rows, row-major (eq, var) — see BlockSystem
+    diag = [pvdt * acc_tan[j][i] for i in range(3) for j in range(3)]
     # water-only cells (so = sg = 0): the gas equation is identically zero
     # and carries no sensitivity to the rs variable — regularize the (gas, x)
     # diagonal so the block stays invertible (drs then solves to ~0)
-    diag = diag + jnp.asarray(_EYE_GX, diag.dtype)[:, :, None] * (
-        degenerate_x_mask(model, state) * pvdt).astype(diag.dtype)
+    diag[8] = diag[8] + (degenerate_x_mask(model, state)
+                         * pvdt).astype(diag[8].dtype)
 
     # ---- faces: value + L/R blocks ---------------------------------------
     nf = model.face_cells.shape[0]
@@ -179,10 +185,13 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         q3_tan = [jax.tree.map(model._cells3, t) for t in q_tan]
         nx, ny, nz = model.grid.dims
         r3 = r_cell.reshape(3, nz, ny, nx)
-        # (eq, var) kept 9-FLAT: a 5-D (3,3,z,y,x) array tempts XLA into
-        # tiling the (3,3) pair (57x padding, 2.1 GB copies at SPE10-2)
-        diag9 = diag.reshape(9, nz, ny, nx)
-        fL_parts, fR_parts = [], []
+        # diag/face rows kept as SEPARATE flat/3-D arrays per (eq, var):
+        # a 5-D (3,3,z,y,x) array tempts XLA into tiling the (3,3) pair
+        # (57x padding), and even a 9-leading stack costs relayout kLoops
+        # when the planes are sliced back out (see BlockSystem)
+        diag3 = [d.reshape(nz, ny, nx) for d in diag]
+        fL_rows = [[] for _ in range(9)]
+        fR_rows = [[] for _ in range(9)]
         ofs = 0
         for slL, slR, nf_d in model._dir_segments():
             def sf(a, sl):
@@ -201,27 +210,28 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
             flux_val, fjvp = jax.linearize(flux_of, qL, qR)
             zL = jax.tree.map(jnp.zeros_like, qL)
             zR = jax.tree.map(jnp.zeros_like, qR)
-            fL_d = jnp.concatenate(
-                [fjvp(jax.tree.map(lambda a: sf(a, slL), q3_tan[j]), zR)
-                 [:, None] for j in range(3)], axis=1)       # (3,3,nf_d)
-            fR_d = jnp.concatenate(
-                [fjvp(zL, jax.tree.map(lambda a: sf(a, slR), q3_tan[j]))
-                 [:, None] for j in range(3)], axis=1)
+            fL_cols = [fjvp(jax.tree.map(lambda a: sf(a, slL), q3_tan[j]),
+                            zR) for j in range(3)]           # (3, nf_d)
+            fR_cols = [fjvp(zL, jax.tree.map(lambda a: sf(a, slR),
+                                             q3_tan[j])) for j in range(3)]
             shape_d = r3[(slice(None),) + slL].shape
+            sp_d = shape_d[1:]
             r3 = r3.at[(slice(None),) + slL].add(
                 flux_val.reshape(shape_d))
             r3 = r3.at[(slice(None),) + slR].add(
                 -flux_val.reshape(shape_d))
-            d9shape = (9,) + shape_d[1:]
-            diag9 = diag9.at[(slice(None),) + slL].add(
-                fL_d.reshape(d9shape))
-            diag9 = diag9.at[(slice(None),) + slR].add(
-                -fR_d.reshape(d9shape))
-            fL_parts.append(fL_d)
-            fR_parts.append(fR_d)
+            for i in range(3):
+                for j in range(3):
+                    k = 3 * i + j
+                    fl = fL_cols[j][i]
+                    fr = fR_cols[j][i]
+                    diag3[k] = diag3[k].at[slL].add(fl.reshape(sp_d))
+                    diag3[k] = diag3[k].at[slR].add(-fr.reshape(sp_d))
+                    fL_rows[k].append(fl)
+                    fR_rows[k].append(fr)
             ofs += nf_d
         r_cell = r3.reshape(3, -1)
-        diag9 = diag9.reshape(9, -1)
+        diag = [d.reshape(-1) for d in diag3]
         if getattr(model, "n_extra_faces", 0):
             # extra faces (embedded grids: stair-step faults / NNCs):
             # gather-path value + L/R blocks chained through the SAME
@@ -241,22 +251,25 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
             flux_val_e, fjvp_e = jax.linearize(flux_of_e, qLe, qRe)
             zLe = jax.tree.map(jnp.zeros_like, qLe)
             zRe = jax.tree.map(jnp.zeros_like, qRe)
-            fL_e = jnp.concatenate(
-                [fjvp_e(jax.tree.map(lambda a: a[..., e1], q_tan[j]),
-                        zRe)[:, None] for j in range(3)], axis=1)
-            fR_e = jnp.concatenate(
-                [fjvp_e(zLe, jax.tree.map(lambda a: a[..., e2],
-                                          q_tan[j]))[:, None]
-                 for j in range(3)], axis=1)
+            fLe_cols = [fjvp_e(jax.tree.map(lambda a: a[..., e1],
+                                            q_tan[j]), zRe)
+                        for j in range(3)]
+            fRe_cols = [fjvp_e(zLe, jax.tree.map(lambda a: a[..., e2],
+                                                 q_tan[j]))
+                        for j in range(3)]
             r_cell = r_cell.at[:, e1].add(flux_val_e) \
                 .at[:, e2].add(-flux_val_e)
-            diag9 = diag9.at[:, e1].add(fL_e.reshape(9, -1)) \
-                .at[:, e2].add(-fR_e.reshape(9, -1))
-            fL_parts.append(fL_e)
-            fR_parts.append(fR_e)
-        face_L = jnp.concatenate(fL_parts, axis=-1)
-        face_R = jnp.concatenate(fR_parts, axis=-1)
-        diag = diag9.reshape(3, 3, -1)
+            for i in range(3):
+                for j in range(3):
+                    k = 3 * i + j
+                    diag[k] = diag[k].at[e1].add(fLe_cols[j][i]) \
+                        .at[e2].add(-fRe_cols[j][i])
+                    fL_rows[k].append(fLe_cols[j][i])
+                    fR_rows[k].append(fRe_cols[j][i])
+        face_L = tuple(jnp.concatenate(fL_rows[k]) if len(fL_rows[k]) > 1
+                       else fL_rows[k][0] for k in range(9))
+        face_R = tuple(jnp.concatenate(fR_rows[k]) if len(fR_rows[k]) > 1
+                       else fR_rows[k][0] for k in range(9))
     else:
         dz = model.depth[c1] - model.depth[c2]
         auxL = (hc[c1], pvt[c1], sat[c1])
@@ -285,10 +298,13 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
             seeds[3 * side + j] = ones_f
             return flux_jvp(*seeds)
 
-        face_L = jnp.stack([_col(0, j) for j in range(3)], axis=1)
-        face_R = jnp.stack([_col(1, j) for j in range(3)], axis=1)
+        colsL = [_col(0, j) for j in range(3)]   # (3, nf) per var
+        colsR = [_col(1, j) for j in range(3)]
+        face_L = tuple(colsL[j][i] for i in range(3) for j in range(3))
+        face_R = tuple(colsR[j][i] for i in range(3) for j in range(3))
         r_cell = r_cell.at[:, c1].add(flux_val).at[:, c2].add(-flux_val)
-        diag = diag.at[:, :, c1].add(face_L).at[:, :, c2].add(-face_R)
+        for k in range(9):
+            diag[k] = diag[k].at[c1].add(face_L[k]).at[c2].add(-face_R[k])
 
     # ---- wells -----------------------------------------------------------
     nw, mp = wd["perf_cell"].shape
@@ -332,7 +348,9 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
 
     # cell equations: r -= cq; diag -= dcq/du_c at perf cells
     r_cell = r_cell.at[:, pc_f].add(-cq_val.T)
-    diag = diag.at[:, :, pc_f].add(-jnp.transpose(jac_u, (1, 2, 0)))
+    for i in range(3):
+        for j in range(3):
+            diag[3 * i + j] = diag[3 * i + j].at[pc_f].add(-jac_u[:, i, j])
     cw = (-jac_wv).reshape(nw, mp, 3, 4)
     wc = (-jac_u).reshape(nw, mp, 3, 3)   # well flux rows: d(q - sum cq)/du
 
@@ -397,24 +415,28 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
 
     return BlockSystem(
         r_cell=r_cell, r_well=r_well,
-        diag=diag, face_L=face_L, face_R=face_R,
+        diag=tuple(diag), face_L=tuple(face_L), face_R=tuple(face_R),
         cw=cw, wc=wc, wd_diag=wd_diag,
         face_cells=model.face_cells, perf_cell=pc,
         perf_mask=mask)
 
 
-def _bapply(blocks_t, v):
-    """(3,3,n) blocks applied to (3,n) vectors -> (3,n); written as nine
-    fused elementwise products. The (3,n) vector layout keeps the Krylov
+def bapply_rows(rows9, v):
+    """Nine-flat-rows block product: rows9 (indexable of 9 arrays,
+    row-major (eq, var)) applied to v (3, n) -> (3, n); nine fused
+    elementwise products. The (3, n) vector layout keeps the Krylov
     loop's carried buffers free of TPU tile padding (an (n,3) layout pads
-    the 3 up to 128 lanes — 42x the memory and bandwidth)."""
-    outs = []
-    for i in range(3):
-        acc = blocks_t[i, 0] * v[0]
-        acc = acc + blocks_t[i, 1] * v[1]
-        acc = acc + blocks_t[i, 2] * v[2]
-        outs.append(acc)
-    return jnp.stack(outs)
+    the 3 up to 128 lanes — 42x the memory and bandwidth); the flat-rows
+    block storage avoids (3,3,n)-stack relayouts (see BlockSystem)."""
+    return jnp.stack([
+        rows9[0] * v[0] + rows9[1] * v[1] + rows9[2] * v[2],
+        rows9[3] * v[0] + rows9[4] * v[1] + rows9[5] * v[2],
+        rows9[6] * v[0] + rows9[7] * v[1] + rows9[8] * v[2]])
+
+
+# back-compat alias used by older tools; same contract as bapply_rows on
+# the 9-tuple layout
+_bapply = bapply_rows
 
 
 def matvec(sys: BlockSystem, v_cell, v_well, dims=None):
@@ -430,11 +452,12 @@ def matvec(sys: BlockSystem, v_cell, v_well, dims=None):
     else:
         c1 = sys.face_cells[:, 0]
         c2 = sys.face_cells[:, 1]
-        out_c = _bapply(sys.diag, v_cell)
+        out_c = bapply_rows(sys.diag, v_cell)
         # off-diagonal face pairs: row L gets +dF/du_R * v_R; row R gets
         # -dF/du_L * v_L (diagonal parts already folded into diag)
-        out_c = out_c.at[:, c1].add(_bapply(sys.face_R, v_cell[:, c2]))
-        out_c = out_c.at[:, c2].add(-_bapply(sys.face_L, v_cell[:, c1]))
+        out_c = out_c.at[:, c1].add(bapply_rows(sys.face_R, v_cell[:, c2]))
+        out_c = out_c.at[:, c2].add(-bapply_rows(sys.face_L,
+                                                 v_cell[:, c1]))
     nw, mp = sys.perf_cell.shape
     pc_f = sys.perf_cell.reshape(-1)
     # cell rows x well vars (well arrays are tiny; einsums are fine there)
@@ -450,11 +473,11 @@ def matvec(sys: BlockSystem, v_cell, v_well, dims=None):
 
 
 def _bapply9(blocks9, v):
-    """(9, ...) flattened (eq, var) blocks applied to (3, ...) vectors.
-    The 9-flat leading axis keeps the array 4-D with the LAST TWO dims the
-    large grid dims — a 5-D (3,3,z,y,x) array tempts XLA into a layout that
-    tiles the (3,3) pair, padding 57x (observed 2.1 GB copies at SPE10-2
-    scale)."""
+    """Indexable of 9 (eq, var)-row-major block arrays applied to
+    (3, ...) vectors. Rows stay SEPARATE arrays end to end — a 5-D
+    (3,3,z,y,x) stack tempts XLA into a layout that tiles the (3,3) pair
+    (57x padding, 2.1 GB copies observed at SPE10-2 scale), and even a
+    9-leading stack pays relayout kLoops when re-sliced."""
     outs = []
     for i in range(3):
         acc = blocks9[3 * i] * v[0]
@@ -471,10 +494,10 @@ def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
     nfy = nx * (ny - 1) * nz
     nfz = nx * ny * (nz - 1)
     v3 = v_cell.reshape(3, nz, ny, nx)
-    out = _bapply(sys.diag, v_cell).reshape(3, nz, ny, nx)
+    out = bapply_rows(sys.diag, v_cell).reshape(3, nz, ny, nx)
 
-    def seg(a, lo, hi, shape):
-        return a[:, :, lo:hi].reshape(9, *shape)
+    def seg(rows, lo, hi, shape):
+        return [r[lo:hi].reshape(shape) for r in rows]
 
     fLx = seg(sys.face_L, 0, nfx, (nz, ny, nx - 1))
     fRx = seg(sys.face_R, 0, nfx, (nz, ny, nx - 1))
@@ -490,14 +513,14 @@ def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
     out = out.at[:, :-1].add(_bapply9(fRz, v3[:, 1:]))
     out = out.at[:, 1:].add(-_bapply9(fLz, v3[:, :-1]))
     out = out.reshape(3, -1)
-    if sys.face_L.shape[-1] > nf_can:
+    if sys.face_L[0].shape[-1] > nf_can:
         # extra faces (embedded grids): small gather-path correction
         e1 = sys.face_cells[nf_can:, 0]
         e2 = sys.face_cells[nf_can:, 1]
-        out = out.at[:, e1].add(
-            _bapply(sys.face_R[:, :, nf_can:], v_cell[:, e2]))
-        out = out.at[:, e2].add(
-            -_bapply(sys.face_L[:, :, nf_can:], v_cell[:, e1]))
+        fLe = [r[nf_can:] for r in sys.face_L]
+        fRe = [r[nf_can:] for r in sys.face_R]
+        out = out.at[:, e1].add(bapply_rows(fRe, v_cell[:, e2]))
+        out = out.at[:, e2].add(-bapply_rows(fLe, v_cell[:, e1]))
     return out
 
 
@@ -560,7 +583,7 @@ def schur_eliminate_wells(sys: BlockSystem, dims=None, op_dtype=None):
 
     def reduced_matvec(v_cell):
         out_dt = v_cell.dtype
-        v = v_cell.astype(sys_op.diag.dtype)
+        v = v_cell.astype(sys_op.op_dtype)
         out_c = matvec(sys_op, v,
                        jnp.zeros((sys_op.nw, 4), v.dtype), dims=dims)[0]
         w = jnp.einsum("wij,wj->wi", Dinv_op, well_apply_B(sys_op, v))

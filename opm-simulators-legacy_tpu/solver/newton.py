@@ -217,9 +217,10 @@ class NonlinearSolver:
         """Two-pass wellbore pressure profile: well-level mixture first,
         then refine with the implied perforation rates (the reference uses
         the previous state's perfPhaseRates; one lagged pass is the same
-        information)."""
-        q = self.model.cell_quantities(state)
-        cellq = self.model.well_cell_quantities(q)
+        information). Cell quantities are evaluated PERF-LOCALLY — only
+        the perforated cells, not the grid (a full-grid f64 PVT sweep
+        here cost 13.5 ms/substep at SPE10-132k for ~50 used cells)."""
+        cellq = self.model.well_cell_quantities_local(state, wd)
         cdp0 = stdwells.connection_pressure_offsets(wd, cellq, state.qs)
         cq = stdwells.perforation_fluxes(
             wd, cellq, state.bhp, state.qs, cdp0,
@@ -350,8 +351,8 @@ class NonlinearSolver:
             def full_mv(v):
                 vc, vw = v
                 oc, ow = linearize.matvec(
-                    sys_op, vc.astype(sys_op.diag.dtype),
-                    vw.astype(sys_op.diag.dtype), dims=self._dims)
+                    sys_op, vc.astype(sys_op.op_dtype),
+                    vw.astype(sys_op.op_dtype), dims=self._dims)
                 return oc.astype(vc.dtype), ow.astype(vw.dtype)
 
             res = krylov(

@@ -36,6 +36,19 @@ def _gather_ph(a3, c):
     return jnp.moveaxis(a3[:, c], 0, -1)
 
 
+def _perf_fields(cellq, c, keys):
+    """Per-perforation views of the requested cellq fields: gathered at
+    the (nw, mp) perf cells from full-grid arrays, or passed through when
+    cellq is PERF-LOCAL (cellq["perf_local"] truthy — arrays already
+    (nw, mp) / (nw, mp, 3), e.g. built by evaluating the PVT stack only
+    at the perforated cells instead of the whole grid; see
+    solver/newton.py _cdp)."""
+    if cellq.get("perf_local"):
+        return tuple(cellq[k] for k in keys)
+    return tuple(_gather_ph(cellq[k], c) if cellq[k].ndim == 2
+                 else cellq[k][c] for k in keys)
+
+
 def wellbore_mixture(qs, comp_frac, is_injector=None):
     """Surface-volume fractions of the wellbore mixture
     (StandardWells::wellSurfaceVolumeFraction): current well rates for
@@ -106,10 +119,10 @@ def perforation_fluxes(wd, cellq, bhp, qs, cdp, *, allow_crossflow=True):
     c = wd["perf_cell"]                      # (nw, mp)
     mask = wd["perf_mask"] * wd["open"][:, None]
     cmix = wellbore_mixture(qs, wd["comp_frac"], wd["is_injector"])
+    po_p, b_p, mob_p, rs_p, rv_p = _perf_fields(
+        cellq, c, ("p_oil", "b", "mob", "rs", "rv"))
     cq_s = perf_flux_formula(
-        cellq["p_oil"][c], _gather_ph(cellq["b"], c),
-        _gather_ph(cellq["mob"], c), cellq["rs"][c],
-        cellq["rv"][c], wd["perf_wi"], bhp[:, None] + cdp,
+        po_p, b_p, mob_p, rs_p, rv_p, wd["perf_wi"], bhp[:, None] + cdp,
         jnp.broadcast_to(cmix[:, None, :], c.shape + (3,)),
         jnp.broadcast_to(wd["is_injector"][:, None], c.shape),
         allow_crossflow=allow_crossflow)
@@ -211,11 +224,9 @@ def wellbore_mixture_density(wd, cellq, qs, perf_rates=None):
     for the VFP hydrostatic datum correction
     (computeHydrostaticCorrection, StandardWells_impl.hpp:918-960)."""
     c = wd["perf_cell"]
-    b = _gather_ph(cellq["b"], c)
-    rs = cellq["rs"][c]
-    rv = cellq["rv"][c]
-    rho_cell = cellq["rho_avg"][c]          # saturation-weighted fallback
-    sd = _gather_ph(cellq["surface_density"], c)   # (nw, mp, 3) (w,o,g)
+    # rho_avg: saturation-weighted fallback; sd: (nw, mp, 3) (w,o,g)
+    b, rs, rv, rho_cell, sd = _perf_fields(
+        cellq, c, ("b", "rs", "rv", "rho_avg", "surface_density"))
 
     if perf_rates is not None:
         # flow through segment above perf j = sum of perf rates j..end

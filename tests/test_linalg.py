@@ -585,7 +585,7 @@ def test_asm_f32_system_matches_f64(spe1_system, monkeypatch):
                                cast_floats(acc0, f32),
                                cast_floats(dt, f32),
                                cast_floats(wd, f32), cast_floats(cdp, f32))
-    assert sys32.diag.dtype == f32
+    assert sys32.op_dtype == f32
     # entrywise: almost all entries at f32 accuracy; a handful of isolated
     # branch flips (upwind direction / PVT table segment at near-ties in
     # f32) are expected and harmless for an inexact-Newton Jacobian
