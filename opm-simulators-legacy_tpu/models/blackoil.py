@@ -129,10 +129,12 @@ def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
         # ROCKTAB pressure-dependent trans multiplier rides on mobility
         # (tr_mult, BlackoilModelBase_impl.hpp:1486-1493)
         mob = mob * props.trans_mult(p, pvtnum)
-    # per-phase surface-density gathers keep every intermediate 1-D
-    sd_w = props.surface_density[pvtnum, WATER]
-    sd_o = props.surface_density[pvtnum, OIL]
-    sd_g = props.surface_density[pvtnum, GAS]
+    # per-phase surface-density pickups keep every intermediate 1-D;
+    # reg_pick avoids nc-sized scalar gathers (utils/tables.py)
+    from opm_tpu.utils.tables import reg_pick as _rp
+    sd_w = _rp(props.surface_density[:, WATER], pvtnum)
+    sd_o = _rp(props.surface_density[:, OIL], pvtnum)
+    sd_g = _rp(props.surface_density[:, GAS], pvtnum)
     rho = jnp.stack([
         sd_w * bw,
         (sd_o + rs * sd_g) * bo,
@@ -352,7 +354,9 @@ class BlackoilModel:
 
     # ------------------------------------------------------------------
     def well_cell_quantities(self, q: CellQuantities):
-        sd = self.props.surface_density.T[:, self.pvtnum]      # (3, nc)
+        from opm_tpu.utils.tables import reg_pick as _rp
+        sd = jnp.stack([_rp(self.props.surface_density[:, k], self.pvtnum)
+                        for k in range(3)])                    # (3, nc)
         rho_avg = jnp.sum(q.sat * q.rho, axis=0)
         return dict(p_oil=q.po, mob=q.mob, b=q.b, rs=q.rs, rv=q.rv,
                     rho_avg=rho_avg, surface_density=sd)

@@ -29,7 +29,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from opm_tpu.utils.tables import interp, interp2, reg_row
+from opm_tpu.utils.tables import interp, interp2, reg_pick, reg_row
 
 
 def _pad_rows(arrs, ncol):
@@ -67,12 +67,13 @@ class WaterPVT:
                    g("viscosibility"))
 
     def b(self, p, reg=0):
-        x = self.comp[reg] * (p - self.p_ref[reg])
-        return (1.0 + x + 0.5 * x * x) / self.b_ref[reg]
+        x = reg_pick(self.comp, reg) * (p - reg_pick(self.p_ref, reg))
+        return (1.0 + x + 0.5 * x * x) / reg_pick(self.b_ref, reg)
 
     def mu(self, p, reg=0):
-        y = self.viscosibility[reg] * (p - self.p_ref[reg])
-        return self.mu_ref[reg] / (1.0 + y + 0.5 * y * y)
+        y = (reg_pick(self.viscosibility, reg)
+             * (p - reg_pick(self.p_ref, reg)))
+        return reg_pick(self.mu_ref, reg) / (1.0 + y + 0.5 * y * y)
 
 
 @dataclass
@@ -359,7 +360,7 @@ class RockPVT:
                    jnp.asarray([r["comp"] for r in recs]))
 
     def pv_mult(self, p, reg=0):
-        x = self.comp[reg] * (p - self.p_ref[reg])
+        x = reg_pick(self.comp, reg) * (p - reg_pick(self.p_ref, reg))
         return 1.0 + x + 0.5 * x * x
 
     def trans_mult(self, p, reg=0):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from opm_tpu.props.pvt import _pad_rows
-from opm_tpu.utils.tables import interp
+from opm_tpu.utils.tables import interp, reg_pick
 
 
 @dataclass
@@ -171,15 +171,20 @@ class SatFuncFamily1:
         sw_t = sw
         sg_t = sg
         if e.swl is not None or e.swu is not None:
-            lo_c = e.swl if e.swl is not None else self.swco[reg]
-            hi_c = e.swu if e.swu is not None else self.smax_w[reg]
-            sw_t = two_point_scale(sw, lo_c, hi_c, self.swco[reg],
-                                   self.smax_w[reg])
+            lo_c = (e.swl if e.swl is not None
+                    else reg_pick(self.swco, reg))
+            hi_c = (e.swu if e.swu is not None
+                    else reg_pick(self.smax_w, reg))
+            sw_t = two_point_scale(sw, lo_c, hi_c,
+                                   reg_pick(self.swco, reg),
+                                   reg_pick(self.smax_w, reg))
         if e.sgl is not None or e.sgu is not None:
-            sgl_tab = self.sg[reg][..., 0]
+            sgl_tab = reg_pick(self.sg[:, 0], reg)
             lo_c = e.sgl if e.sgl is not None else sgl_tab
-            hi_c = e.sgu if e.sgu is not None else self.sgmax[reg]
-            sg_t = two_point_scale(sg, lo_c, hi_c, sgl_tab, self.sgmax[reg])
+            hi_c = (e.sgu if e.sgu is not None
+                    else reg_pick(self.sgmax, reg))
+            sg_t = two_point_scale(sg, lo_c, hi_c, sgl_tab,
+                                   reg_pick(self.sgmax, reg))
         return sw_t, sg_t
 
     def relperm(self, sw, so, sg, reg, sgmax=None, ireg=None):
@@ -199,18 +204,19 @@ class SatFuncFamily1:
         if self.eps is not None:
             e = self.eps
             if e.krw_max is not None:
-                krw = krw * e.krw_max / jnp.maximum(self.krw_tab_max[reg],
-                                                    1e-30)
+                krw = krw * e.krw_max / jnp.maximum(
+                    reg_pick(self.krw_tab_max, reg), 1e-30)
             if e.krg_max is not None:
-                krg = krg * e.krg_max / jnp.maximum(self.krg_tab_max[reg],
-                                                    1e-30)
+                krg = krg * e.krg_max / jnp.maximum(
+                    reg_pick(self.krg_tab_max, reg), 1e-30)
             if e.kro_max is not None:
-                scale_o = e.kro_max / jnp.maximum(self.kro_tab_max[reg],
-                                                  1e-30)
+                scale_o = e.kro_max / jnp.maximum(
+                    reg_pick(self.kro_tab_max, reg), 1e-30)
                 krow = krow * scale_o
                 krog = krog * scale_o
         swco = (self.eps.swl if self.eps is not None
-                and self.eps.swl is not None else self.swco[reg])
+                and self.eps.swl is not None
+                else reg_pick(self.swco, reg))
         ssw = jnp.maximum(sw - swco, 0.0)
         den = ssw + sg
         safe = den > 1e-12
@@ -234,9 +240,9 @@ class SatFuncFamily1:
         scaled to meet the drainage curve at the historical maximum."""
         if ireg is None:
             ireg = self.hyst.imbnum   # full-cell context only
-        sgcr_d = self.sgcr_[reg]
-        sgcr_i = self.sgcr_[ireg]          # max trapped gas of imb. curve
-        sg_tab_max = self.sgmax[reg]
+        sgcr_d = reg_pick(self.sgcr_, reg)
+        sgcr_i = reg_pick(self.sgcr_, ireg)  # max trapped gas, imb. curve
+        sg_tab_max = reg_pick(self.sgmax, reg)
         # Land parameter from the bounding curves
         span_t = jnp.maximum(sgcr_i - sgcr_d, 1e-12)
         span_m = jnp.maximum(sg_tab_max - sgcr_d, 1e-12)
@@ -269,7 +275,7 @@ class SatFuncFamily1:
 
     # endpoint queries used by init / well logic
     def connate_water(self, reg):
-        return self.swco[reg]
+        return reg_pick(self.swco, reg)
 
     def pcow_inverse(self, pc, reg):
         """sw(pcow) — equilibration capillary inversion
@@ -345,10 +351,19 @@ def two_point_scale(s, s_lo_cell, s_hi_cell, s_lo_tab, s_hi_tab):
 def _interp_reg(xs_tab, ys_tab, x, reg):
     """Per-element table selection: xs_tab (nreg, n), reg broadcast with x.
     Single-region stacks skip the gather (TPU tile-padding of the
-    constant-folded (nc, n) literal — see utils.tables.reg_row)."""
+    constant-folded (nc, n) literal — see utils.tables.reg_row); small
+    region counts evaluate every region's gather-free interp and
+    where-select (O(nreg) VPU work beats an nc-sized row gather)."""
+    from opm_tpu.utils.tables import interp
     if xs_tab.shape[0] == 1:
-        from opm_tpu.utils.tables import interp
         return interp(xs_tab[0], ys_tab[0], x, extrap="clamp")
+    if xs_tab.shape[0] <= 4:
+        out = interp(xs_tab[0], ys_tab[0], x, extrap="clamp")
+        for k in range(1, xs_tab.shape[0]):
+            out = jnp.where(reg == k,
+                            interp(xs_tab[k], ys_tab[k], x,
+                                   extrap="clamp"), out)
+        return out
     xs = xs_tab[reg]          # (..., n)
     ys = ys_tab[reg]
     n = xs.shape[-1]

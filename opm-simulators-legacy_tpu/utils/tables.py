@@ -213,3 +213,31 @@ def reg_row(tab, reg):
     if tab.shape[0] == 1:
         return tab[0]
     return tab[reg]
+
+
+# branchless region select above this many regions falls back to a gather
+_REG_PICK_MAX = 8
+
+
+def reg_pick(vals, reg):
+    """Per-region SCALAR selection vals[reg] for (nreg,)-leading arrays
+    (per-region constants: surface densities, water-PVT coefficients,
+    endpoint scalars), gather-free for realistic region counts.
+
+    A scalar-indexed gather of nc elements serializes on the TPU gather
+    unit — six such pickups in the f64 residual measured ~6 ms per Newton
+    iteration at SPE10-132k. Single-region decks broadcast; nreg <=
+    _REG_PICK_MAX uses a branchless where-chain (O(nreg) elementwise,
+    VPU-speed); larger region counts keep the gather."""
+    vals = jnp.asarray(vals)
+    n = vals.shape[0]
+    if n == 1:
+        return vals[0]
+    if n <= _REG_PICK_MAX:
+        extra = vals.ndim - 1
+        r = reg.reshape(reg.shape + (1,) * extra) if extra else reg
+        out = jnp.where(r == 0, vals[0], vals[1])
+        for k in range(2, n):
+            out = jnp.where(r == k, vals[k], out)
+        return out
+    return vals[reg]
