@@ -355,8 +355,12 @@ class BlackoilModel:
     # ------------------------------------------------------------------
     def well_cell_quantities(self, q: CellQuantities):
         from opm_tpu.utils.tables import reg_pick as _rp
-        sd = jnp.stack([_rp(self.props.surface_density[:, k], self.pvtnum)
-                        for k in range(3)])                    # (3, nc)
+        # reg_pick broadcasts single-region pickups to scalars; downstream
+        # perforation gathers index [:, c], so pin the (3, nc) shape
+        sd = jnp.stack([
+            jnp.broadcast_to(_rp(self.props.surface_density[:, k],
+                                 self.pvtnum), self.pvtnum.shape)
+            for k in range(3)])                                # (3, nc)
         rho_avg = jnp.sum(q.sat * q.rho, axis=0)
         return dict(p_oil=q.po, mob=q.mob, b=q.b, rs=q.rs, rv=q.rv,
                     rho_avg=rho_avg, surface_density=sd)
