@@ -415,11 +415,15 @@ def build_schedule(case: EclipseCase) -> Schedule:
                 pending_events.append("WELL_CHANGE")
         elif name == "TUNING":
             r0 = kw.records[0] if kw.records else []
+            # record 1: TSINIT TSMAXZ TSMINZ TSMCHP TSFMAX ... (Eclipse
+            # TUNING layout); TSFMAX = max dt increase factor, consumed by
+            # AdaptiveTimeStepping as growth/max-growth (the reference's
+            # TUNING mapping, AdaptiveTimeStepping_impl.hpp:82-84)
             sched.tuning = dict(
                 tsinit=_val(r0, 0, 1.0) * day,
                 tsmaxz=_val(r0, 1, 365.0) * day,
                 tsminz=_val(r0, 2, 0.1) * day,
-                tfdiff=_val(r0, 4, 1.25),
+                tsfmax=_val(r0, 4, 3.0),
             )
         elif name == "TSTEP":
             for dt in kw.array:

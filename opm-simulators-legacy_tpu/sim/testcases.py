@@ -405,6 +405,10 @@ RSVD
 SUMMARY
 FOPR
 SCHEDULE
+TUNING
+ 0.25 365 0.1 1* 1.5 /
+/
+/
 WELSPECS
 {chr(10).join(wells)}
 /
