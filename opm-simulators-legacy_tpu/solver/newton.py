@@ -211,6 +211,15 @@ class NonlinearSolver:
         self._assemble_jit = jax.jit(self._assemble)
         self._cdp_jit = jax.jit(self._cdp)
         self.last_linear_iterations = 0
+        # f32 shadow model for OPM_TPU_ASM_F32, built EAGERLY: a lazy
+        # build inside the first jit trace caches traced casts of the
+        # model constants, and any LATER distinct jit of _solve_cpr then
+        # trips UnexpectedTracerError on the stale cache
+        self._model32 = None
+        if linear_solver == "cpr" and _asm_f32_knob():
+            from opm_tpu.utils.cast import shadow_model
+
+            self._model32 = shadow_model(model, jnp.float32)
 
     # -- jitted kernels --------------------------------------------------
     def _cdp(self, state, wd):
@@ -290,11 +299,16 @@ class NonlinearSolver:
             # well rows by tests/test_linalg.py::test_asm_f32_*.
             from opm_tpu.utils.cast import cast_floats, shadow_model
 
-            if getattr(self, "_model32", None) is None:
-                self._model32 = shadow_model(model, jnp.float32)
+            # the shadow model is cached eagerly in __init__; if the
+            # knob flipped after construction, build a trace-local copy
+            # WITHOUT caching it (a cached in-trace build leaks tracers
+            # into later jits of this method)
+            m32 = self._model32
+            if m32 is None:
+                m32 = shadow_model(model, jnp.float32)
             f32 = jnp.float32
             sys = linearize.assemble(
-                self._model32, cast_floats(state, f32),
+                m32, cast_floats(state, f32),
                 cast_floats(acc0, f32), cast_floats(dt, f32),
                 cast_floats(wd, f32), cast_floats(cdp, f32))
             if res64 is None:
