@@ -131,3 +131,49 @@ def test_gather_free_nan_propagates():
     xs = jnp.array([0.0, 1.0, 2.0])
     ys = jnp.array([0.0, 10.0, 40.0])
     assert bool(jnp.isnan(interp(xs, ys, jnp.asarray(float("nan")))))
+
+
+def test_reg_pick_matches_gather():
+    """reg_pick (broadcast / branchless where-chain / gather fallback)
+    must equal plain vals[reg] for every region-count regime."""
+    from opm_tpu.utils.tables import reg_pick
+
+    rng = np.random.default_rng(11)
+    for nreg in (1, 2, 3, 8, 9):
+        vals = jnp.asarray(rng.normal(size=nreg))
+        reg = jnp.asarray(rng.integers(0, nreg, size=200))
+        out = reg_pick(vals, reg)
+        ref = np.asarray(vals)[np.asarray(reg)]
+        assert np.allclose(np.asarray(jnp.broadcast_to(out, ref.shape)),
+                           ref), nreg
+    # leading-axis picks of (nreg, k) stacks (e.g. per-region rows)
+    vals2 = jnp.asarray(rng.normal(size=(3, 4)))
+    reg = jnp.asarray(rng.integers(0, 3, size=50))
+    out = reg_pick(vals2, reg)
+    assert np.allclose(np.asarray(out), np.asarray(vals2)[np.asarray(reg)])
+
+
+def test_interp_reg_branchless_matches_gather():
+    """satfunc._interp_reg's small-region branchless path must equal the
+    row-gather bracket path."""
+    from opm_tpu.props.satfunc import _interp_reg
+
+    rng = np.random.default_rng(12)
+    n = 9
+    xs = jnp.asarray(np.sort(rng.uniform(0, 1, size=(3, n)), axis=-1))
+    ys = jnp.asarray(rng.normal(size=(3, n)))
+    reg = jnp.asarray(rng.integers(0, 3, size=300))
+    x = jnp.asarray(rng.uniform(-0.1, 1.1, size=300))
+    out = _interp_reg(xs, ys, x, reg)
+    # reference: per-element row gather + clamped bracket interpolation
+    ref = np.empty(300)
+    for q in range(300):
+        r = int(reg[q])
+        xr = np.asarray(xs[r])
+        yr = np.asarray(ys[r])
+        i = min(max(int(np.searchsorted(xr, float(x[q]), side="right"))
+                    - 1, 0), n - 2)
+        t = (float(x[q]) - xr[i]) / (xr[i + 1] - xr[i])
+        t = min(max(t, 0.0), 1.0)
+        ref[q] = yr[i] * (1 - t) + yr[i + 1] * t
+    assert np.allclose(np.asarray(out), ref, rtol=1e-12, atol=1e-12)
