@@ -31,6 +31,8 @@ _ARRAY_DIMS = {
     "IMBNUM": "1",
     "SWL": "1", "SWU": "1", "SGL": "1", "SGU": "1", "SWCR": "1", "SGCR": "1",
     "SOWCR": "1", "SOGCR": "1", "SWATINIT": "1", "MINPVV": "Length",
+    "KRW": "1", "KRO": "1", "KRG": "1",
+    "PCW": "Pressure", "PCG": "Pressure", "ROCKNUM": "1",
     "ZCORN": "Length", "COORD": "Length",
 }
 

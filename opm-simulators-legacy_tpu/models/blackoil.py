@@ -147,6 +147,21 @@ def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
                           rs=rs, rv=rv, sat=sat, pv_mult=pvm)
 
 
+def props_local_view(props, idx):
+    """Props view safe to evaluate at gathered (non-(nc,)) saturations:
+    the satfunc's per-CELL arrays (SWATINIT pcw_mult, ENDSCALE endpoint
+    scaling) are gathered at `idx` so they broadcast with idx-shaped
+    inputs. No-op when the satfunc carries no per-cell arrays. Required
+    by every perf-local / face-gathered compute_cell_quantities call —
+    without it any SWATINIT or ENDSCALE deck with wells (or an
+    unstructured grid) hits a broadcast error."""
+    sf = getattr(props, "satfunc", None)
+    if sf is None or (sf.eps is None and sf.pcw_mult is None):
+        return props
+    import dataclasses
+    return dataclasses.replace(props, satfunc=sf.local_view(idx))
+
+
 def accumulation_from_q(q: CellQuantities) -> jnp.ndarray:
     """Surface volume per pore volume, phase-leading (3, ...)
     (computeAccum :711-751); shape-generic."""
@@ -381,8 +396,9 @@ class BlackoilModel:
         ireg = None if self.imbnum is None else self.imbnum[pc_f]
         somax = None if state.somax is None else state.somax[pc_f]
         pvt_p = self.pvtnum[pc_f]
+        props = props_local_view(self.props, pc_f)
         q = compute_cell_quantities(
-            self.props, state.pressure[pc_f], state.sw[pc_f],
+            props, state.pressure[pc_f], state.sw[pc_f],
             state.x[pc_f], state.hcstate[pc_f], pvt_p, self.satnum[pc_f],
             sgmax=sg, ireg=ireg, somax=somax)
         sd = self.props.surface_density.T[:, pvt_p]            # (3, nw*mp)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from opm_tpu.models.blackoil import (accumulation_from_q,
                                      compute_cell_quantities,
-                                     face_flux_from_q)
+                                     face_flux_from_q, props_local_view)
 from opm_tpu.wells import standard as stdwells
 from opm_tpu.wells.wells import (CTRL_BHP, CTRL_RESERVOIR_RATE, CTRL_RESV,
                                  CTRL_THP)
@@ -280,10 +280,13 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         iregL = None if ireg is None else ireg[c1]
         iregR = None if ireg is None else ireg[c2]
 
+        propsL = props_local_view(props, c1)
+        propsR = props_local_view(props, c2)
+
         def flux_all(pL, swL, xL, pR, swR, xR):
-            qL = compute_cell_quantities(props, pL, swL, xL, *auxL,
+            qL = compute_cell_quantities(propsL, pL, swL, xL, *auxL,
                                          sgmax=smaxL, ireg=iregL)
-            qR = compute_cell_quantities(props, pR, swR, xR, *auxR,
+            qR = compute_cell_quantities(propsR, pR, swR, xR, *auxR,
                                          sgmax=smaxR, ireg=iregR)
             return face_flux_from_q(qL, qR, model.trans, dz, model.gravity,
                                     threshold_dp=thr)   # (3, nf)
@@ -313,9 +316,14 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     wv = jnp.concatenate([state.qs, state.bhp[:, None]], axis=1)  # (nw, 4)
     allow_xflow = model.params.allow_crossflow
 
-    def perf_local(u_c, wvars, auxc, wi, cdp_p, comp_frac, is_inj):
+    def perf_local(u_c, wvars, auxc, wi, cdp_p, comp_frac, is_inj,
+                   cell_i):
+        # cell_i: this lane's grid cell — gathers the per-CELL satfunc
+        # arrays (SWATINIT/ENDSCALE) so they broadcast with the scalar
+        # lane saturations (props_local_view is a no-op otherwise)
         q = compute_cell_quantities(
-            props, u_c[0], u_c[1], u_c[2], auxc[0], auxc[1], auxc[2],
+            props_local_view(props, cell_i),
+            u_c[0], u_c[1], u_c[2], auxc[0], auxc[1], auxc[2],
             sgmax=auxc[3] if len(auxc) > 3 else None,
             ireg=auxc[4] if len(auxc) > 4 else None)
         qs_w = wvars[:3]
@@ -338,9 +346,9 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     cdp_f = cdp.reshape(-1)
 
     cq_val = jax.vmap(perf_local)(u_pf, wv_f, aux_pf, wi_f, cdp_f, cf_f,
-                                  ii_f)
+                                  ii_f, pc_f)
     jac_u, jac_wv = jax.vmap(jax.jacfwd(perf_local, argnums=(0, 1)))(
-        u_pf, wv_f, aux_pf, wi_f, cdp_f, cf_f, ii_f)
+        u_pf, wv_f, aux_pf, wi_f, cdp_f, cf_f, ii_f, pc_f)
     m_f = mask.reshape(-1)
     cq_val = cq_val * m_f[:, None]
     jac_u = jac_u * m_f[:, None, None]

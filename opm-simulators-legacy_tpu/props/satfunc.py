@@ -273,6 +273,27 @@ class SatFuncFamily1:
             pcow = pcow * self.pcw_mult
         return pcow, pcgo
 
+    def local_view(self, idx):
+        """Satfunc view whose per-CELL arrays (SWATINIT pcow multiplier,
+        ENDSCALE endpoint-scaling fields) are gathered at `idx`, so the
+        evaluation path can be fed saturations of shape idx.shape instead
+        of (nc,). Region tables are shared (region indices are passed per
+        call). Used by the perf-local well property evaluation
+        (models/blackoil.py well_cell_quantities_local); without this any
+        SWATINIT/ENDSCALE deck with wells hits a (nperf,) vs (nc,)
+        broadcast error."""
+        import dataclasses as _dc
+        if self.eps is None and self.pcw_mult is None:
+            return self
+        eps = self.eps
+        if eps is not None:
+            eps = _dc.replace(eps, **{
+                f.name: (getattr(eps, f.name)[idx]
+                         if getattr(eps, f.name) is not None else None)
+                for f in _dc.fields(eps)})
+        pcw = self.pcw_mult[idx] if self.pcw_mult is not None else None
+        return _dc.replace(self, eps=eps, pcw_mult=pcw)
+
     # endpoint queries used by init / well logic
     def connate_water(self, reg):
         return reg_pick(self.swco, reg)

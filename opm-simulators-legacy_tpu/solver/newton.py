@@ -454,7 +454,8 @@ class NonlinearSolver:
         variables never materializes nc-sized tangents (over the full
         residual that costs 4*nw copies of every cell intermediate — the
         difference between fitting and OOMing a 1M-cell case)."""
-        from opm_tpu.models.blackoil import compute_cell_quantities
+        from opm_tpu.models.blackoil import (compute_cell_quantities,
+                                             props_local_view)
 
         model = self.model
         nw = state.bhp.shape[0]
@@ -465,7 +466,8 @@ class NonlinearSolver:
         sg_pf = None if state.sgmax is None else state.sgmax[pc_f]
         ireg_pf = None if model.imbnum is None else model.imbnum[pc_f]
         q_pf = compute_cell_quantities(
-            model.props, state.pressure[pc_f], state.sw[pc_f],
+            props_local_view(model.props, pc_f),
+            state.pressure[pc_f], state.sw[pc_f],
             state.x[pc_f], state.hcstate[pc_f], model.pvtnum[pc_f],
             model.satnum[pc_f], sgmax=sg_pf, ireg=ireg_pf)
         b_pf = jnp.moveaxis(q_pf.b, 0, -1).reshape(nw_, mp, 3)

@@ -67,6 +67,39 @@ def test_swatinit_scaling():
     assert sim.props.satfunc.pcw_mult is not None
 
 
+def test_swatinit_endscale_wells_e2e():
+    """Regression (advisor r4, high): a SWATINIT or ENDSCALE deck with
+    wells crashed inside well_cell_quantities_local — the perf-local
+    saturations (nperf,) hit the full-grid (nc,) pcw_mult / EPS arrays
+    baked into the satfunc ('mul got incompatible shapes for
+    broadcasting'). Fixed by satfunc.local_view(pc_f). This steps the
+    simulator end-to-end with BOTH features active."""
+    import numpy as np
+
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.sim.testcases import mini_blackoil_deck
+
+    nx, ny, nz = 6, 6, 2
+    n = nx * ny * nz
+    deck = mini_blackoil_deck(nx=nx, ny=ny, nz=nz, tsteps="3*20")
+    deck = deck.replace("TABDIMS\n/", "ENDSCALE\n/\nTABDIMS\n/", 1)
+    deck = deck.replace("PROPS", f"SWATINIT\n {n}*0.3 /\nPROPS", 1)
+    deck = deck.replace("DENSITY",
+                        f"KRW\n {n}*0.9 /\nSWL\n {n}*0.15 /\nDENSITY", 1)
+    case = load_case_string(deck)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    assert sim.props.satfunc.eps is not None
+    assert sim.props.satfunc.eps.krw_max is not None
+    assert sim.props.satfunc.eps.swl is not None
+    state = sim.run(report_step_limit=2)
+    # SWATINIT pcow multiplier is installed by initial_state (inside run)
+    assert sim.props.satfunc.pcw_mult is not None
+    assert np.isfinite(np.asarray(state.pressure)).all()
+    assert np.isfinite(np.asarray(state.bhp)).all()
+    # the producer actually flows
+    assert sim.summary.rows[-1]["FOPR"] > 0
+
+
 def test_hysteresis_e2e():
     """EHYSTR + IMBNUM end-to-end: the deck parses, sgmax threads through
     the fused Newton path, and the run stays conservative. Gas injected then
