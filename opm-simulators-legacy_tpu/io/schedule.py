@@ -424,6 +424,11 @@ def build_schedule(case: EclipseCase) -> Schedule:
                 tsmaxz=_val(r0, 1, 365.0) * day,
                 tsminz=_val(r0, 2, 0.1) * day,
                 tsfmax=_val(r0, 4, 3.0),
+                # TFDIFF (item 8, default 1.25): the reference maps it to
+                # growthFactor_ — the dt growth cap right after a chopped
+                # restart (AdaptiveTimeStepping_impl.hpp:83-84); TSFMAX
+                # maps only to maxGrowth_ (the general cap)
+                tfdiff=_val(r0, 7, 1.25),
             )
         elif name == "TSTEP":
             for dt in kw.array:

@@ -100,12 +100,15 @@ class AdaptiveTimeStepping:
             self.p.initial_dt = tuning.get("tsinit", self.p.initial_dt)
             self.p.max_dt = tuning.get("tsmaxz", self.p.max_dt)
             self.p.min_dt = tuning.get("tsminz", self.p.min_dt)
-            # TSFMAX (deck TUNING record 1 item 5): max dt increase factor
-            # (AdaptiveTimeStepping_impl.hpp:82-84 maps TUNING onto
-            # restart/growth/max-growth factors)
+            # TSFMAX (deck TUNING record 1 item 5) -> maxGrowth_: the
+            # general max dt increase factor; TFDIFF (item 8, default
+            # 1.25) -> growthFactor_: the growth cap right after a
+            # chopped restart (AdaptiveTimeStepping_impl.hpp:82-84)
             if "tsfmax" in tuning:
                 self.p.growth_factor = tuning["tsfmax"]
                 self.p.max_growth = tuning["tsfmax"]
+            if "tfdiff" in tuning:
+                self.p.failed_growth = tuning["tfdiff"]
         self.suggested_dt = self.p.initial_dt
         self.pid = PIDController(self.p) if self.p.controller.startswith(
             "pid") else None

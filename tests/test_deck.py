@@ -95,3 +95,32 @@ PORO
     py = case.grid_arrays["PERMY"]
     assert np.allclose(px[:4], 100 * mD) and np.allclose(px[4:], 50 * mD)
     assert np.allclose(py, 2 * px)
+
+
+def test_tuning_tfdiff_mapping():
+    """TUNING record 1: TSFMAX (item 5) is the general dt growth cap
+    (maxGrowth_), TFDIFF (item 8, default 1.25) the post-restart cap
+    (growthFactor_) — AdaptiveTimeStepping_impl.hpp:82-84. Advisor r4:
+    TFDIFF was not parsed and TSFMAX leaked into the post-failure cap."""
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.sim.testcases import mini_blackoil_deck
+    from opm_tpu.solver.timestepping import AdaptiveTimeStepping
+
+    deck = mini_blackoil_deck(nx=2, ny=2, nz=1, tsteps="2*10")
+    deck = deck.replace(
+        "TSTEP", "TUNING\n 0.5 30 0.05 1* 1.5 2* 1.1 /\n/\n/\nTSTEP", 1)
+    case = load_case_string(deck)
+    sched = build_schedule(case)
+    assert sched.tuning["tsfmax"] == pytest.approx(1.5)
+    assert sched.tuning["tfdiff"] == pytest.approx(1.1)
+    ts = AdaptiveTimeStepping(tuning=sched.tuning)
+    assert ts.p.growth_factor == pytest.approx(1.5)
+    assert ts.p.max_growth == pytest.approx(1.5)
+    assert ts.p.failed_growth == pytest.approx(1.1)
+    assert ts.p.initial_dt == pytest.approx(0.5 * 86400.0)
+    # defaulted TFDIFF -> the reference default 1.25
+    deck2 = mini_blackoil_deck(nx=2, ny=2, nz=1, tsteps="2*10")
+    deck2 = deck2.replace("TSTEP", "TUNING\n 1* 1* 1* 1* 2.0 /\n/\n/\nTSTEP", 1)
+    sched2 = build_schedule(load_case_string(deck2))
+    ts2 = AdaptiveTimeStepping(tuning=sched2.tuning)
+    assert ts2.p.failed_growth == pytest.approx(1.25)
