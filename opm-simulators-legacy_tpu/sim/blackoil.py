@@ -635,10 +635,8 @@ class SimulatorFullyImplicitBlackoil:
         dp = rho_wellbore * g * (bhp_ref_depth - table_datum_depth) with
         the mixture density at the reference-depth-adjacent (shallowest)
         connection — explicit per report step, like cdp."""
-        need_vfp = bool(self.case.vfp_tables) and bool(
-            np.any(ws.control == CTRL_THP)
-            or np.any(np.isfinite(ws.thp_limit) & ws.open_mask))
-        if not need_vfp:
+        self._vfp_report = None
+        if not self.case.vfp_tables:
             return
         from opm_tpu.wells import standard as stdwells
         tables = tuple(self.case.vfp_tables[k]
@@ -649,6 +647,11 @@ class SimulatorFullyImplicitBlackoil:
                 next((w.vfp_table for w in step.wells
                       if w.name == n), 0), -1)
              for n in self.well_names], dtype=np.int32)
+        if not np.any(slots >= 0):
+            return
+        need_vfp = bool(
+            np.any(ws.control == CTRL_THP)
+            or np.any(np.isfinite(ws.thp_limit) & ws.open_mask))
         if not hasattr(self, "_vfp_rho_jit"):
             def _rho_top(state_, wd_):
                 q = self.model.cell_quantities(state_)
@@ -667,7 +670,36 @@ class SimulatorFullyImplicitBlackoil:
             slots >= 0,
             rho_top * float(self.grid.gravity)
             * (np.asarray(ws.ref_depth) - datum), 0.0)
-        wd["vfp"] = (tables, jnp.asarray(slots), jnp.asarray(dp_corr))
+        # reporting stash: THP is back-computed from the converged
+        # BHP/rates at summary time for EVERY well with an assigned VFP
+        # table, not only THP-controlled ones (the reference back-computes
+        # THP after each update, StandardWells_impl.hpp:613-703; without
+        # this WTHP was hard-zero on BHP/rate-controlled VFP wells)
+        self._vfp_report = (tables, slots, dp_corr)
+        if need_vfp:
+            wd["vfp"] = (tables, jnp.asarray(slots), jnp.asarray(dp_corr))
+
+    def _thp_report_extra(self, qs, bhp):
+        """WTHP summary values: invert the well's VFP table for THP at the
+        converged rates/BHP (datum-corrected), per report step
+        (StandardWells_impl.hpp:613-703 — the reference back-computes THP
+        from the converged BHP after each well-state update). Returns an
+        extra-row dict or None."""
+        vfp = getattr(self, "_vfp_report", None)
+        if vfp is None:
+            return None
+        tables, slots, dp_corr = vfp
+        qs = np.asarray(qs)
+        bhp = np.asarray(bhp)
+        extra = {}
+        for iw, name in enumerate(self.well_names):
+            s = int(slots[iw])
+            if s < 0:
+                continue
+            thp = tables[s].thp_at(jnp.asarray(qs[iw]),
+                                   jnp.asarray(bhp[iw] - dp_corr[iw]))
+            extra[f"WTHP:{name}"] = float(thp)
+        return extra or None
 
     def _econ_violations(self, econ_wells, qs):
         """Well-level WECON checks from one span step's emitted qs row —
@@ -1180,6 +1212,7 @@ class SimulatorFullyImplicitBlackoil:
                                 summaries[k]
                             row = self.summary.record_arrays(
                                 s2.end_time, qs_k, bhp_k, fpr_k, fip_k,
+                                self._thp_report_extra(qs_k, bhp_k),
                                 region=reg_k, block=blk_k)
                             if span_host is not None:
                                 st_k = jax.tree.map(
@@ -1268,7 +1301,9 @@ class SimulatorFullyImplicitBlackoil:
             self.report.failed_substeps += subrep.failed_substeps
             self.report.newton_iterations += subrep.total_newton
             self.report.linear_iterations += subrep.total_linear
-            row = self.summary.record(step.end_time, state, self.model)
+            row = self.summary.record(
+                step.end_time, state, self.model,
+                extra=self._thp_report_extra(state.qs, state.bhp))
             if prt is not None:
                 prt.report_step(step.index, step.end_time / DAY, row,
                                 fip=[row["FWIP"], row["FOIP"],

@@ -105,9 +105,14 @@ class VFPProdTable:
 
     def thp_at(self, qs, bhp, alq=0.0, *, n=64):
         """Inverse lookup THP(bhp) by sampling the THP axis and inverting
-        the (monotone) bhp(thp) curve (VFPHelpersLegacy getTHP)."""
+        the (monotone) bhp(thp) curve (VFPHelpersLegacy getTHP; the
+        reference's THP back-calculation for WTHP reporting lives in
+        StandardWells_impl.hpp:613-703). qs is one well's signed surface
+        rates (3,); bhp a scalar. The sampled bhp(thp) curve broadcasts
+        in one eval call — no per-sample python loop."""
         thps = jnp.linspace(self.thp[0], self.thp[-1], n)
-        bhps = jnp.stack([self.bhp_at(qs, t, alq) for t in thps])
+        bhps = self.eval(self.flo_value(qs), thps, self.wfr_value(qs),
+                         self.gfr_value(qs), alq)
         from opm_tpu.utils.tables import interp
         return interp(bhps, thps, bhp, extrap="clamp")
 
@@ -139,6 +144,14 @@ class VFPInjTable:
 
     def bhp_at(self, qs, thp):
         return self.eval(self.flo_value(qs), thp)
+
+    def thp_at(self, qs, bhp, alq=0.0, *, n=64):
+        """Inverse lookup THP(bhp) at the well's injection rate (monotone
+        bhp(thp) sampling, matching VFPProdTable.thp_at)."""
+        thps = jnp.linspace(self.thp[0], self.thp[-1], n)
+        bhps = self.eval(self.flo_value(qs), thps)
+        from opm_tpu.utils.tables import interp
+        return interp(bhps, thps, bhp, extrap="clamp")
 
 
 # make the tables jit-traversable (they ride inside the well-data pytree)

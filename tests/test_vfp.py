@@ -100,3 +100,73 @@ def test_inj_table():
                       bhp=jnp.asarray(bhp))
     v = tab.eval(jnp.asarray(55.0), jnp.asarray(100.0))
     assert float(v) == pytest.approx(100 + 3 * 55, rel=1e-12)
+
+
+def test_thp_roundtrip_prod_and_inj():
+    """thp_at inverts bhp_at (the WTHP back-calculation,
+    StandardWells_impl.hpp:613-703): tables linear in thp round-trip to
+    machine precision."""
+    tab = _synthetic_prod_table()
+    qs = jnp.asarray([-0.25, -0.75, -1.0])
+    for thp_true in (100.0, 137.0, 200.0):
+        bhp = tab.bhp_at(qs, jnp.asarray(thp_true))
+        thp_back = tab.thp_at(qs, bhp)
+        assert float(thp_back) == pytest.approx(thp_true, abs=1e-6)
+    flo = np.array([10.0, 100.0])
+    thp = np.array([50.0, 150.0])
+    itab = VFPInjTable(table_id=2, datum_depth=0.0, flo_type=2,
+                       flo=jnp.asarray(flo), thp=jnp.asarray(thp),
+                       bhp=jnp.asarray(thp[:, None] + 3 * flo[None, :]))
+    qs_inj = jnp.asarray([0.0, 0.0, 55.0])
+    bhp = itab.bhp_at(qs_inj, jnp.asarray(120.0))
+    assert float(itab.thp_at(qs_inj, bhp)) == pytest.approx(120.0,
+                                                            abs=1e-6)
+
+
+def test_wthp_reported_for_bhp_rate_controlled_vfp_well():
+    """VERDICT r4 #6: a well with an assigned VFP table but NOT on THP
+    control must still report WTHP — back-computed from the converged
+    BHP/rates — and the value must round-trip through the forward lookup
+    (bhp_at(qs, thp) + dp_corr == bhp)."""
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.testcases import mini_blackoil_deck
+
+    flo_ax = [1000.0, 10000.0, 30000.0]
+    thp_ax = [100.0, 500.0, 1000.0]
+    wct_ax = [0.0, 0.9]
+    gor_ax = [0.0, 10.0]
+    recs = []
+    for it in range(3):
+        for iw in range(2):
+            for ig in range(2):
+                bhps = [thp_ax[it] + 0.05 * f + 2500.0
+                        + 20.0 * wct_ax[iw] + 5.0 * gor_ax[ig]
+                        for f in flo_ax]
+                recs.append(f" {it+1} {iw+1} {ig+1} 1 "
+                            + " ".join(f"{b:.6g}" for b in bhps) + " /")
+    vfp = ("VFPPROD\n 1 8400 'LIQ' 'WCT' 'GOR' 'THP' ' ' 'FIELD' 'BHP' /\n"
+           + " ".join(f"{f:g}" for f in flo_ax) + " /\n"
+           + " ".join(f"{t:g}" for t in thp_ax) + " /\n"
+           + " ".join(f"{w:g}" for w in wct_ax) + " /\n"
+           + " ".join(f"{g:g}" for g in gor_ax) + " /\n 0.0 /\n"
+           + "\n".join(recs) + "\n")
+    deck = mini_blackoil_deck(nx=6, ny=6, nz=2, tsteps="3*20")
+    deck = deck.replace("WCONPROD\n 'PROD' 'OPEN' 'ORAT' 20000 4* 1000 /",
+                        vfp + "WCONPROD\n"
+                        " 'PROD' 'OPEN' 'ORAT' 20000 4* 1000 1* 1 /")
+    assert "VFPPROD" in deck
+    case = load_case_string(deck)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = sim.run(report_step_limit=2)
+    row = sim.summary.rows[-1]
+    thp = row["WTHP:PROD"]
+    assert thp > 0.0
+    tables, slots, dp_corr = sim._vfp_report
+    iw = sim.well_names.index("PROD")
+    assert slots[iw] >= 0
+    tab = tables[slots[iw]]
+    qs_w = jnp.asarray(np.asarray(state.qs)[iw])
+    bhp_w = float(np.asarray(state.bhp)[iw])
+    bhp_round = float(tab.bhp_at(qs_w, jnp.asarray(thp))) + dp_corr[iw]
+    assert bhp_round == pytest.approx(bhp_w, rel=1e-6)
