@@ -29,7 +29,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from opm_tpu.utils.tables import interp, interp2, reg_pick, reg_row
+from opm_tpu.utils.tables import (interp, interp2, interp2_multi,
+                                  reg_pick, reg_row)
 
 
 def _pad_rows(arrs, ncol):
@@ -224,12 +225,12 @@ class LiveOilPVT:
     def _grids(self, p, rs, reg):
         pb = self.p_bub(rs, reg)
         dp = jnp.maximum(p - pb, 0.0)
-        ib = interp2(reg_row(self.rs_tab, reg),
-                     reg_row(self.dp_grid, reg),
-                     reg_row(self.inv_b_grid, reg), rs, dp)
-        ibm = interp2(reg_row(self.rs_tab, reg),
-                      reg_row(self.dp_grid, reg),
-                      reg_row(self.inv_bmu_grid, reg), rs, dp)
+        # one shared-mask pass for both grids (interp2_multi; the
+        # separate-einsum form serialized as f64 while loops on TPU)
+        ib, ibm = interp2_multi(
+            reg_row(self.rs_tab, reg), reg_row(self.dp_grid, reg),
+            [reg_row(self.inv_b_grid, reg),
+             reg_row(self.inv_bmu_grid, reg)], rs, dp)
         return ib, ibm
 
     def b(self, p, rs, reg=0):
@@ -330,12 +331,10 @@ class WetGasPVT:
     def _grids(self, p, rv, reg):
         rvs = self.rv_sat(p, reg)
         drv = jnp.maximum(rvs - rv, 0.0)
-        ib = interp2(reg_row(self.pg_tab, reg),
-                     reg_row(self.drv_grid, reg),
-                     reg_row(self.inv_b_grid, reg), p, drv)
-        ibm = interp2(reg_row(self.pg_tab, reg),
-                      reg_row(self.drv_grid, reg),
-                      reg_row(self.inv_bmu_grid, reg), p, drv)
+        ib, ibm = interp2_multi(
+            reg_row(self.pg_tab, reg), reg_row(self.drv_grid, reg),
+            [reg_row(self.inv_b_grid, reg),
+             reg_row(self.inv_bmu_grid, reg)], p, drv)
         return ib, ibm
 
     def b(self, p, rv, reg=0):

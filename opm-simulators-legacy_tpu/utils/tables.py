@@ -142,6 +142,78 @@ def interp_multi(xs, ys_cols, x, *, extrap: str = "linear"):
     return ys[i] * (1.0 - t) + ys[i + 1] * t
 
 
+def _seg_masks_1d(ax, q, extrap):
+    """Per-segment (indicator, local coordinate) pairs for a SHARED 1-D
+    axis, as python lists of query-shaped arrays (unrolled over the small
+    segment count). Clamped ends reproduce the bracket path's index clip."""
+    n = ax.shape[0]
+    lo = ax[:-1]
+    hi = ax[1:]
+    below = q < ax[0]
+    above = q >= ax[-1]
+    out = []
+    for k in range(n - 1):
+        ind = (q >= lo[k]) & (q < hi[k])
+        if k == 0:
+            ind = ind | below
+        if k == n - 2:
+            ind = ind | above
+        w = hi[k] - lo[k]
+        t = (q - lo[k]) / jnp.where(w == 0, 1.0, w)
+        if extrap == "clamp":
+            t = jnp.clip(t, 0.0, 1.0)
+        out.append((ind, t))
+    return out
+
+
+def _interp2_masksum(xs, ys, zgrids, x, y, extrap_x, extrap_y):
+    """Shared-table bilinear via unrolled per-segment mask sums, table
+    axis kept LEADING throughout. The einsum formulation lowers the tiny
+    (..., m) x (n, m) contraction to a dot_general that XLA:TPU emulates
+    for f64 as a SERIALIZED while loop over hi/lo bf16 passes — measured
+    4.8 ms per interp2 pair at 132k queries vs 1.46 ms for this
+    formulation (identical values to 5e-13). zgrids: list of (n, m)
+    grids sharing the axes (the PVT inv_b/inv_bmu pair reuses the
+    masks); returns a list."""
+    qshape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+    x = jnp.broadcast_to(x, qshape).reshape(-1)
+    y = jnp.broadcast_to(y, qshape).reshape(-1)
+    segy = _seg_masks_1d(ys, y, extrap_y)
+    segx = _seg_masks_1d(xs, x, extrap_x)
+    outs = []
+    for z in zgrids:
+        # y-contraction per x-node, (n, nq) with the table axis leading
+        w = 0.0
+        for j, (ind, t) in enumerate(segy):
+            w = w + jnp.where(ind, (1.0 - t) * z[:, j, None]
+                              + t * z[:, j + 1, None], 0.0)
+        v = 0.0
+        for i, (ind, t) in enumerate(segx):
+            v = v + jnp.where(ind, (1.0 - t) * w[i] + t * w[i + 1], 0.0)
+        outs.append((v + 0.0 * x + 0.0 * y).reshape(qshape))
+    return outs
+
+
+def interp2_multi(xs, ys, zgrids, x, y, *, extrap_x="linear",
+                  extrap_y="linear"):
+    """Bilinear interpolation of SEVERAL (n, m) grids sharing 1-D axes
+    (segment masks computed once; the LiveOilPVT/WetGasPVT inv_b+inv_bmu
+    pair). Falls back to per-grid interp2 off the shared-small fast
+    path."""
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
+    zs = [jnp.asarray(z) for z in zgrids]
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    small = (xs.ndim == 1 and ys.ndim == 1 and all(z.ndim == 2 for z in zs)
+             and xs.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS
+             and ys.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS)
+    if small:
+        return _interp2_masksum(xs, ys, zs, x, y, extrap_x, extrap_y)
+    return [interp2(xs, ys, z, x, y, extrap_x=extrap_x, extrap_y=extrap_y)
+            for z in zs]
+
+
 def interp2(xs, ys, zgrid, x, y, *, extrap_x="linear", extrap_y="linear"):
     """Bilinear interpolation on a rectangular grid.
 
@@ -154,16 +226,18 @@ def interp2(xs, ys, zgrid, x, y, *, extrap_x="linear", extrap_y="linear"):
     y = jnp.asarray(y)
     small = (xs.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS
              and ys.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS)
+    if small and xs.ndim == 1 and ys.ndim == 1 and z.ndim == 2:
+        # shared tables: unrolled mask sums, no dot_general (see
+        # _interp2_masksum — the einsum was a serialized f64 while loop
+        # on TPU)
+        return _interp2_masksum(xs, ys, [z], x, y, extrap_x, extrap_y)[0]
     if small:
-        # contract the y axis first (an MXU matmul for shared tables), then
-        # the x axis — zero gathers; ~1 ulp from the bracket formulation
-        # (different product grouping)
+        # batched per-query tables: node-basis contraction over the
+        # trailing axis — zero gathers; ~1 ulp from the bracket
+        # formulation (different product grouping)
         Bx = _node_basis(xs, x, extrap_x)        # (..., n)
         By = _node_basis(ys, y, extrap_y)        # (..., m)
-        if z.ndim == 2:
-            v = jnp.einsum("...m,nm->...n", By, z)
-        else:
-            v = jnp.sum(By[..., None, :] * z, axis=-1)
+        v = jnp.sum(By[..., None, :] * z, axis=-1)
         return jnp.sum(Bx * v, axis=-1) + 0.0 * x + 0.0 * y
     if xs.ndim == 1 and ys.ndim == 1 and z.ndim == 2:
         i = jnp.clip(jnp.searchsorted(xs, x, side="right") - 1, 0,

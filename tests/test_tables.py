@@ -177,3 +177,27 @@ def test_interp_reg_branchless_matches_gather():
         t = min(max(t, 0.0), 1.0)
         ref[q] = yr[i] * (1 - t) + yr[i + 1] * t
     assert np.allclose(np.asarray(out), ref, rtol=1e-12, atol=1e-12)
+
+
+def test_interp2_masksum_matches_bracket():
+    """The shared-table mask-sum fast path (no dot_general — the einsum
+    serialized as an f64 while loop on TPU) matches the bracket
+    formulation everywhere incl. out-of-range queries."""
+    from opm_tpu.utils.tables import interp2_multi
+    rng = np.random.RandomState(3)
+    xs = jnp.asarray(np.sort(rng.rand(9)))
+    ys = jnp.asarray(np.sort(rng.rand(8)))
+    z1 = jnp.asarray(rng.rand(9, 8))
+    z2 = jnp.asarray(rng.rand(9, 8))
+    x = jnp.asarray(np.concatenate([rng.rand(500),
+                                    [-0.5, 1.5, 0.0, 1.0]]))
+    y = jnp.asarray(np.concatenate([rng.rand(500),
+                                    [1.2, -0.1, 0.0, 1.0]]))
+    a1, a2 = interp2_multi(xs, ys, [z1, z2], x, y)
+    # reference: batched-table path (forced by expanding the tables)
+    xs_b = jnp.broadcast_to(xs, (x.shape[0], 9))
+    ys_b = jnp.broadcast_to(ys, (x.shape[0], 8))
+    r1 = interp2(xs_b, ys_b, jnp.broadcast_to(z1, (x.shape[0], 9, 8)), x, y)
+    r2 = interp2(xs_b, ys_b, jnp.broadcast_to(z2, (x.shape[0], 9, 8)), x, y)
+    assert np.allclose(np.asarray(a1), np.asarray(r1), atol=1e-12)
+    assert np.allclose(np.asarray(a2), np.asarray(r2), atol=1e-12)
