@@ -113,7 +113,7 @@ def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
             rvsat = rvsat * vap_factor(so, somax, props.vap1)
     rs = jnp.where(is_rs, x, rssat)
     rv = jnp.where(is_rv, x, rvsat)
-    pcow, pcgo = props.capillary(sw, sg, satnum)
+    pcow, pcgo = props.capillary(sw, sg, satnum, somax=somax, ireg=ireg)
     pw = p - pcow
     pg = p + pcgo
     bw = props.b_water(pw, pvtnum)
@@ -123,7 +123,7 @@ def compute_cell_quantities(props, p, sw, x, hcstate, pvtnum,
     muo = props.mu_oil(p, rs, pvtnum)
     mug = props.mu_gas(pg, rv, pvtnum)
     krw, kro, krg = props.relperm(sw, so, sg, satnum, sgmax=sgmax,
-                                  ireg=ireg)
+                                  ireg=ireg, somax=somax)
     mob = jnp.stack([krw / muw, kro / muo, krg / mug], axis=0)
     if getattr(props, "has_trans_mult", False):
         # ROCKTAB pressure-dependent trans multiplier rides on mobility

@@ -135,11 +135,12 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     # report step like the reference's updateSatHyst) — a constant here
     smax = state.sgmax
     ireg = model.imbnum
+    omax = state.somax
 
     # ---- accumulation: value + diagonal blocks --------------------------
     def acc_all(pc, swc, xc):
         q = compute_cell_quantities(props, pc, swc, xc, hc, pvt, sat,
-                                    sgmax=smax, ireg=ireg)
+                                    sgmax=smax, ireg=ireg, somax=omax)
         return accumulation_from_q(q)          # (3, nc)
 
     acc_val, acc_jvp = jax.linearize(acc_all, p, sw, x)
@@ -173,7 +174,8 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         # topology is static shifted slices).
         def q_all(pc, swc, xc):
             return compute_cell_quantities(props, pc, swc, xc, hc, pvt, sat,
-                                           sgmax=smax, ireg=ireg)
+                                           sgmax=smax, ireg=ireg,
+                                           somax=omax)
 
         q_val, q_jvp = jax.linearize(q_all, p, sw, x)
         ones_c = jnp.ones(nc, fdt)
@@ -279,15 +281,19 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
         smaxR = None if smax is None else smax[c2]
         iregL = None if ireg is None else ireg[c1]
         iregR = None if ireg is None else ireg[c2]
+        omaxL = None if omax is None else omax[c1]
+        omaxR = None if omax is None else omax[c2]
 
         propsL = props_local_view(props, c1)
         propsR = props_local_view(props, c2)
 
         def flux_all(pL, swL, xL, pR, swR, xR):
             qL = compute_cell_quantities(propsL, pL, swL, xL, *auxL,
-                                         sgmax=smaxL, ireg=iregL)
+                                         sgmax=smaxL, ireg=iregL,
+                                         somax=omaxL)
             qR = compute_cell_quantities(propsR, pR, swR, xR, *auxR,
-                                         sgmax=smaxR, ireg=iregR)
+                                         sgmax=smaxR, ireg=iregR,
+                                         somax=omaxR)
             return face_flux_from_q(qL, qR, model.trans, dz, model.gravity,
                                     threshold_dp=thr)   # (3, nf)
 
@@ -325,7 +331,8 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
             props_local_view(props, cell_i),
             u_c[0], u_c[1], u_c[2], auxc[0], auxc[1], auxc[2],
             sgmax=auxc[3] if len(auxc) > 3 else None,
-            ireg=auxc[4] if len(auxc) > 4 else None)
+            ireg=auxc[4] if len(auxc) > 4 else None,
+            somax=auxc[5] if len(auxc) > 5 else None)
         qs_w = wvars[:3]
         bhp_w = wvars[3]
         cmix = stdwells.wellbore_mixture(qs_w, comp_frac, is_inj)
@@ -336,9 +343,16 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
     # flatten (nw, mp) -> (nw*mp,); gather first, stack the tiny result
     pc_f = pc.reshape(-1)
     u_pf = jnp.stack([p[pc_f], sw[pc_f], x[pc_f]], axis=-1)
-    aux_pf = ((hc[pc_f], pvt[pc_f], sat[pc_f]) if smax is None
-              else (hc[pc_f], pvt[pc_f], sat[pc_f], smax[pc_f],
-                    ireg[pc_f]))
+    aux_pf = (hc[pc_f], pvt[pc_f], sat[pc_f])
+    if smax is not None or omax is not None:
+        # hysteresis / VAPPARS memory rides as extra aux lanes: index 3 =
+        # sgmax, 4 = imbnum, 5 = somax (len-gated in perf_local); sgmax
+        # without IMBNUM cannot occur (hysteresis implies imbnum)
+        z = jnp.zeros_like(p[pc_f])
+        aux_pf = aux_pf + (smax[pc_f] if smax is not None else z,
+                           ireg[pc_f] if ireg is not None
+                           else jnp.zeros_like(pc_f),
+                           omax[pc_f] if omax is not None else z)
     wv_f = jnp.repeat(wv, mp, axis=0)
     cf_f = jnp.repeat(wd["comp_frac"], mp, axis=0)
     ii_f = jnp.repeat(wd["is_injector"], mp)

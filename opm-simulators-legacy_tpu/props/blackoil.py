@@ -163,11 +163,12 @@ class BlackoilProps:
         return isinstance(self.rock, RockTabPVT)
 
     # -- saturation functions ----------------------------------------------
-    def relperm(self, sw, so, sg, reg, sgmax=None, ireg=None):
-        return self.satfunc.relperm(sw, so, sg, reg, sgmax=sgmax, ireg=ireg)
+    def relperm(self, sw, so, sg, reg, sgmax=None, ireg=None, somax=None):
+        return self.satfunc.relperm(sw, so, sg, reg, sgmax=sgmax,
+                                    ireg=ireg, somax=somax)
 
-    def capillary(self, sw, sg, reg):
+    def capillary(self, sw, sg, reg, somax=None, ireg=None):
         if self.satfunc is None:
             z = jnp.zeros_like(sw)
             return z, z
-        return self.satfunc.capillary(sw, sg, reg)
+        return self.satfunc.capillary(sw, sg, reg, somax=somax, ireg=ireg)

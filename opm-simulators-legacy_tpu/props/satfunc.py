@@ -187,19 +187,26 @@ class SatFuncFamily1:
                                    reg_pick(self.sgmax, reg))
         return sw_t, sg_t
 
-    def relperm(self, sw, so, sg, reg, sgmax=None, ireg=None):
+    def relperm(self, sw, so, sg, reg, sgmax=None, ireg=None, somax=None):
         """(krw, kro, krg) with ECL-default three-phase oil interpolation
-        and optional endpoint scaling. With hysteresis configured and
-        `sgmax` (per-cell historical maximum gas saturation, updated per
-        report step like the reference's updateSatHyst), krg follows the
-        Killough scanning curve between the drainage (SATNUM) and
-        imbibition (IMBNUM) tables."""
+        and optional endpoint scaling. With hysteresis configured
+        (EHYSTR + IMBNUM; the reference's updateSatHyst hooks at
+        BlackoilPropsAdFromDeck.hpp:360-430) the NONWETTING-phase curves
+        follow scanning curves between the drainage (SATNUM) and
+        imbibition (IMBNUM) tables — Killough (EHYSTR item 2 = 2/3) or
+        Carlson (item 2 = 0/1): krg from the per-cell historical maximum
+        gas saturation `sgmax`, krow (oil in the oil-water pair) from
+        the historical maximum oil saturation `somax`. The wetting phase
+        (water) follows its bounding drainage curve, the reference
+        default."""
         sw_t, sg_t = self._scaled_sats(sw, sg, reg)
         krw = _interp_reg(self.sw, self.krw, sw_t, reg)
         krg = _interp_reg(self.sg, self.krg, sg_t, reg)
         if self.hyst is not None and sgmax is not None:
-            krg = self._krg_killough(sg_t, sgmax, reg, krg, ireg)
+            krg = self._krg_scan(sg_t, sgmax, reg, krg, ireg)
         krow = _interp_reg(self.sw, self.krow, sw_t, reg)
+        if self.hyst is not None and somax is not None:
+            krow = self._krow_scan(sw_t, somax, reg, krow, ireg)
         krog = _interp_reg(self.sg, self.krog, sg_t, reg)
         if self.eps is not None:
             e = self.eps
@@ -232,43 +239,98 @@ class SatFuncFamily1:
         krw = jnp.where(sw > 0.0, krw, 0.0)
         return krw, kro, krg
 
-    def _krg_killough(self, sg, sgmax, reg, krg_drain, ireg=None):
-        """Killough gas-kr scanning curve (opm-material
-        EclHysteresisTwoPhaseLaw semantics, Killough 1976): Land trapping
-        from the drainage/imbibition critical gas saturations, scanning
-        curve = imbibition curve renormalized onto [sg_trap, sgmax] and
-        scaled to meet the drainage curve at the historical maximum."""
+    def _scan_nonwet(self, xs, ys, s, smax, reg, ireg, kr_drain,
+                     scr_tab, stab_max_tab):
+        """Nonwetting-phase kr scanning curve between the drainage (reg)
+        and imbibition (ireg) bounding curves (opm-material
+        EclHysteresisTwoPhaseLaw semantics). xs/ys: (nreg, n) stacked
+        tables in the nonwetting saturation coordinate; s the current
+        saturation, smax the per-cell historical maximum (the reversal
+        point, updated per report step like the reference's
+        updateSatHyst).
+
+        Killough 1976 (EHYSTR item 2 = 2/3): Land trapping from the
+        drainage/imbibition critical saturations; scanning curve =
+        imbibition curve renormalized onto [s_trap, smax] and scaled to
+        meet the drainage curve at the historical maximum.
+        Carlson (item 2 = 0/1): scanning curve = imbibition curve
+        shifted horizontally to pass through (smax, kr_drain(smax));
+        trapping falls out of where the shifted curve hits zero."""
         if ireg is None:
             ireg = self.hyst.imbnum   # full-cell context only
-        sgcr_d = reg_pick(self.sgcr_, reg)
-        sgcr_i = reg_pick(self.sgcr_, ireg)  # max trapped gas, imb. curve
-        sg_tab_max = reg_pick(self.sgmax, reg)
-        # Land parameter from the bounding curves
-        span_t = jnp.maximum(sgcr_i - sgcr_d, 1e-12)
-        span_m = jnp.maximum(sg_tab_max - sgcr_d, 1e-12)
-        C = 1.0 / span_t - 1.0 / span_m
-        dsg = jnp.maximum(sgmax - sgcr_d, 0.0)
-        sg_trap = sgcr_d + dsg / (1.0 + C * dsg)
-        # normalize [sg_trap, sgmax] -> imbibition axis [sgcr_i, sg_tab_max]
-        span_h = jnp.maximum(sgmax - sg_trap, 1e-12)
-        sg_norm = sgcr_i + jnp.maximum(sg - sg_trap, 0.0) * \
-            (sg_tab_max - sgcr_i) / span_h
-        krg_i = _interp_reg(self.sg, self.krg, sg_norm, ireg)
-        # scale so the scanning curve meets the drainage curve at sgmax
-        krg_d_at_max = _interp_reg(self.sg, self.krg, sgmax, reg)
-        krg_i_top = jnp.maximum(
-            _interp_reg(self.sg, self.krg, sg_tab_max, ireg), 1e-12)
-        krg_scan = krg_i * krg_d_at_max / krg_i_top
-        # on the drainage branch (sg at the historical max) keep drainage
-        on_drainage = sg >= sgmax - 1e-12
-        return jnp.where(on_drainage, krg_drain, krg_scan)
+        scr_d = reg_pick(scr_tab, reg)
+        scr_i = reg_pick(scr_tab, ireg)  # max trapped, imbibition curve
+        s_tab_max = reg_pick(stab_max_tab, reg)
+        kr_d_at_max = _interp_reg(xs, ys, smax, reg)
+        if self.hyst.kr_model in (2, 3):
+            # Land parameter from the bounding curves
+            span_t = jnp.maximum(scr_i - scr_d, 1e-12)
+            span_m = jnp.maximum(s_tab_max - scr_d, 1e-12)
+            C = 1.0 / span_t - 1.0 / span_m
+            ds = jnp.maximum(smax - scr_d, 0.0)
+            s_trap = scr_d + ds / (1.0 + C * ds)
+            # normalize [s_trap, smax] -> imbibition axis [scr_i, s_tab_max]
+            span_h = jnp.maximum(smax - s_trap, 1e-12)
+            s_norm = scr_i + jnp.maximum(s - s_trap, 0.0) * \
+                (s_tab_max - scr_i) / span_h
+            kr_i = _interp_reg(xs, ys, s_norm, ireg)
+            # scale so the scanning curve meets drainage at smax
+            kr_i_top = jnp.maximum(
+                _interp_reg(xs, ys, s_tab_max, ireg), 1e-12)
+            kr_scan = kr_i * kr_d_at_max / kr_i_top
+        else:
+            # Carlson: shift = kr_imb^{-1}(kr_drain(smax)) - smax, so the
+            # shifted imbibition curve passes through the reversal point
+            s_at_kr = _interp_reg(ys, xs, kr_d_at_max, ireg)
+            shift = s_at_kr - smax
+            kr_scan = _interp_reg(xs, ys, s + shift, ireg)
+        kr_scan = jnp.clip(kr_scan, 0.0, None)
+        # on the drainage branch (s at the historical max) keep drainage
+        on_drainage = s >= smax - 1e-12
+        return jnp.where(on_drainage, kr_drain, kr_scan)
 
-    def capillary(self, sw, sg, reg):
+    def _krg_scan(self, sg, sgmax, reg, krg_drain, ireg=None):
+        return self._scan_nonwet(self.sg, self.krg, sg, sgmax, reg, ireg,
+                                 krg_drain, self.sgcr_, self.sgmax)
+
+    def _krow_scan(self, sw, somax, reg, krow_drain, ireg=None):
+        """Oil (nonwetting in the oil-water pair) kr scanning, keyed on
+        the historical maximum oil saturation. krow is tabulated against
+        sw; the scanning coordinate is the pair oil saturation
+        so = 1 - sw, so the table is evaluated on the flipped axis."""
+        xs = jnp.flip(1.0 - self.sw, axis=-1)     # increasing so axis
+        ys = jnp.flip(self.krow, axis=-1)
+        so = 1.0 - sw
+        so_tab_max = 1.0 - self.sw[:, 0]          # (nreg,) max pair-so
+        return self._scan_nonwet(xs, ys, so, somax, reg, ireg,
+                                 krow_drain, self.sowcr_, so_tab_max)
+
+    def capillary(self, sw, sg, reg, somax=None, ireg=None):
         """(pcow, pcgo): po - pw and pg - po (EPS-scaled abscissae,
-        SWATINIT pcow multiplier)."""
+        SWATINIT pcow multiplier). With pc hysteresis enabled (EHYSTR
+        item 2 even) pcow follows the Killough curvature-parameter
+        scanning curve between the drainage (SATNUM) and imbibition
+        (IMBNUM) bounding curves, anchored at the reversal water
+        saturation sw_hy = 1 - somax (the oil-water-pair view of the
+        historical max oil saturation):
+            F = (1/(sw-sw_hy+E) - 1/E) / (1/(sw_ma-sw_hy+E) - 1/E)
+            pc = pc_drain + F * (pc_imb - pc_drain)
+        with E the EHYSTR item 1 curvature parameter (Killough 1976)."""
         sw_t, sg_t = self._scaled_sats(sw, sg, reg)
         pcow = _interp_reg(self.sw, self.pcow, sw_t, reg)
         pcgo = _interp_reg(self.sg, self.pcgo, sg_t, reg)
+        if (self.hyst is not None and self.hyst.pc_hyst
+                and somax is not None):
+            if ireg is None:
+                ireg = self.hyst.imbnum
+            pcow_i = _interp_reg(self.sw, self.pcow, sw_t, ireg)
+            sw_ma = reg_pick(self.smax_w, reg)
+            sw_hy = jnp.clip(1.0 - somax, reg_pick(self.swco, reg), sw_ma)
+            E = self.hyst.curvature
+            num = 1.0 / (jnp.maximum(sw_t - sw_hy, 0.0) + E) - 1.0 / E
+            den = 1.0 / (jnp.maximum(sw_ma - sw_hy, 1e-12) + E) - 1.0 / E
+            F = jnp.clip(num / jnp.where(den == 0, 1.0, den), 0.0, 1.0)
+            pcow = pcow + F * (pcow_i - pcow)
         if self.pcw_mult is not None:
             pcow = pcow * self.pcw_mult
         return pcow, pcgo
@@ -308,11 +370,17 @@ class SatFuncFamily1:
 @dataclass
 class HysteresisConfig:
     """EHYSTR + IMBNUM (the reference's hysteresis wiring in
-    BlackoilPropsAdFromDeck::updateSatHyst + MaterialLawManager). imbnum is
-    the per-cell 0-based imbibition table index (into the same stacked
-    table arrays as SATNUM)."""
+    BlackoilPropsAdFromDeck::updateSatHyst + MaterialLawManager /
+    opm-material EclHysteresisConfig). imbnum is the per-cell 0-based
+    imbibition table index (into the same stacked table arrays as
+    SATNUM). EHYSTR record 1: item 1 = pc-scanning curvature parameter
+    (Killough), item 2 = model flag: 0/1 Carlson nonwetting kr, 2/3
+    Killough nonwetting kr; even values also enable pc hysteresis."""
 
     imbnum: jnp.ndarray          # (nc,) int
+    curvature: float = 0.1       # EHYSTR item 1
+    kr_model: int = 2            # default Killough for direct construction
+    pc_hyst: bool = False
 
     @classmethod
     def from_case(cls, case, global_cell):
@@ -322,8 +390,14 @@ class HysteresisConfig:
         imb = case.regions.get("IMBNUM")
         if imb is None:
             return None
+        rec = next(kw.records[0] if kw.records else []
+                   for kw in case.deck if kw.name == "EHYSTR")
+        curv = _hyst_val(rec, 0, 0.1)
+        model = int(_hyst_val(rec, 1, 0))
         return cls(imbnum=jnp.asarray((imb[global_cell] - 1)
-                                      .astype("int32")))
+                                      .astype("int32")),
+                   curvature=float(curv), kr_model=model,
+                   pc_hyst=model in (0, 2))
 
 
 @dataclass
@@ -359,6 +433,15 @@ class EndpointScaling:
                 "krg_max")):
             return None
         return obj
+
+
+def _hyst_val(rec, i, default):
+    """EHYSTR record item with ECLIPSE defaulting (DEFAULT sentinel or
+    short record -> default)."""
+    from opm_tpu.io.deck import DEFAULT
+    if rec is None or i >= len(rec) or rec[i] is DEFAULT:
+        return default
+    return rec[i]
 
 
 def two_point_scale(s, s_lo_cell, s_hi_cell, s_lo_tab, s_hi_tab):

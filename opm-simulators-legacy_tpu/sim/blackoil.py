@@ -944,7 +944,9 @@ class SimulatorFullyImplicitBlackoil:
             state = state._replace(sgmax=_sats(state)[2])
         self._vappars = (getattr(self.props, "vap1", 0.0) > 0.0
                          or getattr(self.props, "vap2", 0.0) > 0.0)
-        if self._vappars and state.somax is None:
+        # somax memory serves both VAPPARS and the oil-kr/pc hysteresis
+        # scanning curves (updateSatHyst + satOilMax in the reference)
+        if (self._vappars or self._hysteresis) and state.somax is None:
             from opm_tpu.models.state import saturations as _sats
             state = state._replace(somax=_sats(state)[1])
         # fused report-step spans: consecutive steps with identical wells
@@ -1047,8 +1049,9 @@ class SimulatorFullyImplicitBlackoil:
                 from opm_tpu.models.state import saturations as _sats
                 state = state._replace(
                     sgmax=jnp.maximum(state.sgmax, _sats(state)[2]))
-            if self._vappars:
-                # satOilMax update (the reference's updateSatOilMax)
+            if self._vappars or self._hysteresis:
+                # satOilMax update (the reference's updateSatOilMax; also
+                # the oil-kr/pc hysteresis reversal memory)
                 from opm_tpu.models.state import saturations as _sats
                 state = state._replace(
                     somax=jnp.maximum(state.somax, _sats(state)[1]))

@@ -187,7 +187,8 @@ class FusedSpanRunner:
             from opm_tpu.models.state import saturations as _sats
             state = state._replace(
                 sgmax=jnp.maximum(state.sgmax, _sats(state)[2]))
-        if self.vappars:
+        if self.vappars or self.hysteresis:
+            # satOilMax + oil-hysteresis reversal memory
             from opm_tpu.models.state import saturations as _sats
             state = state._replace(
                 somax=jnp.maximum(state.somax, _sats(state)[1]))

@@ -465,11 +465,12 @@ class NonlinearSolver:
         nw_, mp = wd["perf_cell"].shape
         sg_pf = None if state.sgmax is None else state.sgmax[pc_f]
         ireg_pf = None if model.imbnum is None else model.imbnum[pc_f]
+        so_pf = None if state.somax is None else state.somax[pc_f]
         q_pf = compute_cell_quantities(
             props_local_view(model.props, pc_f),
             state.pressure[pc_f], state.sw[pc_f],
             state.x[pc_f], state.hcstate[pc_f], model.pvtnum[pc_f],
-            model.satnum[pc_f], sgmax=sg_pf, ireg=ireg_pf)
+            model.satnum[pc_f], sgmax=sg_pf, ireg=ireg_pf, somax=so_pf)
         b_pf = jnp.moveaxis(q_pf.b, 0, -1).reshape(nw_, mp, 3)
         mob_pf = jnp.moveaxis(q_pf.mob, 0, -1).reshape(nw_, mp, 3)
         po_pf = q_pf.po.reshape(nw_, mp)

@@ -167,3 +167,125 @@ def test_killough_gas_hysteresis():
     assert krg_h[np.asarray(sg) <= sg_trap + 1e-9].max() < 1e-10
     # monotone in sg
     assert (np.diff(krg_h[::-1]) >= -1e-12).all()
+
+
+def _hyst_family():
+    """Two-region stack: region 0 = drainage, region 1 = imbibition with
+    higher critical (trapped) nonwetting saturations for BOTH gas
+    (sgcr 0.0 -> 0.3) and oil (sowcr 0.2 -> 0.4), plus distinct pcow
+    bounding curves for the pc-scanning test."""
+    import numpy as np
+
+    # krow = 0 at sw >= 0.8 (drainage, sowcr 0.2) / sw >= 0.6 (imb, 0.4)
+    from opm_tpu.props.satfunc import SatFuncFamily1
+
+    swof_d = [[0.2, 0.0, 0.9, 2.0e5], [0.5, 0.2, 0.4, 1.0e5],
+              [0.8, 0.6, 0.0, 0.4e5], [1.0, 1.0, 0.0, 0.0]]
+    swof_i = [[0.2, 0.0, 0.9, 1.0e5], [0.5, 0.2, 0.15, 0.5e5],
+              [0.6, 0.3, 0.0, 0.3e5], [1.0, 1.0, 0.0, 0.0]]
+    sgof_d = [[0.0, 0.0, 0.9, 0.0], [0.3, 0.2, 0.4, 0.0],
+              [0.8, 0.9, 0.0, 0.0]]
+    sgof_i = [[0.0, 0.0, 0.9, 0.0], [0.3, 0.0, 0.4, 0.0],
+              [0.8, 0.9, 0.0, 0.0]]
+    return SatFuncFamily1.from_tables(
+        [np.asarray(swof_d), np.asarray(swof_i)],
+        [np.asarray(sgof_d), np.asarray(sgof_i)])
+
+
+def test_hysteresis_cycle_land_endpoints_all_phases():
+    """VERDICT r4 #5: two-way drainage-imbibition cycle with Killough
+    scanning on BOTH nonwetting phases (gas via sgmax, oil via somax),
+    Land-trapping endpoints, wetting water on its bounding curve, and
+    Killough curvature pc scanning (EHYSTR item 1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opm_tpu.props.satfunc import HysteresisConfig
+
+    sf = _hyst_family()
+    nc = 5
+    sf.hyst = HysteresisConfig(imbnum=jnp.ones(nc, dtype=jnp.int32),
+                               kr_model=2, pc_hyst=True, curvature=0.1)
+    reg = jnp.zeros(nc, dtype=jnp.int32)
+
+    # ---- gas (memory sgmax = 0.6), water fixed at connate ----
+    sgmax = jnp.full(nc, 0.6)
+    sg = jnp.asarray([0.6, 0.5, 0.4, 0.34286, 0.2])
+    sw = jnp.full(nc, 0.2)
+    so = 1.0 - sw - sg
+    krw_h, kro_h, krg_h = sf.relperm(sw, so, sg, reg, sgmax=sgmax,
+                                     somax=jnp.full(nc, float(so[0])))
+    krw_d, kro_d, krg_d = sf.relperm(sw, so, sg, reg)
+    krg_h, krg_d = np.asarray(krg_h), np.asarray(krg_d)
+    assert np.isclose(krg_h[0], krg_d[0])          # drainage branch
+    assert krg_h[1] < krg_d[1]                     # scanning below drainage
+    # Land trapped gas: C = 1/(0.3-0) - 1/(0.8-0); sg_trap(0.6)
+    C = 1.0 / 0.3 - 1.0 / 0.8
+    sg_trap = 0.6 / (1.0 + C * 0.6)
+    v_trap = sf.relperm(sw, so, jnp.full(nc, sg_trap), reg,
+                        sgmax=sgmax)[2]
+    assert float(np.asarray(v_trap)[0]) == pytest.approx(0.0, abs=1e-10)
+
+    # ---- oil (memory somax = 0.6): water flood pushes so down ----
+    somax = jnp.full(nc, 0.6)
+    so2 = jnp.asarray([0.6, 0.5, 0.45, 0.4, 0.35])
+    sw2 = 1.0 - so2                                # two-phase ow
+    sg2 = jnp.zeros(nc)
+    krw_h2, kro_h2, _ = sf.relperm(sw2, so2, sg2, reg, somax=somax)
+    krw_d2, kro_d2, _ = sf.relperm(sw2, so2, sg2, reg)
+    kro_h2, kro_d2 = np.asarray(kro_h2), np.asarray(kro_d2)
+    assert np.isclose(kro_h2[0], kro_d2[0], rtol=1e-9)  # reversal point
+    assert (kro_h2[1:] <= kro_d2[1:] + 1e-12).all()
+    assert kro_h2[2] < kro_d2[2]
+    # Land trapped oil: sowcr_d 0.2, sowcr_i 0.4, so_tab_max 0.8
+    Co = 1.0 / (0.4 - 0.2) - 1.0 / (0.8 - 0.2)
+    dso = 0.6 - 0.2
+    so_trap = 0.2 + dso / (1.0 + Co * dso)
+    v = sf.relperm(1.0 - jnp.full(nc, so_trap), jnp.full(nc, so_trap),
+                   sg2, reg, somax=somax)[1]
+    assert float(np.asarray(v)[0]) == pytest.approx(0.0, abs=1e-10)
+    # ---- water (wetting) stays on its bounding drainage curve ----
+    assert np.allclose(np.asarray(krw_h2), np.asarray(krw_d2))
+
+    # ---- pc scanning: drainage at the reversal sw, imbibition at sw_ma,
+    # in between strictly between the bounding curves ----
+    sw_hy = 1.0 - 0.6                              # = 0.4
+    pcd = np.asarray(sf.capillary(sw2, sg2, reg)[0])
+    pci = np.asarray(sf.capillary(sw2, sg2, jnp.ones(nc, jnp.int32))[0])
+    pch = np.asarray(sf.capillary(sw2, sg2, reg, somax=somax)[0])
+    at_rev = np.isclose(np.asarray(sw2), sw_hy)
+    assert np.allclose(pch[at_rev], pcd[at_rev], rtol=1e-9)
+    mid = ~at_rev
+    assert (pch[mid] <= pcd[mid] + 1e-9).all()
+    assert (pch[mid] >= pci[mid] - 1e-9).all()
+    pch_ma = np.asarray(sf.capillary(jnp.full(nc, 1.0), sg2, reg,
+                                     somax=somax)[0])
+    pci_ma = np.asarray(sf.capillary(jnp.full(nc, 1.0), sg2,
+                                     jnp.ones(nc, jnp.int32))[0])
+    assert np.allclose(pch_ma, pci_ma, atol=1e-9)
+
+
+def test_hysteresis_carlson_model():
+    """Carlson scanning (EHYSTR item 2 = 0/1): shifted imbibition curve
+    passes through the reversal point and lies at/below drainage."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opm_tpu.props.satfunc import HysteresisConfig
+
+    sf = _hyst_family()
+    nc = 4
+    sf.hyst = HysteresisConfig(imbnum=jnp.ones(nc, dtype=jnp.int32),
+                               kr_model=0, pc_hyst=False)
+    reg = jnp.zeros(nc, dtype=jnp.int32)
+    sgmax = jnp.full(nc, 0.6)
+    sg = jnp.asarray([0.6, 0.5, 0.4, 0.3])
+    sw = jnp.full(nc, 0.2)
+    so = 1.0 - sw - sg
+    _, _, krg_h = sf.relperm(sw, so, sg, reg, sgmax=sgmax)
+    _, _, krg_d = sf.relperm(sw, so, sg, reg)
+    krg_h, krg_d = np.asarray(krg_h), np.asarray(krg_d)
+    assert np.isclose(krg_h[0], krg_d[0])
+    assert (krg_h[1:] <= krg_d[1:] + 1e-12).all()
+    assert krg_h[1] < krg_d[1]
+    assert (krg_h >= -1e-15).all()
