@@ -629,3 +629,32 @@ def _dg1_limit_min_upwind(grid, flux, a, *, method="face", threshold=1e-3):
     out = a3.at[..., 1:].multiply(lam[..., None])
     out = out.at[..., 0].add(jnp.where(flat, min_up - mean, 0.0))
     return out.reshape(nc, 4)
+
+
+def solve_tof_dg(grid, flux, source, *, degree=1, limiter=None,
+                 nsweeps=None, face_cells=None):
+    """Unified TofDiscGalReorder entry: DG time-of-flight at the given
+    polynomial degree (the reference's degree parameter,
+    TofDiscGalReorder.hpp:62-78 'Degree of polynomial used', supported
+    0-2; limiterMethod MinUpwindFace/MinUpwindAverage applies to
+    degree >= 1, here for degree 1).
+
+    degree 0 reduces to the FV scheme (a constant per cell IS the
+    degree-0 DG solution with upstream face values) and is served by
+    solve_tof for exact consistency. Returns (nc, ndof) coefficients,
+    ndof = 1 / 4 / 10; column 0 is the cell-mean TOF."""
+    if degree == 0:
+        if face_cells is None:
+            face_cells = grid.face_cells
+        tof = solve_tof(face_cells, flux, grid.pore_volume, source,
+                        nsweeps=nsweeps)
+        return jnp.asarray(tof)[:, None]
+    if degree == 1:
+        a = solve_tof_dg1(grid, flux, source, nsweeps=nsweeps)
+        if limiter in ("face", "average"):
+            a = dg1_limit_min_upwind(grid, flux, a, method=limiter)
+        return a
+    if degree == 2:
+        return solve_tof_dg2(grid, flux, source, nsweeps=nsweeps)
+    raise ValueError(f"DG degree {degree} not supported (0-2, like "
+                     "TofDiscGalReorder)")

@@ -21,6 +21,12 @@ def main(argv=None):
     ap.add_argument("deck")
     ap.add_argument("--dg", action="store_true", help="also run degree-1 DG TOF (TofDiscGalReorder)")
     ap.add_argument("--dg2", action="store_true", help="also run degree-2 DG TOF")
+    ap.add_argument("--dg-degree", type=int, default=None, metavar="D",
+                    help="run DG TOF at degree D (0-2, the reference's "
+                    "TofDiscGalReorder degree parameter)")
+    ap.add_argument("--limiter", choices=("face", "average"), default=None,
+                    help="DG(1) slope limiter (MinUpwindFace/"
+                    "MinUpwindAverage)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -69,8 +75,20 @@ def main(argv=None):
         _, tracer = solve_tof_tracer(g.face_cells, flux, g.pore_volume, src,
                                      inj_heads)
         tracer = np.asarray(tracer)
+    if args.dg_degree is not None and getattr(g, "structured", False):
+        from opm_tpu.diagnostics.tof import solve_tof_dg
+        a_d = np.asarray(solve_tof_dg(g, flux, src, degree=args.dg_degree,
+                                      limiter=args.limiter))
+        print(f"DG({args.dg_degree}) forward TOF [days]: "
+              f"min {a_d[:, 0].min() / 86400.0:.2f}  "
+              f"median {np.median(a_d[:, 0]) / 86400.0:.2f}  "
+              f"max {a_d[:, 0].max() / 86400.0:.2f}")
     if getattr(args, "dg", False) and getattr(g, "structured", False):
         a_dg = np.asarray(solve_tof_dg1(g, flux, src))
+        if args.limiter:
+            from opm_tpu.diagnostics.tof import dg1_limit_min_upwind
+            a_dg = np.asarray(dg1_limit_min_upwind(g, flux, a_dg,
+                                                   method=args.limiter))
         print(f"DG(1) forward TOF [days]: min {a_dg[:, 0].min() / 86400.0:.2f}  "
               f"median {np.median(a_dg[:, 0]) / 86400.0:.2f}  "
               f"max {a_dg[:, 0].max() / 86400.0:.2f}")

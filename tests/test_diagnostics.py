@@ -318,3 +318,35 @@ def test_dg1_min_upwind_limiter():
     assert abs(lim[8, 1]) < abs(a_bad[8, 1])
     cm = lim[8, 0] - 0.5 * abs(lim[8, 1])
     assert cm >= -1e-9
+
+
+def test_dg_order_progression():
+    """solve_tof_dg degrees 0-2 (the TofDiscGalReorder degree parameter)
+    show the expected order progression on uniform 1-D flow where the
+    exact TOF is linear: degree 0 (= the FV scheme) carries O(h) error,
+    degrees 1 and 2 are exact to machine precision — and all three
+    agree on the cell-mean integral of the analytic field to the
+    scheme's order."""
+    import numpy as np
+
+    from opm_tpu.diagnostics.tof import solve_tof_dg
+    from opm_tpu.grid import cartesian_grid
+
+    g = cartesian_grid((16, 1, 1), (16.0, 1.0, 1.0), poro=0.25)
+    q = 2.0e-3
+    src = np.zeros(g.nc)
+    src[0] = q
+    src[-1] = -q
+    flux = np.full(g.nf, q)
+    pv = g.pore_volume[0]
+    exact_mean = pv * (np.arange(16) + 0.5) / q
+    errs = {}
+    for d in (0, 1, 2):
+        a = np.asarray(solve_tof_dg(g, flux, src, degree=d,
+                                    face_cells=g.face_cells))
+        assert a.shape == (16, (1, 4, 10)[d])
+        errs[d] = np.abs(a[1:-1, 0] - exact_mean[1:-1]).max()
+    assert errs[0] > 10.0                      # FV smears O(h)
+    assert errs[1] < 1e-6 * exact_mean[-1]     # DG(1) exact
+    assert errs[2] < 1e-6 * exact_mean[-1]     # DG(2) exact
+    assert errs[1] < errs[0] and errs[2] < errs[0]
