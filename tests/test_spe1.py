@@ -85,11 +85,17 @@ def test_producer_gor_near_rs(sim_short):
     assert 1.0 < gor < 1.5
 
 
-@pytest.mark.slow
-def test_spe1_full_run():
+@pytest.fixture(scope="module")
+def sim_full():
     case = load_case(SPE1)
     sim = SimulatorFullyImplicitBlackoil(case)
     state = sim.run()
+    return sim, state
+
+
+@pytest.mark.slow
+def test_spe1_full_run(sim_full):
+    sim, state = sim_full
     assert sim.report.failed_substeps == 0
     gor = sim.summary.series("FGOR") * 0.158987294928 / 28.316846592
     fpr = sim.summary.series("FPR") / PSI
@@ -104,6 +110,53 @@ def test_spe1_full_run():
     # simulator (~5-7 Mstb/d), and the WellDensitySegmented parity fix
     # (deeper-connection segment density) sits near 5.7
     assert fopr[-1] < 8000
+
+
+@pytest.mark.slow
+def test_spe1_published_anchors(sim_full):
+    """Quantitative anchors against the PUBLISHED SPE1 solution (Odeh
+    1981, 'Comparison of Solutions to a Three-Dimensional Black-Oil
+    Reservoir Simulation Problem', JPT 33(1):13-25; the role of the
+    reference's compareECLFiles.cmake:83-118 regression tolerances,
+    which need opm-tests data files that do not exist here).
+
+    Two anchor tiers:
+    * PUBLISHED BANDS — digitized from Odeh's comparison figures (seven
+      participating simulators; the band is the participants' spread):
+      initial producing GOR = the solution GOR 1.27 Mscf/stb (problem
+      spec, Table 1); average-pressure peak magnitude ~6.6-7.5 kpsi in
+      years 2.5-5 (Fig. 2); gas breakthrough (GOR departing Rs) in
+      years ~1.5-4 (Fig. 4); producer reaching the 1000 psi BHP limit
+      in years ~3-5; year-10 oil rate 3-8 Mstb/d (Fig. 3 spread).
+    * REGRESSION PINS — this framework's converged full-run trajectory
+      (verified inside the published bands), pinned at 3% so a physics
+      drift that stays conservative still fails: FPR peak 7131 psi at
+      day 1307; FOPR(3652 d) = 5725 stb/d; GOR(3652 d) = 22.28
+      Mscf/stb (cf. OPM flow's published SPE1CASE2 late-time GOR of
+      the same magnitude)."""
+    sim, state = sim_full
+    t = sim.summary.series("time")
+    gor = sim.summary.series("FGOR") * 0.158987294928 / 28.316846592
+    fpr = sim.summary.series("FPR") / PSI
+    fopr = sim.summary.series("FOPR") * DAY / 0.158987294928
+    bhp = sim.summary.series("WBHP:PROD") / PSI
+
+    # --- published bands (Odeh 1981) ---
+    assert gor[0] == pytest.approx(1.27, rel=0.05)        # spec Rs
+    i_pk = int(np.argmax(fpr))
+    assert 6600 < fpr[i_pk] < 7500                         # Fig. 2 peak
+    assert 900 < t[i_pk] < 1830                            # peak timing
+    ib = int(np.argmax(gor > 1.05 * gor[0]))               # breakthrough
+    assert 550 < t[ib] < 1500                              # Fig. 4
+    i_bhp = int(np.argmax(np.abs(bhp / 1000.0 - 1.0) < 1e-3))
+    assert 1100 < t[i_bhp] < 1830                          # hits BHP limit
+    assert 3000 < fopr[-1] < 8000                          # Fig. 3 spread
+
+    # --- regression pins (3%) ---
+    assert fpr[i_pk] == pytest.approx(7131.0, rel=0.03)
+    assert t[i_pk] == pytest.approx(1307.0, rel=0.10)
+    assert fopr[-1] == pytest.approx(5725.0, rel=0.03)
+    assert gor[-1] == pytest.approx(22.28, rel=0.03)
 
 
 def test_fip_per_region():

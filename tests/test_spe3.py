@@ -249,3 +249,31 @@ def test_spe3_deck_file_loads_and_matches_synthetic():
     assert eq_f == eq_s
     np.testing.assert_allclose(case_f.solution.rvvd[0],
                                case_s.solution.rvvd[0])
+
+
+def test_spe3_regression_pins(run):
+    """Trajectory pins for the gas-condensate run (3% tolerance).
+
+    Kenyon 1987 ('Third SPE Comparative Solution Project: Gas Cycling
+    of Retrograde Condensate Reservoirs', JPT 39(8):981-997) published
+    the SPE3 solution for ITS deck — a 9x9x4 grid with a specific
+    PVT/kr data set this synthetic stand-in does not reproduce (the
+    real SPE3 tables are licensed opm-tests data; this case,
+    sim/testcases.spe3like_case, keeps the PHYSICS class: undersaturated
+    wet gas depleting through the dew point with retrograde dropout,
+    asserted qualitatively by the other tests here). Published absolute
+    values therefore cannot anchor this deck; these pins freeze the
+    converged trajectory of this framework instead, so conservative
+    physics drift (PVT, rv switching, kr) still fails the suite."""
+    _, sim, _, _, _ = run
+    import numpy as np
+    t = sim.summary.series("time")
+    fpr = sim.summary.series("FPR") / PSI
+    fopr = sim.summary.series("FOPR") * DAY / 0.158987294928
+
+    def at(series, day):
+        return series[int(np.argmin(np.abs(t - day)))]
+    assert at(fpr, 210) == pytest.approx(2847.5, rel=0.03)
+    assert at(fpr, 720) == pytest.approx(1106.6, rel=0.03)
+    assert at(fopr, 210) == pytest.approx(75.09, rel=0.03)
+    assert at(fopr, 720) == pytest.approx(25.68, rel=0.03)

@@ -128,3 +128,50 @@ def test_spe9_full_schedule():
     after = t > 400
     assert fopr[after].max() > 4000.0
     assert bool(np.all(np.isfinite(np.asarray(state.pressure))))
+
+
+@pytest.mark.slow
+def test_spe9_published_anchors():
+    """Anchors against the published SPE9 behavior (Killough 1995,
+    'Ninth SPE Comparative Solution Project: A Reexamination of
+    Black-Oil Simulation', SPE 29110). The published PERMEABILITY field
+    is an external geostatistical data file that is not redistributable
+    here (data/SPE9.DATA carries a seeded lognormal stand-in with the
+    published layer statistics — tools/make_spe9.py), so Killough's
+    absolute rates cannot anchor this deck. What IS field-independent
+    and published is anchored:
+    * the day-300..360 field rate cut to exactly 25 x 100 stb/d (all
+      participants reproduce it exactly — it is a specified control);
+    * the water injector NEVER sustains its 5000 stb/d target — it is
+      immediately BHP-limited (4000 psia), the headline SPE9 result all
+      participants showed (Killough Fig. 10);
+    * producers progressively fall off the 1500 stb/d target onto the
+      1000 psi BHP floor, giving a monotone field-rate decline between
+      schedule events (Fig. 6 shape).
+    Plus 3%-tolerance REGRESSION PINS on this framework's converged
+    trajectory so conservative physics drift still fails."""
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+
+    case = load_case(SPE9)
+    sim = SimulatorFullyImplicitBlackoil(case, fused=True)
+    sim.run()
+    t = sim.summary.series("time")
+    fopr = sim.summary.series("FOPR") * DAY / STB
+    fwir = sim.summary.series("FWIR") * DAY / STB
+    fpr = sim.summary.series("FPR") / PSI
+
+    # published, field-independent
+    cut = (t > 300) & (t <= 360)
+    assert np.allclose(fopr[cut], 2500.0, rtol=1e-3)
+    assert fwir.max() < 5000.0 * (1 - 1e-3)   # injector always BHP-limited
+    pre_cut = (t > 5) & (t <= 300)
+    assert np.all(np.diff(fopr[pre_cut]) < 1e-6)   # monotone decline
+    assert fopr[0] < 25 * 1500.0               # off-target from day 1
+
+    # regression pins (3%) from the converged stand-in-field trajectory
+    def at(day):
+        return fopr[int(np.argmin(np.abs(t - day)))]
+    assert at(300) == pytest.approx(23497.7, rel=0.03)
+    assert at(900) == pytest.approx(14576.5, rel=0.03)
+    assert fpr[int(np.argmin(np.abs(t - 900)))] == pytest.approx(
+        2869.4, rel=0.03)
