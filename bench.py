@@ -322,8 +322,6 @@ def bench_spe10_e2e():
     summary output ON (the BASELINE.md north-star protocol: e2e
     wall-clock, not warm per-Newton)."""
     _maybe_cpu()
-    import tempfile
-
     import opm_tpu  # noqa: F401
     from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
     from opm_tpu.sim.testcases import spe10like_case
@@ -332,8 +330,15 @@ def bench_spe10_e2e():
     warm = SimulatorFullyImplicitBlackoil(case, fused=True)
     warm.run(report_step_limit=2)
 
-    sim = SimulatorFullyImplicitBlackoil(
-        case, fused=True, output_dir=tempfile.mkdtemp(prefix="spe10e2e_"))
+    # keep the PRT (per-substep failure log) under the repo so a failed
+    # substep in the DRIVER environment is diagnosable from the bench
+    # artifacts (VERDICT r4 #7: the r4 driver leg chopped once where the
+    # builder's local run didn't, and the trigger was lost)
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_artifacts", "spe10e2e")
+    os.makedirs(out_dir, exist_ok=True)
+    sim = SimulatorFullyImplicitBlackoil(case, fused=True,
+                                         output_dir=out_dir)
     sim.solver = warm.solver
     t0 = time.perf_counter()
     sim.run()
@@ -346,6 +351,7 @@ def bench_spe10_e2e():
         spe10_e2e_ms_per_newton=round(1000.0 * wall / newtons, 1),
         spe10_e2e_cell_newtons_per_s=round(sim.model.nc * newtons / wall),
         spe10_e2e_failed_substeps=sim.report.failed_substeps,
+        spe10_e2e_prt=os.path.join("bench_artifacts", "spe10e2e"),
     )
 
 

@@ -93,6 +93,7 @@ class SummaryCollector:
         self._fipnum = None
         self._nreg = 1
         self._well_totals = {}        # key -> per-well cumulative array
+        self._record_jit = {}         # id(model) -> jitted summary_arrays
         if requests:
             from opm_tpu.io.summaryconfig import block_cells, expand_requests
             nreg = 1
@@ -144,34 +145,34 @@ class SummaryCollector:
         return self._block if "block" in self._need else []
 
     def record(self, t, state: BlackoilState, model, extra=None):
-        qs = host_value(state.qs)
-        bhp = host_value(state.bhp)
-        pv = np.asarray(getattr(model, "pv_out", model.pv))
-        p = host_value(state.pressure)
-        fpr = float((p * pv).sum() / pv.sum())
-        fip = fluid_in_place(model, state)
-        region = None
-        if self.region_spec() is not None:
-            fipn = self._fipnum
-            ok = fipn >= 0
-            reg = np.where(ok, fipn, 0)
-            wpv = np.where(ok, pv, 0.0)
-            rpv = np.zeros(self._nreg)
-            rppv = np.zeros(self._nreg)
-            np.add.at(rpv, reg, wpv)
-            np.add.at(rppv, reg, p * wpv)
-            rpr = rppv / np.maximum(rpv, 1e-300)
-            if self._nreg > 1:
-                rfip = fluid_in_place(model, state, regions=reg)
-                if rfip.shape[0] < self._nreg:   # trailing empty regions
-                    rfip = np.vstack([rfip, np.zeros(
-                        (self._nreg - rfip.shape[0], 3))])
-            else:
-                rfip = fip[None, :]
-            region = (rpr, rfip)
-        block = (p[[c for _, c in self._block]]
-                 if self._block else None)
-        return self.record_arrays(t, qs, bhp, fpr, fip, extra,
+        """One summary row from the device state.
+
+        VERDICT r4 #8: the old implementation made ~5 separate device
+        pulls per report step (qs, bhp, pressure, accumulation, region
+        reductions) — each a tunnel round trip on the per-step path
+        (multi-process runs, event subscribers, RESV steps). Now ONE
+        jitted device program (the span path's summary_arrays) computes
+        (qs, bhp, fpr, fip, region, block) and one batched host_tree
+        pull fetches it. Collective-safe: every process executes the
+        same jit + gather."""
+        import jax
+
+        from opm_tpu.parallel.io_gather import host_tree
+        from opm_tpu.solver.fused_span import summary_arrays
+
+        key = id(model)
+        fn = self._record_jit.get(key)
+        if fn is None:
+            region_spec = (None if self.region_spec() is None
+                           else (self._fipnum, self._nreg))
+            block_cells = self._block or None
+            fn = jax.jit(lambda s: summary_arrays(
+                model, s, region_spec=region_spec,
+                block_cells=block_cells))
+            self._record_jit[key] = fn
+        qs, bhp, fpr, fip, region, block = host_tree(fn(state))
+        return self.record_arrays(t, np.asarray(qs), np.asarray(bhp),
+                                  float(fpr), np.asarray(fip), extra,
                                   region=region, block=block)
 
     def record_arrays(self, t, qs, bhp, fpr, fip, extra=None, *,
