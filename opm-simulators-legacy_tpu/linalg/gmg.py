@@ -170,7 +170,10 @@ class StructuredGmg:
     @staticmethod
     def _matvec(diag3, offs, x3):
         """7-point stencil apply; offs[(axis)] = (aL, aR) with the face
-        array one shorter than x3 along that axis."""
+        array one shorter than x3 along that axis. Face terms land via
+        zero-pad + add (a `.at[slice].add` lowers on TPU to an unfused
+        dynamic-update-slice plus a full-array copy per call — this
+        stencil runs several times per CPR apply per Krylov iteration)."""
         y = diag3 * x3
         for ax in range(3):
             aL, aR = offs[ax]
@@ -181,8 +184,12 @@ class StructuredGmg:
             lo[ax] = slice(None, -1)
             hi[ax] = slice(1, None)
             lo, hi = tuple(lo), tuple(hi)
-            y = y.at[lo].add(aL * x3[hi])
-            y = y.at[hi].add(aR * x3[lo])
+            pad_lo = [(0, 0)] * 3
+            pad_lo[ax] = (0, 1)
+            pad_hi = [(0, 0)] * 3
+            pad_hi[ax] = (1, 0)
+            y = y + jnp.pad(aL * x3[hi], pad_lo)
+            y = y + jnp.pad(aR * x3[lo], pad_hi)
         return y
 
     def _smooth(self, diag3, offs, x3, b3, *, omega=0.8, iters=1):

@@ -345,12 +345,15 @@ class BlackoilModel:
             lead = face_flux.shape[:-1]
             out = jnp.zeros(lead + (nz, ny, nx), dtype=face_flux.dtype)
             ofs = 0
+            from opm_tpu.models.linearize import _pad_add_sl
             for slL, slR, nf_d in self._dir_segments():
                 f = face_flux[..., ofs:ofs + nf_d]
                 shape = out[(Ellipsis,) + slL].shape
                 f3 = f.reshape(shape)
-                out = out.at[(Ellipsis,) + slL].add(f3)
-                out = out.at[(Ellipsis,) + slR].add(-f3)
+                # pad+add instead of .at[slice].add: the latter lowers to
+                # an unfused dynamic-update-slice + full copy on TPU
+                out = _pad_add_sl(out, f3, slL)
+                out = _pad_add_sl(out, -f3, slR)
                 ofs += nf_d
             out = out.reshape(lead + (self.nc,))
             if self.n_extra_faces:

@@ -218,17 +218,17 @@ def assemble(model, state, acc0, dt, wd, cdp) -> BlockSystem:
                                              q3_tan[j])) for j in range(3)]
             shape_d = r3[(slice(None),) + slL].shape
             sp_d = shape_d[1:]
-            r3 = r3.at[(slice(None),) + slL].add(
-                flux_val.reshape(shape_d))
-            r3 = r3.at[(slice(None),) + slR].add(
-                -flux_val.reshape(shape_d))
+            r3 = _pad_add_sl(r3, flux_val.reshape(shape_d), slL)
+            r3 = _pad_add_sl(r3, -flux_val.reshape(shape_d), slR)
             for i in range(3):
                 for j in range(3):
                     k = 3 * i + j
                     fl = fL_cols[j][i]
                     fr = fR_cols[j][i]
-                    diag3[k] = diag3[k].at[slL].add(fl.reshape(sp_d))
-                    diag3[k] = diag3[k].at[slR].add(-fr.reshape(sp_d))
+                    diag3[k] = _pad_add_sl(diag3[k], fl.reshape(sp_d),
+                                           slL)
+                    diag3[k] = _pad_add_sl(diag3[k], -fr.reshape(sp_d),
+                                           slR)
                     fL_rows[k].append(fl)
                     fR_rows[k].append(fr)
             ofs += nf_d
@@ -509,6 +509,32 @@ def _bapply9(blocks9, v):
     return jnp.stack(outs)
 
 
+def _pad_add_sl(out, v, sl):
+    """out + v at the static 3-slice suffix `sl` (the _dir_segments
+    L/R slices) via zero-pad — same rationale as _pad_add."""
+    pads = [(0, 0)] * out.ndim
+    off = out.ndim - 3
+    for ax, s in enumerate(sl):
+        n = out.shape[off + ax]
+        start = (0 if s.start is None
+                 else s.start if s.start >= 0 else n + s.start)
+        stop = (n if s.stop is None
+                else s.stop if s.stop >= 0 else n + s.stop)
+        pads[off + ax] = (start, n - stop)
+    return out + jnp.pad(v, pads)
+
+
+def _pad_add(out, v, axis, lo):
+    """out + v placed at offset `lo` along `axis`, via zero-pad. The
+    equivalent `.at[static_slice].add(v)` lowers on TPU to an UNFUSED
+    dynamic-update-slice plus a full-array copy (measured ~60 us each at
+    132k in the Krylov matvec, x6 per apply x2 per iteration); the pad
+    fuses into one elementwise add."""
+    pads = [(0, 0)] * out.ndim
+    pads[axis] = (lo, out.shape[axis] - v.shape[axis] - lo)
+    return out + jnp.pad(v, pads)
+
+
 def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
     """Cell-block part of the matvec as 7-point stencil slice arithmetic."""
     nx, ny, nz = dims
@@ -523,17 +549,17 @@ def _matvec_cells_structured(sys: BlockSystem, v_cell, dims):
 
     fLx = seg(sys.face_L, 0, nfx, (nz, ny, nx - 1))
     fRx = seg(sys.face_R, 0, nfx, (nz, ny, nx - 1))
-    out = out.at[:, :, :, :-1].add(_bapply9(fRx, v3[:, :, :, 1:]))
-    out = out.at[:, :, :, 1:].add(-_bapply9(fLx, v3[:, :, :, :-1]))
+    out = _pad_add(out, _bapply9(fRx, v3[:, :, :, 1:]), 3, 0)
+    out = _pad_add(out, -_bapply9(fLx, v3[:, :, :, :-1]), 3, 1)
     fLy = seg(sys.face_L, nfx, nfx + nfy, (nz, ny - 1, nx))
     fRy = seg(sys.face_R, nfx, nfx + nfy, (nz, ny - 1, nx))
-    out = out.at[:, :, :-1, :].add(_bapply9(fRy, v3[:, :, 1:, :]))
-    out = out.at[:, :, 1:, :].add(-_bapply9(fLy, v3[:, :, :-1, :]))
+    out = _pad_add(out, _bapply9(fRy, v3[:, :, 1:, :]), 2, 0)
+    out = _pad_add(out, -_bapply9(fLy, v3[:, :, :-1, :]), 2, 1)
     nf_can = nfx + nfy + nfz
     fLz = seg(sys.face_L, nfx + nfy, nf_can, (nz - 1, ny, nx))
     fRz = seg(sys.face_R, nfx + nfy, nf_can, (nz - 1, ny, nx))
-    out = out.at[:, :-1].add(_bapply9(fRz, v3[:, 1:]))
-    out = out.at[:, 1:].add(-_bapply9(fLz, v3[:, :-1]))
+    out = _pad_add(out, _bapply9(fRz, v3[:, 1:]), 1, 0)
+    out = _pad_add(out, -_bapply9(fLz, v3[:, :-1]), 1, 1)
     out = out.reshape(3, -1)
     if sys.face_L[0].shape[-1] > nf_can:
         # extra faces (embedded grids): small gather-path correction
