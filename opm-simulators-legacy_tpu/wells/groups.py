@@ -53,48 +53,126 @@ def resolve_group_controls(step_wells: List[WellConfig],
     VREP), computed by the caller from the rate converter.
     """
     wells = [w.copy() for w in step_wells]
+
+    # --- production groups: HIERARCHICAL same-mode allocation ----------
+    # A parent group's target binds through nested child groups with
+    # their own targets (the reference's WellCollection group tree,
+    # applyGroupControls): each level distributes its allocation by
+    # guide rates among its direct capped children + directly-governed
+    # wells; a child whose own target is tighter keeps its target and
+    # the excess redistributes to its siblings. Groups whose control
+    # mode differs from every ancestor target remain independent roots
+    # (cross-mode cascades need the reference's guide-rate phase
+    # conversion and are distributed per mode, as before).
+    ptargets = {}
     for gname, g in groups.items():
-        # --- production groups -----------------------------------------
         if g.prod_control and g.prod_control not in ("NONE", "FLD"):
-            members = [w for w in wells
-                       if w.type == PRODUCER and w.control == GRUP
-                       and _in_group(w, gname, groups)]
-            if members:
-                ctl = g.prod_control
-                target = g.prod_targets.get(ctl, np.nan)
-                if np.isfinite(target):
-                    ph = _PHASE_OF.get(ctl, 1)
-                    # explicit WGRUPCON guide rates take precedence
-                    explicit = np.array([getattr(w, "guide_rate", np.nan)
-                                         for w in members])
-                    static_guides = bool(np.isfinite(explicit).all()
-                                         and explicit.sum() > 0)
-                    if static_guides:
-                        guides = explicit
-                    else:
-                        guides = np.array([
-                            max(-rates.get(w.name, np.zeros(3))[ph], 0.0)
-                            for w in members])
-                    if guides.sum() <= 0 and potentials:
-                        guides = np.array([
-                            max(potentials.get(w.name, np.zeros(3))[ph], 0.0)
-                            for w in members])
-                    if guides.sum() <= 0:
-                        guides = np.ones(len(members))
-                    shares = guides / guides.sum()
-                    for w, s in zip(members, shares):
-                        w.control = ctl
-                        setattr(w, ctl.lower(), target * s)
-                    if collect is not None:
-                        # device-side per-Newton reallocation metadata
-                        # (updateWellTargets, BlackoilModelBase_impl.hpp:
-                        # 2548-2596): when a member switches to BHP inside
-                        # the substep, siblings absorb its share
-                        collect.append(dict(
-                            kind="prod", ctl=ctl, total=float(target),
-                            members=[w.name for w in members],
-                            guides=list(np.asarray(guides, dtype=float)),
-                            static=static_guides))
+            tgt = g.prod_targets.get(g.prod_control, np.nan)
+            if np.isfinite(tgt):
+                ptargets[gname] = (g.prod_control, float(tgt))
+
+    def _group_under(child, anc):
+        p = child
+        seen = set()
+        while p and p not in seen:
+            seen.add(p)
+            p = groups[p].parent if p in groups else None
+            if p == anc:
+                return True
+        return anc == "FIELD" and child != "FIELD"
+
+    def _ancestor_with_target(gname, ctl):
+        p = groups[gname].parent if gname in groups else None
+        seen = {gname}
+        while p and p not in seen:
+            if p in ptargets and ptargets[p][0] == ctl:
+                return p
+            seen.add(p)
+            p = groups[p].parent if p in groups else None
+        if ("FIELD" in ptargets and gname != "FIELD"
+                and "FIELD" not in seen
+                and ptargets["FIELD"][0] == ctl):
+            return "FIELD"
+        return None
+
+    def _members(gname):
+        return [w for w in wells
+                if w.type == PRODUCER and w.control == GRUP
+                and _in_group(w, gname, groups)]
+
+    def _well_guides(members, ph):
+        # explicit WGRUPCON guide rates take precedence, then current
+        # rates, then potentials (computeWellPotentials guide rates,
+        # StandardWells_impl.hpp:1005), then equal shares
+        explicit = np.array([getattr(w, "guide_rate", np.nan)
+                             for w in members])
+        static_guides = bool(np.isfinite(explicit).all()
+                             and explicit.sum() > 0)
+        if static_guides:
+            return explicit, True
+        guides = np.array([
+            max(-rates.get(w.name, np.zeros(3))[ph], 0.0)
+            for w in members])
+        if guides.sum() <= 0 and potentials:
+            guides = np.array([
+                max(potentials.get(w.name, np.zeros(3))[ph], 0.0)
+                for w in members])
+        if guides.sum() <= 0:
+            guides = np.ones(len(members))
+        return guides, False
+
+    def _assign_prod(gname, ctl, amount):
+        ph = _PHASE_OF.get(ctl, 1)
+        members = _members(gname)
+        if not members:
+            return
+        capped = [c for c in ptargets
+                  if c != gname and ptargets[c][0] == ctl
+                  and _group_under(c, gname)
+                  and _ancestor_with_target(c, ctl) == gname]
+        capped_members = {c: _members(c) for c in capped}
+        capped = [c for c in capped if capped_members[c]]
+        in_capped = {w.name for c in capped for w in capped_members[c]}
+        free = [w for w in members if w.name not in in_capped]
+        guides_free, static = (_well_guides(free, ph) if free
+                               else (np.zeros(0), False))
+        cap_gsum = [
+            float(_well_guides(capped_members[c], ph)[0].sum())
+            for c in capped]
+        tot = float(guides_free.sum()) + sum(cap_gsum)
+        if tot <= 0:
+            tot = 1.0
+        excess = 0.0
+        alloc_c = []
+        for c, gsum in zip(capped, cap_gsum):
+            want = amount * gsum / tot
+            cap = ptargets[c][1]
+            alloc_c.append(min(want, cap))
+            excess += max(want - cap, 0.0)
+        for c, a in zip(capped, alloc_c):
+            _assign_prod(c, ctl, a)
+        if free:
+            free_amount = amount * float(guides_free.sum()) / tot + excess
+            shares = guides_free / max(float(guides_free.sum()), 1e-300)
+            for w, s in zip(free, shares):
+                w.control = ctl
+                setattr(w, ctl.lower(), free_amount * s)
+            if collect is not None:
+                # device-side per-Newton reallocation metadata
+                # (updateWellTargets, BlackoilModelBase_impl.hpp:
+                # 2548-2596): when a member switches to BHP inside
+                # the substep, siblings absorb its share
+                collect.append(dict(
+                    kind="prod", ctl=ctl, total=float(free_amount),
+                    members=[w.name for w in free],
+                    guides=list(np.asarray(guides_free, dtype=float)),
+                    static=static))
+
+    for gname, (ctl, tgt) in ptargets.items():
+        if _ancestor_with_target(gname, ctl) is None:
+            _assign_prod(gname, ctl, tgt)
+
+    for gname, g in groups.items():
         # --- injection groups -------------------------------------------
         if g.inj_control and g.inj_control not in ("NONE", "FLD"):
             members = [w for w in wells

@@ -250,3 +250,58 @@ def test_group_sibling_absorbs_bhp_limited_member():
     # getConvergence:1770-1780 — ~2% slack at these rates)
     assert p1 + p2 == pytest.approx(4000, rel=2.5e-2), (p1, p2)
     assert p2 > 2200
+
+
+def test_nested_group_cascade_same_mode():
+    """VERDICT r4: a parent group constraint must bind through nested
+    child groups (the reference's WellCollection group-tree allocation).
+    FIELD ORAT 1000 over child groups GA (own ORAT cap) and GB:
+    * GA's tighter cap holds and the excess flows to GB's wells;
+    * with GA's cap slack, plain guide-rate shares apply;
+    * the child's own production counts against the parent total."""
+    from opm_tpu.io.schedule import (GRUP, PRODUCER, GroupConfig,
+                                     WellConfig)
+    from opm_tpu.wells.groups import resolve_group_controls
+
+    def mk(rate_a1, rate_a2, rate_b1, rate_b2, ga_cap, field_tgt):
+        wells = [
+            WellConfig(name="A1", group="GA", type=PRODUCER, control=GRUP),
+            WellConfig(name="A2", group="GA", type=PRODUCER, control=GRUP),
+            WellConfig(name="B1", group="GB", type=PRODUCER, control=GRUP),
+            WellConfig(name="B2", group="GB", type=PRODUCER, control=GRUP),
+        ]
+        groups = {
+            "GA": GroupConfig(name="GA", parent="FIELD",
+                              prod_control="ORAT",
+                              prod_targets={"ORAT": ga_cap}),
+            "GB": GroupConfig(name="GB", parent="FIELD"),
+            "FIELD": GroupConfig(name="FIELD", prod_control="ORAT",
+                                 prod_targets={"ORAT": field_tgt}),
+        }
+        rates = {"A1": np.array([0.0, -rate_a1, 0.0]),
+                 "A2": np.array([0.0, -rate_a2, 0.0]),
+                 "B1": np.array([0.0, -rate_b1, 0.0]),
+                 "B2": np.array([0.0, -rate_b2, 0.0])}
+        out = resolve_group_controls(wells, groups, rates)
+        return {w.name: w for w in out}
+
+    # equal guides everywhere; GA cap 100 << its 500 share of 1000:
+    # GA wells sum to 100, GB wells absorb the excess (900)
+    w = mk(1.0, 1.0, 1.0, 1.0, ga_cap=100.0, field_tgt=1000.0)
+    assert all(w[n].control == "ORAT" for n in w)
+    ga = w["A1"].orat + w["A2"].orat
+    gb = w["B1"].orat + w["B2"].orat
+    assert ga == pytest.approx(100.0, rel=1e-12)
+    assert gb == pytest.approx(900.0, rel=1e-12)
+    assert ga + gb == pytest.approx(1000.0, rel=1e-12)
+
+    # GA cap slack (800 > 500 share): plain proportional shares
+    w = mk(1.0, 1.0, 1.0, 1.0, ga_cap=800.0, field_tgt=1000.0)
+    assert w["A1"].orat + w["A2"].orat == pytest.approx(500.0, rel=1e-12)
+    assert w["B1"].orat + w["B2"].orat == pytest.approx(500.0, rel=1e-12)
+
+    # guide-rate weighting: GA producing 3x GB's rate wants 750, capped
+    # at 600; GB gets its 250 plus the 150 excess
+    w = mk(3.0, 3.0, 1.0, 1.0, ga_cap=600.0, field_tgt=1000.0)
+    assert w["A1"].orat + w["A2"].orat == pytest.approx(600.0, rel=1e-12)
+    assert w["B1"].orat + w["B2"].orat == pytest.approx(400.0, rel=1e-12)
