@@ -263,7 +263,7 @@ WCONINJE
 /
 {extra}
 TSTEP
- 8*10 /
+ 2 3 5 6*10 /
 END
 """
 
