@@ -83,6 +83,10 @@ def bench_spe1(tag="spe1"):
     out = {
         f"{tag}_wall_s": round(wall, 3),
         f"{tag}_newtons": newtons,
+        # linear iterations pin the CPU/TPU legs' ALGORITHMIC parity:
+        # vs_baseline is honest only if both legs do the same numerical
+        # work (equal Newton AND linear counts — VERDICT r4 weak #6)
+        f"{tag}_linear": sim.report.linear_iterations,
         f"{tag}_ms_per_newton": round(1000.0 * wall / newtons, 2),
         f"{tag}_substeps": sim.report.substeps,
         f"{tag}_failed_substeps": sim.report.failed_substeps,
@@ -473,6 +477,14 @@ def _emit(out):
             "same-machine CPU run of this framework, measured in this "
             "bench invocation (flow_legacy unbuildable here and publishes "
             "no numbers — see BASELINE.md)")
+        # algorithmic-parity pin: the ratio is honest only when both
+        # legs did the same numerical work
+        nt, ncpu = out.get("spe1_newtons"), out.get("spe1cpu_newtons")
+        lt, lcpu = out.get("spe1_linear"), out.get("spe1cpu_linear")
+        if None not in (nt, ncpu, lt, lcpu):
+            out["cpu_leg_parity_ok"] = bool(
+                abs(nt - ncpu) <= max(2, 0.02 * ncpu)
+                and abs(lt - lcpu) <= max(4, 0.05 * max(lcpu, 1)))
     elif tpu:
         out["vs_baseline"] = round(_RECORDED_CPU_SPE1_S / tpu, 3)
         out["baseline"] = (
