@@ -419,11 +419,16 @@ def build_schedule(case: EclipseCase) -> Schedule:
             # TUNING layout); TSFMAX = max dt increase factor, consumed by
             # AdaptiveTimeStepping as growth/max-growth (the reference's
             # TUNING mapping, AdaptiveTimeStepping_impl.hpp:82-84)
+            r2 = kw.records[2] if len(kw.records) > 2 else []
             sched.tuning = dict(
                 tsinit=_val(r0, 0, 1.0) * day,
                 tsmaxz=_val(r0, 1, 365.0) * day,
                 tsminz=_val(r0, 2, 0.1) * day,
                 tsfmax=_val(r0, 4, 3.0),
+                # record 3 item 1: NEWTMX, max Newton iterations per
+                # substep (the reference consumes it via the TUNING ->
+                # solver-parameter mapping; flow's newton-max-iterations)
+                newtmx=int(_val(r2, 0, 0) or 0),
                 # TFDIFF (item 8, default 1.25): the reference maps it to
                 # growthFactor_ — the dt growth cap right after a chopped
                 # restart (AdaptiveTimeStepping_impl.hpp:83-84); TSFMAX

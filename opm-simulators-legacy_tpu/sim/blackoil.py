@@ -364,6 +364,10 @@ class SimulatorFullyImplicitBlackoil:
         # (i, j, k) completions closed by WECON workover, per well name
         self._econ_closed_conns: Dict[str, set] = {}
         self.ts = AdaptiveTimeStepping(ts_params, tuning=self.schedule.tuning)
+        # TUNING record 3 NEWTMX: deck-driven max Newton iterations per
+        # substep (the reference's newton-max-iterations parameter)
+        if self.schedule.tuning and self.schedule.tuning.get("newtmx"):
+            self.model.params.max_iter = int(self.schedule.tuning["newtmx"])
         self.solver = NonlinearSolver(self.model)
         from opm_tpu.utils.events import EventSource
         self.events = EventSource("timestep_completed",

@@ -408,7 +408,7 @@ SCHEDULE
 TUNING
  0.25 365 0.1 1* 1.5 /
 /
-/
+ 20 /
 WELSPECS
 {chr(10).join(wells)}
 /

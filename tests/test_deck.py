@@ -108,7 +108,7 @@ def test_tuning_tfdiff_mapping():
 
     deck = mini_blackoil_deck(nx=2, ny=2, nz=1, tsteps="2*10")
     deck = deck.replace(
-        "TSTEP", "TUNING\n 0.5 30 0.05 1* 1.5 2* 1.1 /\n/\n/\nTSTEP", 1)
+        "TSTEP", "TUNING\n 0.5 30 0.05 1* 1.5 2* 1.1 /\n/\n 18 /\nTSTEP", 1)
     case = load_case_string(deck)
     sched = build_schedule(case)
     assert sched.tuning["tsfmax"] == pytest.approx(1.5)
@@ -118,6 +118,8 @@ def test_tuning_tfdiff_mapping():
     assert ts.p.max_growth == pytest.approx(1.5)
     assert ts.p.failed_growth == pytest.approx(1.1)
     assert ts.p.initial_dt == pytest.approx(0.5 * 86400.0)
+    # record 3 item 1: NEWTMX (max Newton per substep)
+    assert sched.tuning["newtmx"] == 18
     # defaulted TFDIFF -> the reference default 1.25
     deck2 = mini_blackoil_deck(nx=2, ny=2, nz=1, tsteps="2*10")
     deck2 = deck2.replace("TSTEP", "TUNING\n 1* 1* 1* 1* 2.0 /\n/\n/\nTSTEP", 1)
