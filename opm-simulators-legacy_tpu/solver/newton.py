@@ -409,6 +409,11 @@ class NonlinearSolver:
                 from opm_tpu.linalg.krylov import bicgstab_mp
                 mv64, _, _ = linearize.schur_eliminate_wells(
                     sys, dims=self._dims, op_dtype=None)
+                # NOTE (measured dead end): flattening the Krylov space
+                # to (3*nc,) to avoid the (3, nc) carry relayout copies
+                # REGRESSED the span path 20.2 -> 23.6 ms/Newton — the
+                # reshapes forced layout conversions inside the matvec
+                # instead. Keep (3, nc) vectors.
                 res = bicgstab_mp(mv, rhs, precond=M, matvec_check=mv64,
                                   tol=self.linear_tol,
                                   maxiter=self.linear_maxiter)

@@ -54,6 +54,7 @@ def test_vappars_factor():
         (1.4901161193847656e-08 / 0.5) ** 2)
 
 
+@pytest.mark.compile_heavy
 def test_vappars_parse_and_damped_vaporization():
     """VAPPARS in the deck reaches the props, and a depleted condensate
     run with strong vap1 damping leaves MORE liquid in place than without

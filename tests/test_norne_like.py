@@ -97,6 +97,7 @@ def test_gather_path_equivalence(case, monkeypatch):
     np.testing.assert_allclose(t0, t1, rtol=1e-12)
 
 
+@pytest.mark.compile_heavy
 def test_initial_state_and_first_step(case, grid):
     from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
 

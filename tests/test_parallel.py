@@ -66,6 +66,7 @@ def test_halo_spmv_matches_reference(mesh8):
     assert np.allclose(y, y_ref, atol=1e-12), np.abs(y - y_ref).max()
 
 
+@pytest.mark.compile_heavy
 def test_sharded_newton_step_matches_single(mesh8):
     """The fully-implicit Newton step under global-view sharding must equal
     the unsharded step (XLA inserts the collectives)."""
@@ -197,6 +198,7 @@ def test_schwarz_gmg_preconditioned_solve(mesh8, dims):
     assert int(res.iterations) < 2 * max(int(res_ref.iterations), 1) + 4
 
 
+@pytest.mark.compile_heavy
 def test_schwarz_coarse_pre_on_line_source(mesh8):
     """Hybrid coarse ordering regression (OPM_TPU_SCHWARZ_COARSE=pre, the
     default): a full-depth line-source rhs — a well column crossing every

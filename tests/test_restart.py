@@ -12,6 +12,7 @@ from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
 SPE1 = os.path.join(os.path.dirname(__file__), "..", "data", "SPE1CASE2.DATA")
 
 
+@pytest.mark.compile_heavy
 def test_restart_resume(tmp_path):
     case = load_case(SPE1)
     out = str(tmp_path)
@@ -42,6 +43,7 @@ def test_restart_resume(tmp_path):
     assert "RectilinearGrid" in head
 
 
+@pytest.mark.compile_heavy
 def test_events_and_step_timing(tmp_path):
     from opm_tpu.io.eclstate import load_case
     case = load_case(SPE1)
@@ -58,6 +60,7 @@ def test_events_and_step_timing(tmp_path):
     assert (tmp_path / "SPE1CASE2.UNSMRY").exists()
 
 
+@pytest.mark.compile_heavy
 def test_unrst_resume(tmp_path):
     """Resume from the ECL unified-restart file (not npz): the reference's
     initFromRestartFile path with restart tolerances abs 2e-1 / rel 4e-5
@@ -90,6 +93,7 @@ def test_unrst_resume(tmp_path):
                        rtol=1e-3)
 
 
+@pytest.mark.compile_heavy
 def test_deck_restart_keyword(tmp_path):
     """Deck RESTART keyword in SOLUTION auto-resumes from BASENAME.UNRST
     next to the deck (FlowMain.hpp:845-846 + InitConfig.getRestartStep)."""

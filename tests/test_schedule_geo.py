@@ -33,6 +33,7 @@ def test_schedule_parses_geo_mods():
     assert "GEO_MODIFIER" in sched.report_steps[3].events
 
 
+@pytest.mark.compile_heavy
 def test_multflt_mid_run_changes_trans_and_solution():
     case = load_case_string(_mod_deck("MULTFLT\n 'F1' 1e-6 /\n/\n"))
     sim = SimulatorFullyImplicitBlackoil(case)

@@ -27,6 +27,7 @@ def fi_state():
     return case, state, state1
 
 
+@pytest.mark.compile_heavy
 def test_sequential_split(fi_state):
     case, state_f, _ = fi_state
     sim_s = SimulatorSequentialBlackoil(case)
@@ -44,6 +45,7 @@ def test_sequential_split(fi_state):
                                                              rel=1e-3)
 
 
+@pytest.mark.compile_heavy
 def test_sequential_outer_single_step(fi_state):
     """One 2-day step: outer iteration must cut the splitting error well
     below the plain split's."""

@@ -48,6 +48,7 @@ def _run(spans, controller="iterationcount", n=N_STEPS, **kw):
 # controllers share the span state machine, only the blend differs)
 @pytest.mark.parametrize("controller", [
     "pid", pytest.param("pid+iteration", marks=pytest.mark.slow)])
+@pytest.mark.compile_heavy
 def test_pid_span_matches_per_step(controller):
     """The device PID state machine reproduces the host PID trajectory.
     Bit-equality is impossible (host float ** vs XLA pow differ by ULPs,
@@ -159,6 +160,7 @@ def test_unrst_resume_with_spans(tmp_path):
                           np.asarray(st_b.hcstate))
 
 
+@pytest.mark.compile_heavy
 def test_vtk_output_with_spans(tmp_path):
     out = str(tmp_path / "vtk")
     sim, _ = _run(True, output_dir=out, run=dict(write_vtk=True))
@@ -312,6 +314,7 @@ def test_group_control_span_matches_per_step():
     assert total_o == pytest.approx(4000, rel=1e-3)
 
 
+@pytest.mark.compile_heavy
 def test_econ_shut_span_matches_per_step():
     """A WECON minimum-oil-rate limit that trips mid-schedule shuts the
     well at the SAME report step span-on as per-step (the span path

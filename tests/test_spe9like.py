@@ -100,6 +100,7 @@ def test_swatinit_endscale_wells_e2e():
     assert sim.summary.rows[-1]["FOPR"] > 0
 
 
+@pytest.mark.compile_heavy
 def test_hysteresis_e2e():
     """EHYSTR + IMBNUM end-to-end: the deck parses, sgmax threads through
     the fused Newton path, and the run stays conservative. Gas injected then

@@ -169,6 +169,7 @@ def test_unsupported_mnemonic_warned(run_dir):
     assert "WXYZ" in prt and "WARNING" in prt
 
 
+@pytest.mark.compile_heavy
 def test_span_path_matches_host_path(run_dir, tmp_path):
     """The fused-span device summary (solver/fused_span.py summary_arrays
     extras) produces the same requested vectors as the host path."""

@@ -235,6 +235,7 @@ END
 """
 
 
+@pytest.mark.compile_heavy
 def test_grat_limit_switch_e2e():
     """Deck-driven: an ORAT producer whose solution-gas rate exceeds its
     GRAT limit ends up on GRAT control with the gas rate pinned at the
@@ -261,6 +262,7 @@ WCONINJE
     assert qo < 1900.0
 
 
+@pytest.mark.compile_heavy
 def test_watered_out_orat_trips_wrat_e2e():
     """Water breakthrough from the injector raises the producer's water
     rate past its WRAT limit; the well must switch to WRAT control with
@@ -284,6 +286,7 @@ WCONINJE
     assert qw == pytest.approx(700.0, rel=1e-3)
 
 
+@pytest.mark.compile_heavy
 def test_vfp_datum_correction_e2e():
     """A VFP table datum 100 m shallower than the well's BHP reference
     depth must shift the THP-controlled well's BHP by ~rho*g*100
