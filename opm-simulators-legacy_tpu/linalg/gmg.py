@@ -184,12 +184,17 @@ class StructuredGmg:
             lo[ax] = slice(None, -1)
             hi[ax] = slice(1, None)
             lo, hi = tuple(lo), tuple(hi)
-            pad_lo = [(0, 0)] * 3
-            pad_lo[ax] = (0, 1)
-            pad_hi = [(0, 0)] * 3
-            pad_hi[ax] = (1, 0)
-            y = y + jnp.pad(aL * x3[hi], pad_lo)
-            y = y + jnp.pad(aR * x3[lo], pad_hi)
+            from opm_tpu.models.linearize import _pad_add_backend
+            if _pad_add_backend():
+                pad_lo = [(0, 0)] * 3
+                pad_lo[ax] = (0, 1)
+                pad_hi = [(0, 0)] * 3
+                pad_hi[ax] = (1, 0)
+                y = y + jnp.pad(aL * x3[hi], pad_lo)
+                y = y + jnp.pad(aR * x3[lo], pad_hi)
+            else:
+                y = y.at[lo].add(aL * x3[hi])
+                y = y.at[hi].add(aR * x3[lo])
         return y
 
     def _smooth(self, diag3, offs, x3, b3, *, omega=0.8, iters=1):

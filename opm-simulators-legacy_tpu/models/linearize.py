@@ -509,9 +509,29 @@ def _bapply9(blocks9, v):
     return jnp.stack(outs)
 
 
+def _pad_add_backend():
+    """Trace-time backend gate: on TPU `.at[static_slice].add` lowers to
+    an UNFUSED dynamic-update-slice plus a full-array copy (~60 us each
+    at 132k; six per Krylov matvec apply) and the zero-pad + add fuses
+    to one elementwise op; on CPU the in-place DUS is the faster form
+    and the pads allocate. OPM_TPU_PAD_ADD=0/1 overrides."""
+    import os as _os
+
+    v = _os.environ.get("OPM_TPU_PAD_ADD", "auto")
+    if v != "auto":
+        return v == "1"
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _pad_add_sl(out, v, sl):
     """out + v at the static 3-slice suffix `sl` (the _dir_segments
     L/R slices) via zero-pad — same rationale as _pad_add."""
+    if not _pad_add_backend():
+        idx = (Ellipsis,) + tuple(sl) if out.ndim > 3 else tuple(sl)
+        return out.at[idx].add(v)
     pads = [(0, 0)] * out.ndim
     off = out.ndim - 3
     for ax, s in enumerate(sl):
@@ -525,11 +545,12 @@ def _pad_add_sl(out, v, sl):
 
 
 def _pad_add(out, v, axis, lo):
-    """out + v placed at offset `lo` along `axis`, via zero-pad. The
-    equivalent `.at[static_slice].add(v)` lowers on TPU to an UNFUSED
-    dynamic-update-slice plus a full-array copy (measured ~60 us each at
-    132k in the Krylov matvec, x6 per apply x2 per iteration); the pad
-    fuses into one elementwise add."""
+    """out + v placed at offset `lo` along `axis`, via zero-pad (TPU) or
+    an in-place slice add (CPU) — see _pad_add_backend."""
+    if not _pad_add_backend():
+        idx = [slice(None)] * out.ndim
+        idx[axis] = slice(lo, lo + v.shape[axis])
+        return out.at[tuple(idx)].add(v)
     pads = [(0, 0)] * out.ndim
     pads[axis] = (lo, out.shape[axis] - v.shape[axis] - lo)
     return out + jnp.pad(v, pads)

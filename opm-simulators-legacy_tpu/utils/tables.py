@@ -142,6 +142,26 @@ def interp_multi(xs, ys_cols, x, *, extrap: str = "linear"):
     return ys[i] * (1.0 - t) + ys[i + 1] * t
 
 
+def _masksum_backend():
+    """Trace-time backend gate for the unrolled mask-sum bilinear path:
+    on TPU the einsum formulation serializes the f64 tiny-contraction
+    dot_general into while loops (4.8 -> 1.46 ms per interp2 pair at
+    132k); on CPU the einsum vectorizes fine and the unrolled masks are
+    ~2.4x SLOWER (SPE1 CPU e2e 38.7 -> 91 s). Same numerics to ~5e-13
+    either way. OPM_TPU_INTERP2_MASKSUM=0/1 overrides."""
+    import os as _os
+
+    v = _os.environ.get("OPM_TPU_INTERP2_MASKSUM", "auto")
+    if v != "auto":
+        return v == "1"
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _seg_masks_1d(ax, q, extrap):
     """Per-segment (indicator, local coordinate) pairs for a SHARED 1-D
     axis, as python lists of query-shaped arrays (unrolled over the small
@@ -208,7 +228,7 @@ def interp2_multi(xs, ys, zgrids, x, y, *, extrap_x="linear",
     small = (xs.ndim == 1 and ys.ndim == 1 and all(z.ndim == 2 for z in zs)
              and xs.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS
              and ys.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS)
-    if small:
+    if small and _masksum_backend():
         return _interp2_masksum(xs, ys, zs, x, y, extrap_x, extrap_y)
     return [interp2(xs, ys, z, x, y, extrap_x=extrap_x, extrap_y=extrap_y)
             for z in zs]
@@ -226,7 +246,8 @@ def interp2(xs, ys, zgrid, x, y, *, extrap_x="linear", extrap_y="linear"):
     y = jnp.asarray(y)
     small = (xs.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS
              and ys.shape[-1] - 1 <= _GATHER_FREE_MAX_SEGMENTS)
-    if small and xs.ndim == 1 and ys.ndim == 1 and z.ndim == 2:
+    if (small and xs.ndim == 1 and ys.ndim == 1 and z.ndim == 2
+            and _masksum_backend()):
         # shared tables: unrolled mask sums, no dot_general (see
         # _interp2_masksum — the einsum was a serialized f64 while loop
         # on TPU)
