@@ -19,16 +19,16 @@ Baseline provenance (honest by construction):
     cpu_wall / tpu_wall (>1 means the TPU run is faster).
 
 Phases (each in its own subprocess: isolates device/trace state; shares
-the persistent compilation cache):
+the persistent compilation cache), in evidentiary-value order:
   spe1      TPU SPE1 e2e wall-clock, 120 report steps / 10 years (headline)
+  spe10full SPE10 model-2 FULL SIZE (1.122M cells) warm ms/Newton — the
+            north-star number, guaranteed a budget slot right after spe1
+  spe1cpu   spe1 on the host CPU (the same-invocation measured baseline)
   spe10     SPE10-like 132k-cell fused substeps: ms per Newton (scaling)
-  mp132k    mixed-precision parity at 132k cells (f32 paths on vs off)
   spe10e2e  SPE10-like 132k-cell FULL 20-report-step schedule, e2e
-            wall-clock with summary output on
-  spe10full SPE10 model-2 FULL SIZE (1.122M cells) warm ms/Newton
-  spe1cpu   spe1 on the host CPU (the measured baseline; runs LAST —
-            ms/Newton carries the cross-round signal and the CPU leg is
-            load-noisy)
+            wall-clock with summary output on (PRT kept under
+            bench_artifacts/)
+  mp132k    mixed-precision parity at 132k cells (f32 paths on vs off)
   --full additionally runs:
   spe9      SPE9 (data/SPE9.DATA, real corner-point deck, 26 wells):
             FULL 900-day schedule e2e wall-clock
