@@ -606,3 +606,45 @@ def test_asm_f32_system_matches_f64(spe1_system, monkeypatch):
     nrm = float(jnp.linalg.norm(oc64))
     assert float(jnp.linalg.norm(
         oc64 - jnp.asarray(oc32, jnp.float64))) < 2e-3 * nrm
+
+
+def test_pad_add_matches_slice_add(monkeypatch):
+    """The TPU zero-pad+add stencil accumulation (backend-gated off on
+    CPU) is element-identical to the in-place slice-add form: force each
+    branch of _pad_add/_pad_add_sl/GMG _matvec and compare."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    import opm_tpu.models.linearize as lz
+
+    rng = np.random.RandomState(7)
+    out = jnp.asarray(rng.randn(3, 4, 5, 6))
+    v = jnp.asarray(rng.randn(3, 4, 5, 5))
+    sl = (slice(None), slice(None), slice(None, -1))
+
+    monkeypatch.setenv("OPM_TPU_PAD_ADD", "1")
+    a_pad = np.asarray(lz._pad_add_sl(out, v, sl))
+    b_pad = np.asarray(lz._pad_add(out, v, 3, 1))
+    monkeypatch.setenv("OPM_TPU_PAD_ADD", "0")
+    a_dus = np.asarray(lz._pad_add_sl(out, v, sl))
+    b_dus = np.asarray(lz._pad_add(out, v, 3, 1))
+    assert np.array_equal(a_pad, a_dus)
+    assert np.array_equal(b_pad, b_dus)
+
+    # GMG stencil matvec: both branches identical on a random 7-point op
+    from opm_tpu.linalg.gmg import StructuredGmg as GMG
+    diag3 = jnp.asarray(rng.rand(4, 5, 6) + 3.0)
+    offs = [(jnp.asarray(rng.randn(4, 5, 5)), jnp.asarray(rng.randn(4, 5, 5))),
+            (jnp.asarray(rng.randn(4, 4, 6)), jnp.asarray(rng.randn(4, 4, 6))),
+            (jnp.asarray(rng.randn(3, 5, 6)), jnp.asarray(rng.randn(3, 5, 6)))]
+    # offs axis order in GMG._matvec: ax 0/1/2 slice array axes 0..2 with
+    # the face array one shorter along that axis
+    offs = [offs[2], offs[1], offs[0]]
+    x3 = jnp.asarray(rng.randn(4, 5, 6))
+    monkeypatch.setenv("OPM_TPU_PAD_ADD", "1")
+    y_pad = np.asarray(GMG._matvec(diag3, {0: offs[0], 1: offs[1],
+                                           2: offs[2]}, x3))
+    monkeypatch.setenv("OPM_TPU_PAD_ADD", "0")
+    y_dus = np.asarray(GMG._matvec(diag3, {0: offs[0], 1: offs[1],
+                                           2: offs[2]}, x3))
+    assert np.allclose(y_pad, y_dus, atol=0, rtol=0)

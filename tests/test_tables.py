@@ -179,10 +179,12 @@ def test_interp_reg_branchless_matches_gather():
     assert np.allclose(np.asarray(out), ref, rtol=1e-12, atol=1e-12)
 
 
-def test_interp2_masksum_matches_bracket():
+def test_interp2_masksum_matches_bracket(monkeypatch):
     """The shared-table mask-sum fast path (no dot_general — the einsum
     serialized as an f64 while loop on TPU) matches the bracket
-    formulation everywhere incl. out-of-range queries."""
+    formulation everywhere incl. out-of-range queries. The path is
+    backend-gated OFF on CPU, so force it here to keep it covered."""
+    monkeypatch.setenv("OPM_TPU_INTERP2_MASKSUM", "1")
     from opm_tpu.utils.tables import interp2_multi
     rng = np.random.RandomState(3)
     xs = jnp.asarray(np.sort(rng.rand(9)))
