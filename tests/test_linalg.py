@@ -648,3 +648,59 @@ def test_pad_add_matches_slice_add(monkeypatch):
     y_dus = np.asarray(GMG._matvec(diag3, {0: offs[0], 1: offs[1],
                                            2: offs[2]}, x3))
     assert np.allclose(y_pad, y_dus, atol=0, rtol=0)
+
+
+def test_unstructured_assembly_with_endscale_matches_structured():
+    """The gather-path (unstructured) assembly evaluates cell quantities
+    at face-gathered saturations; with ENDSCALE/SWATINIT the per-cell
+    satfunc arrays must be gathered too (props_local_view — the advisor-r4
+    crash class). Flipping model.structured off must reproduce the
+    structured path's residual and Jacobian blocks exactly (same physics,
+    different evaluation topology)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.models import linearize
+    from opm_tpu.models.blackoil import make_well_device_arrays
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.init import initial_state
+    from opm_tpu.sim.testcases import mini_blackoil_deck
+    import opm_tpu.wells.standard as stdwells
+
+    nx, ny, nz = 5, 4, 2
+    n = nx * ny * nz
+    deck = mini_blackoil_deck(nx=nx, ny=ny, nz=nz, tsteps="1*10")
+    deck = deck.replace("TABDIMS\n/", "ENDSCALE\n/\nTABDIMS\n/", 1)
+    deck = deck.replace("PROPS", f"SWATINIT\n {n}*0.3 /\nPROPS", 1)
+    deck = deck.replace("DENSITY",
+                        f"KRW\n {n}*0.9 /\nSWL\n {n}*0.15 /\nDENSITY", 1)
+    case = load_case_string(deck)
+    sim = SimulatorFullyImplicitBlackoil(case)
+    state = initial_state(sim.grid, sim.props, case, len(sim.well_names))
+    # initial_state installed the SWATINIT pcw_mult; ENDSCALE is per-cell
+    assert sim.props.satfunc.pcw_mult is not None
+    assert sim.props.satfunc.eps is not None
+    ws = sim._pad_well_set(sim._well_set_for(sim.schedule.report_steps[0]))
+    wd = make_well_device_arrays(ws, sim.grid.gravity)
+    state = sim._init_well_state(state, ws, True)
+    model = sim.model
+    acc0 = model.accumulation(state)
+    cellq = model.well_cell_quantities_local(state, wd)
+    cdp = stdwells.connection_pressure_offsets(wd, cellq, state.qs)
+    dt = 10.0 * 86400.0
+
+    assert model.structured
+    sys_s = linearize.assemble(model, state, acc0, dt, wd, cdp)
+    model.structured = False
+    try:
+        sys_u = linearize.assemble(model, state, acc0, dt, wd, cdp)
+    finally:
+        model.structured = True
+    np.testing.assert_allclose(np.asarray(sys_u.r_cell),
+                               np.asarray(sys_s.r_cell),
+                               rtol=1e-10, atol=1e-8)
+    for k in range(9):
+        np.testing.assert_allclose(np.asarray(sys_u.diag[k]),
+                                   np.asarray(sys_s.diag[k]),
+                                   rtol=1e-9, atol=1e-7)
