@@ -170,3 +170,58 @@ def test_wthp_reported_for_bhp_rate_controlled_vfp_well():
     bhp_w = float(np.asarray(state.bhp)[iw])
     bhp_round = float(tab.bhp_at(qs_w, jnp.asarray(thp))) + dp_corr[iw]
     assert bhp_round == pytest.approx(bhp_w, rel=1e-6)
+
+
+def test_wthp_on_span_path_matches_per_step():
+    """WTHP back-calculation rides the fused-span summary path too (the
+    span record_arrays call passes _thp_report_extra): span-on rows carry
+    the same WTHP:PROD series as the per-step path."""
+    import os as _os
+
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.testcases import mini_blackoil_deck
+
+    flo_ax = [1000.0, 10000.0, 30000.0]
+    thp_ax = [100.0, 500.0, 1000.0]
+    recs = []
+    for it in range(3):
+        for iw in range(2):
+            for ig in range(2):
+                bhps = [thp_ax[it] + 0.05 * f + 2500.0 for f in flo_ax]
+                recs.append(f" {it+1} {iw+1} {ig+1} 1 "
+                            + " ".join(f"{b:.6g}" for b in bhps) + " /")
+    vfp = ("VFPPROD\n 1 8400 'LIQ' 'WCT' 'GOR' 'THP' ' ' 'FIELD' 'BHP' /\n"
+           + " ".join(f"{f:g}" for f in flo_ax) + " /\n"
+           + " ".join(f"{t:g}" for t in thp_ax) + " /\n"
+           + " 0.0 0.9 /\n 0.0 10.0 /\n 0.0 /\n"
+           + "\n".join(recs) + "\n")
+    deck = mini_blackoil_deck(nx=6, ny=6, nz=2, tsteps="4*15")
+    deck = deck.replace("WCONPROD\n 'PROD' 'OPEN' 'ORAT' 20000 4* 1000 /",
+                        vfp + "WCONPROD\n"
+                        " 'PROD' 'OPEN' 'ORAT' 20000 4* 1000 1* 1 /")
+    case = load_case_string(deck)
+
+    def run(span):
+        old = _os.environ.get("OPM_TPU_SPAN")
+        if not span:
+            _os.environ["OPM_TPU_SPAN"] = "1"
+        try:
+            sim = SimulatorFullyImplicitBlackoil(case, fused=True)
+            sim.run()
+            return sim
+        finally:
+            if not span:
+                if old is None:
+                    _os.environ.pop("OPM_TPU_SPAN", None)
+                else:
+                    _os.environ["OPM_TPU_SPAN"] = old
+
+    sim_h = run(span=False)
+    sim_s = run(span=True)
+    assert sim_s._span_runner is not None
+    w_h = [r.get("WTHP:PROD", 0.0) for r in sim_h.summary.rows]
+    w_s = [r.get("WTHP:PROD", 0.0) for r in sim_s.summary.rows]
+    assert all(v > 0 for v in w_h)
+    assert all(v > 0 for v in w_s)
+    np.testing.assert_allclose(w_s, w_h, rtol=1e-5)
