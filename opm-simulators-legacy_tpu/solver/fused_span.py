@@ -182,17 +182,30 @@ class FusedSpanRunner:
     def _report_step(self, state, dt_sugg, errs, duration, event, wd):
         p = self.p
         solver = self.solver
+        # PAD steps (duration 0, chunk-length filler) must be pure
+        # no-ops: without the guard they ran the hysteresis-memory
+        # update and the well-state reset one extra time from the FINAL
+        # state — the span's sgmax then included the last step's end
+        # state (the host path, like the reference's per-report-step
+        # updateSatHyst, never samples it) and the emitted final well
+        # controls were reset to the schedule.
+        live = duration > 0.0
+
+        def _keep(new_state):
+            return jax.tree.map(lambda a, b: jnp.where(live, a, b),
+                                new_state, state)
+
         if self.hysteresis:
             # updateSatHyst at report-step start (SimulatorBase_impl.hpp:146)
             from opm_tpu.models.state import saturations as _sats
-            state = state._replace(
-                sgmax=jnp.maximum(state.sgmax, _sats(state)[2]))
+            state = _keep(state._replace(
+                sgmax=jnp.maximum(state.sgmax, _sats(state)[2])))
         if self.vappars or self.hysteresis:
             # satOilMax + oil-hysteresis reversal memory
             from opm_tpu.models.state import saturations as _sats
-            state = state._replace(
-                somax=jnp.maximum(state.somax, _sats(state)[1]))
-        state = reset_well_state(state, wd)
+            state = _keep(state._replace(
+                somax=jnp.maximum(state.somax, _sats(state)[1])))
+        state = _keep(reset_well_state(state, wd))
         dt0 = jnp.minimum(jnp.minimum(dt_sugg, duration), p.max_dt)
         if p.event_reset:
             dt0 = jnp.where(event, jnp.minimum(p.initial_dt, duration), dt0)

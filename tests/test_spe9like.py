@@ -169,3 +169,84 @@ EHYSTR
     sg = np.asarray(state.sgmax)
     assert np.isfinite(np.asarray(state.pressure)).all()
     assert (sg >= 0).all() and (sg <= 1).all()
+
+
+@pytest.mark.compile_heavy
+def test_hysteresis_span_matches_per_step():
+    """The span path updates the sgmax/somax hysteresis memory at
+    report-step start on device (fused_span._report_step); spans-on must
+    reproduce the per-step trajectory and memory arrays."""
+    import os as _os
+
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+
+    from opm_tpu.io.eclstate import load_case_string
+    from opm_tpu.sim.blackoil import SimulatorFullyImplicitBlackoil
+    from opm_tpu.sim.testcases import mini_blackoil_deck
+
+    deck = mini_blackoil_deck(nx=5, ny=5, nz=2,
+                          tsteps="2 3 5 10 2*15")
+    deck = deck.replace("TABDIMS\n/", "TABDIMS\n 2 /")
+    # region 2 = imbibition curves (higher critical gas)
+    deck = deck.replace("""SGOF
+ 0    0     1     0
+ 0.02 0     0.95  0
+ 0.2  0.08  0.35  0
+ 0.4  0.3   0.05  0
+ 0.6  0.6   0.005 0
+ 0.88 0.95  0.0   0 /""",
+                        """SGOF
+ 0    0     1     0
+ 0.02 0     0.95  0
+ 0.2  0.08  0.35  0
+ 0.4  0.3   0.05  0
+ 0.6  0.6   0.005 0
+ 0.88 0.95  0.0   0 /
+ 0    0     1     0
+ 0.2  0     0.35  0
+ 0.4  0.3   0.05  0
+ 0.6  0.6   0.005 0
+ 0.88 0.95  0.0   0 /
+EHYSTR
+ 0.1 2 /""")
+    swof = deck[deck.index("SWOF"):deck.index("SGOF")]
+    tab = swof[len("SWOF"):].strip()
+    deck = deck.replace(swof, "SWOF\n " + tab + "\n " + tab + "\n", 1)
+    n = 5 * 5 * 2
+    deck = deck.replace("SOLUTION",
+                        f"REGIONS\nSATNUM\n {n}*1 /\nIMBNUM\n {n}*2 /\n"
+                        "SOLUTION", 1)
+    case = load_case_string(deck)
+
+    def run(span):
+        old = _os.environ.get("OPM_TPU_SPAN")
+        if not span:
+            _os.environ["OPM_TPU_SPAN"] = "1"
+        try:
+            sim = SimulatorFullyImplicitBlackoil(case, fused=True)
+            st = sim.run()
+            return sim, st
+        finally:
+            if not span:
+                if old is None:
+                    _os.environ.pop("OPM_TPU_SPAN", None)
+                else:
+                    _os.environ["OPM_TPU_SPAN"] = old
+
+    sim_h, st_h = run(span=False)
+    assert sim_h._hysteresis
+    sim_s, st_s = run(span=True)
+    assert sim_s._span_runner is not None, "hysteresis steps did not span"
+    # regression: chunk-padding steps used to run one extra memory
+    # update from the final state (span sgmax included the last step's
+    # end state, which the per-step path never samples)
+    np.testing.assert_allclose(np.asarray(st_s.sgmax),
+                               np.asarray(st_h.sgmax), rtol=1e-6,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(st_s.somax),
+                               np.asarray(st_h.somax), rtol=1e-6,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(st_s.pressure),
+                               np.asarray(st_h.pressure), rtol=1e-5)
+    assert float(np.asarray(st_s.sgmax).max()) > 0.0
