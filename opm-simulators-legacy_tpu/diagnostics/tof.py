@@ -203,22 +203,41 @@ def _solve4x4_t(M, b):
     return jnp.concatenate([x1, x2], axis=0)
 
 
-def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
-    """Degree-1 discontinuous-Galerkin time-of-flight on a fully-active
-    cartesian grid — the TofDiscGalReorder capability
-    (/root/reference/opm/core/tof/TofDiscGalReorder.{hpp,cpp}: per-cell
-    basis {1, x, y, z}, upstream face fluxes, cell-by-cell solves in
-    topological order; tested by tests/test_dgbasis.cpp). The serial
-    reorder becomes wavefront sweeps of simultaneous per-cell 4x4 solves,
-    with all face topology as static slices.
+_DG1_AXIS_OF = {0: 2, 1: 1, 2: 0}     # direction -> array axis
 
-    Returns (nc, 4): [mean tof, d-slope per unit cell width x/y/z].
-    Exact (single sweep pass) for piecewise-linear TOF fields, e.g.
-    uniform flow, where the FV scheme smears.
-    """
+
+def _take3(a, ax, sl):
+    idx = [slice(None)] * 3
+    idx[ax] = sl
+    return a[tuple(idx)]
+
+
+def _shift_in3(a, ax, s):
+    """Neighbor value on the upstream side: own -d face (s=-1) reads
+    the -d neighbor => shift +1 along ax; own +d face reads +d."""
+    pads = [(0, 0)] * a.ndim
+    if s < 0:
+        pads[a.ndim - 3 + ax] = (1, 0)
+        return jnp.pad(a, pads)[..., :, :, :][
+            tuple([slice(None)] * (a.ndim - 3)
+                  + [slice(None, -1) if k == ax else slice(None)
+                     for k in range(3)])]
+    pads[a.ndim - 3 + ax] = (0, 1)
+    return jnp.pad(a, pads)[
+        tuple([slice(None)] * (a.ndim - 3)
+              + [slice(1, None) if k == ax else slice(None)
+                 for k in range(3)])]
+
+
+def _dg1_system(grid, flux, source):
+    """Shared DG(1) setup: padded directional face fluxes and the static
+    per-cell 4x4 upstream system matrix M. Used by both the TOF solve and
+    the tracer solve (TofDiscGalReorder assembles the identical jacobian
+    for tof and tracer unknowns, TofDiscGalReorder.cpp:420-505).
+
+    Returns (shape3, fpad, pv3, M)."""
     nx, ny, nz = grid.dims
     assert getattr(grid, "structured", False), "DG TOF needs cartesian grid"
-    nc = grid.nc
     shape3 = (nz, ny, nx)
     nfx = (nx - 1) * ny * nz
     nfy = nx * (ny - 1) * nz
@@ -227,10 +246,9 @@ def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
           flux[nfx:nfx + nfy].reshape(nz, max(ny - 1, 0), nx),
           flux[nfx + nfy:].reshape(max(nz - 1, 0), ny, nx)]
     # pad with sealed boundary faces: fpad[d] has cell-count+1 faces along d
-    axis_of = {0: 2, 1: 1, 2: 0}     # direction -> array axis
     fpad = []
     for d in range(3):
-        ax = axis_of[d]
+        ax = _DG1_AXIS_OF[d]
         pads = [(0, 0)] * 3
         pads[ax] = (1, 1)
         fpad.append(jnp.pad(f3[d], pads))
@@ -243,11 +261,6 @@ def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
     # reproduce a linear tof field exactly
     q_prod = jnp.maximum(-src3, 0.0)
 
-    def take(a, ax, sl):
-        idx = [slice(None)] * 3
-        idx[ax] = sl
-        return a[tuple(idx)]
-
     # ---- static system matrix M (4, 4, cells) ---------------------------
     M = jnp.zeros((4, 4) + shape3)
     # production source: volume-average trace
@@ -255,9 +268,9 @@ def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
     for d in range(3):
         M = M.at[1 + d, 1 + d].add(q_prod / 12.0)
     for d in range(3):
-        ax = axis_of[d]
-        fL = take(fpad[d], ax, slice(None, -1))   # face on own -d side
-        fR = take(fpad[d], ax, slice(1, None))    # face on own +d side
+        ax = _DG1_AXIS_OF[d]
+        fL = _take3(fpad[d], ax, slice(None, -1))  # face on own -d side
+        fR = _take3(fpad[d], ax, slice(1, None))   # face on own +d side
         q_d = 0.5 * (fL + fR)
         # volume advection: -int tau (v . grad phi_d) = -q_d a0
         M = M.at[1 + d, 0].add(-q_d)
@@ -275,50 +288,130 @@ def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
     M = M.at[0, 0].add(jnp.where(M[0, 0] <= 1e-300, 1.0, 0.0))
     for m in range(1, 4):
         M = M.at[m, m].add(jnp.where(jnp.abs(M[m, m]) <= 1e-300, 1.0, 0.0))
+    return shape3, fpad, pv3, M
 
+
+def _dg1_upstream_rhs(a, fpad, shape3):
+    """Upstream-trace face contributions to the DG(1) rhs for the
+    coefficient field a (4, nz, ny, nx); the volume source term (pv for
+    TOF, nothing for tracer) is added by the caller."""
+    b = jnp.zeros((4,) + shape3)
+    for d in range(3):
+        ax = _DG1_AXIS_OF[d]
+        fL = _take3(fpad[d], ax, slice(None, -1))
+        fR = _take3(fpad[d], ax, slice(1, None))
+        for s, f in ((1.0, fR), (-1.0, fL)):
+            q_in = jnp.maximum(-s * f, 0.0)
+            a_up = _shift_in3(a, ax, s)
+            trace_up = a_up[0] - (s / 2) * a_up[1 + d]
+            b = b.at[0].add(q_in * trace_up)
+            b = b.at[1 + d].add(q_in * (s / 2) * trace_up)
+            for e in range(3):
+                if e != d:
+                    b = b.at[1 + e].add(q_in * a_up[1 + e] / 12.0)
+    return b
+
+
+def _dg1_nsweeps(grid, flux):
+    sched = upwind_levels(grid.nc, np.asarray(grid.face_cells),
+                          np.asarray(flux))
+    return sched.nlevels + (30 if sched.max_scc > 1 else 1)
+
+
+def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
+    """Degree-1 discontinuous-Galerkin time-of-flight on a fully-active
+    cartesian grid — the TofDiscGalReorder capability
+    (/root/reference/opm/core/flowdiagnostics/TofDiscGalReorder.{hpp,cpp}:
+    per-cell basis {1, x, y, z}, upstream face fluxes, cell-by-cell solves
+    in topological order). The serial reorder becomes wavefront sweeps of
+    simultaneous per-cell 4x4 solves, with all face topology as static
+    slices.
+
+    Returns (nc, 4): [mean tof, d-slope per unit cell width x/y/z].
+    Exact (single sweep pass) for piecewise-linear TOF fields, e.g.
+    uniform flow, where the FV scheme smears.
+    """
+    shape3, fpad, pv3, M = _dg1_system(grid, flux, source)
     if nsweeps is None:
-        sched = upwind_levels(nc, np.asarray(grid.face_cells),
-                              np.asarray(flux))
-        nsweeps = sched.nlevels + (30 if sched.max_scc > 1 else 1)
-
-    def shift_in(a, ax, s):
-        """Neighbor value on the upstream side: own -d face (s=-1) reads
-        the -d neighbor => shift +1 along ax; own +d face reads +d."""
-        pads = [(0, 0)] * a.ndim
-        if s < 0:
-            pads[a.ndim - 3 + ax] = (1, 0)
-            return jnp.pad(a, pads)[..., :, :, :][
-                tuple([slice(None)] * (a.ndim - 3)
-                      + [slice(None, -1) if k == ax else slice(None)
-                         for k in range(3)])]
-        pads[a.ndim - 3 + ax] = (0, 1)
-        return jnp.pad(a, pads)[
-            tuple([slice(None)] * (a.ndim - 3)
-                  + [slice(1, None) if k == ax else slice(None)
-                     for k in range(3)])]
+        nsweeps = _dg1_nsweeps(grid, flux)
 
     def sweep(_, a):
         """a: (4, nz, ny, nx) coefficients."""
-        b = jnp.zeros((4,) + shape3).at[0].set(pv3)
-        for d in range(3):
-            ax = axis_of[d]
-            fL = take(fpad[d], ax, slice(None, -1))
-            fR = take(fpad[d], ax, slice(1, None))
-            for s, f in ((1.0, fR), (-1.0, fL)):
-                q_in = jnp.maximum(-s * f, 0.0)
-                a_up = shift_in(a, ax, s)
-                trace_up = a_up[0] - (s / 2) * a_up[1 + d]
-                b = b.at[0].add(q_in * trace_up)
-                b = b.at[1 + d].add(q_in * (s / 2) * trace_up)
-                for e in range(3):
-                    if e != d:
-                        b = b.at[1 + e].add(q_in * a_up[1 + e] / 12.0)
+        b = _dg1_upstream_rhs(a, fpad, shape3).at[0].add(pv3)
         return _solve4x4_t(M.reshape(4, 4, -1),
                            b.reshape(4, -1)).reshape((4,) + shape3)
 
     a0 = jnp.zeros((4,) + shape3)
     a = jax.lax.fori_loop(0, int(nsweeps), sweep, a0)
     return jnp.moveaxis(a.reshape(4, -1), 0, -1)
+
+
+def solve_tof_dg1_tracer(grid, flux, source, tracer_heads, *, nsweeps=None,
+                         limiter=None):
+    """Degree-1 DG tracer partitions — the TofDiscGalReorder tracer
+    variant (compute(..., tracerheads, tof_coef, tracer_coef),
+    TofDiscGalReorder.cpp:204-247,300-305): the tracer satisfies the same
+    upstream DG system as TOF with zero volume source, and tracer-head
+    cells carry the constant-1 solution (tracerhead_by_cell_ pinning,
+    .cpp:521-524 skips the head-cell solve).
+
+    tracer_heads: list of arrays of cell indices, one per tracer.
+    Returns (ntracer, nc, 4) coefficient arrays; column 0 is the
+    cell-mean concentration in [0, 1]. With limiter="face"/"average" the
+    min-upwind limiter is applied to each tracer field (the reference's
+    applyTracerLimiter clamps overshoots the same way it does for TOF)."""
+    shape3, fpad, _, M = _dg1_system(grid, flux, source)
+    nc = grid.nc
+    if nsweeps is None:
+        nsweeps = _dg1_nsweeps(grid, flux)
+
+    # Boundedness guard for non-conservative flux fields (a compressible
+    # black-oil surface-volume flux has div != src): where a cell's total
+    # inflow exceeds its total outflow, absorb the surplus on the
+    # diagonal so c <= max upstream c — the DG analogue of the FV
+    # tracer's division by total influx (solve_tof_tracer). Exactly zero
+    # (bit-identical system) on conservative fields.
+    src3 = jnp.asarray(source).reshape(shape3)
+    face_in = jnp.zeros(shape3)
+    face_out = jnp.zeros(shape3)
+    for d in range(3):
+        ax = _DG1_AXIS_OF[d]
+        fL = _take3(fpad[d], ax, slice(None, -1))
+        fR = _take3(fpad[d], ax, slice(1, None))
+        for s, f in ((1.0, fR), (-1.0, fL)):
+            face_in = face_in + jnp.maximum(-s * f, 0.0)
+            face_out = face_out + jnp.maximum(s * f, 0.0)
+    deficit = jnp.maximum(face_in + jnp.maximum(src3, 0.0)
+                          - face_out - jnp.maximum(-src3, 0.0), 0.0)
+    M = M.at[0, 0].add(deficit)
+    for d in range(3):
+        M = M.at[1 + d, 1 + d].add(deficit / 12.0)
+
+    ntr = len(tracer_heads)
+    head = np.zeros((ntr, nc))
+    for t, cells in enumerate(tracer_heads):
+        head[t, np.asarray(cells)] = 1.0
+    hm = jnp.asarray(head).reshape((ntr, 1) + shape3)       # (ntr,1,z,y,x)
+    const1 = jnp.zeros((4,) + shape3).at[0].set(1.0)
+
+    def sweep(_, a):
+        """a: (ntr, 4, nz, ny, nx) coefficients."""
+        def one(at):
+            b = _dg1_upstream_rhs(at, fpad, shape3)
+            return _solve4x4_t(M.reshape(4, 4, -1),
+                               b.reshape(4, -1)).reshape((4,) + shape3)
+
+        a_new = jax.vmap(one)(a)
+        return jnp.where(hm > 0, const1[None], a_new)
+
+    a0 = jnp.broadcast_to(const1[None], (ntr, 4) + shape3) * hm
+    a = jax.lax.fori_loop(0, int(nsweeps), sweep, a0)
+    out = jnp.moveaxis(a.reshape(ntr, 4, -1), 1, -1)        # (ntr, nc, 4)
+    if limiter in ("face", "average"):
+        out = jnp.stack([dg1_limit_min_upwind(grid, flux, out[t],
+                                              method=limiter)
+                         for t in range(ntr)])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -632,7 +725,7 @@ def _dg1_limit_min_upwind(grid, flux, a, *, method="face", threshold=1e-3):
 
 
 def solve_tof_dg(grid, flux, source, *, degree=1, limiter=None,
-                 nsweeps=None, face_cells=None):
+                 nsweeps=None, face_cells=None, tracer_heads=None):
     """Unified TofDiscGalReorder entry: DG time-of-flight at the given
     polynomial degree (the reference's degree parameter,
     TofDiscGalReorder.hpp:62-78 'Degree of polynomial used', supported
@@ -642,10 +735,23 @@ def solve_tof_dg(grid, flux, source, *, degree=1, limiter=None,
     degree 0 reduces to the FV scheme (a constant per cell IS the
     degree-0 DG solution with upstream face values) and is served by
     solve_tof for exact consistency. Returns (nc, ndof) coefficients,
-    ndof = 1 / 4 / 10; column 0 is the cell-mean TOF."""
+    ndof = 1 / 4 / 10; column 0 is the cell-mean TOF.
+
+    With tracer_heads (list of per-tracer cell-index arrays) the tracer
+    variant is solved alongside TOF — the reference's
+    compute(darcyflux, porevolume, source, tracerheads, tof, tracer)
+    overload (TofDiscGalReorder.hpp:96-115) — and the return is
+    (tof_coefs, tracer_coefs (ntracer, nc, ndof)); supported for
+    degrees 0 and 1 (degree-2 tracer falls back to the degree-1 basis,
+    still conservative and bounded)."""
     if degree == 0:
         if face_cells is None:
             face_cells = grid.face_cells
+        if tracer_heads is not None:
+            tof, conc = solve_tof_tracer(face_cells, flux,
+                                         grid.pore_volume, source,
+                                         tracer_heads, nsweeps=nsweeps)
+            return jnp.asarray(tof)[:, None], jnp.asarray(conc)[:, :, None]
         tof = solve_tof(face_cells, flux, grid.pore_volume, source,
                         nsweeps=nsweeps)
         return jnp.asarray(tof)[:, None]
@@ -653,8 +759,17 @@ def solve_tof_dg(grid, flux, source, *, degree=1, limiter=None,
         a = solve_tof_dg1(grid, flux, source, nsweeps=nsweeps)
         if limiter in ("face", "average"):
             a = dg1_limit_min_upwind(grid, flux, a, method=limiter)
+        if tracer_heads is not None:
+            tr = solve_tof_dg1_tracer(grid, flux, source, tracer_heads,
+                                      nsweeps=nsweeps, limiter=limiter)
+            return a, tr
         return a
     if degree == 2:
-        return solve_tof_dg2(grid, flux, source, nsweeps=nsweeps)
+        a = solve_tof_dg2(grid, flux, source, nsweeps=nsweeps)
+        if tracer_heads is not None:
+            tr = solve_tof_dg1_tracer(grid, flux, source, tracer_heads,
+                                      nsweeps=nsweeps, limiter=limiter)
+            return a, tr
+        return a
     raise ValueError(f"DG degree {degree} not supported (0-2, like "
                      "TofDiscGalReorder)")

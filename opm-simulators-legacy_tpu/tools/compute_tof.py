@@ -77,12 +77,22 @@ def main(argv=None):
         tracer = np.asarray(tracer)
     if args.dg_degree is not None and getattr(g, "structured", False):
         from opm_tpu.diagnostics.tof import solve_tof_dg
-        a_d = np.asarray(solve_tof_dg(g, flux, src, degree=args.dg_degree,
-                                      limiter=args.limiter))
+        res = solve_tof_dg(g, flux, src, degree=args.dg_degree,
+                           limiter=args.limiter,
+                           face_cells=g.face_cells,
+                           tracer_heads=inj_heads or None)
+        a_d = np.asarray(res[0] if inj_heads else res)
         print(f"DG({args.dg_degree}) forward TOF [days]: "
               f"min {a_d[:, 0].min() / 86400.0:.2f}  "
               f"median {np.median(a_d[:, 0]) / 86400.0:.2f}  "
               f"max {a_d[:, 0].max() / 86400.0:.2f}")
+        if inj_heads:
+            tr_d = np.asarray(res[1])
+            for t in range(tr_d.shape[0]):
+                m = tr_d[t, :, 0]
+                print(f"DG({args.dg_degree}) tracer {t}: mean partition "
+                      f"{m.mean():.4f}  swept cells (>0.5) "
+                      f"{int((m > 0.5).sum())}")
     if getattr(args, "dg", False) and getattr(g, "structured", False):
         a_dg = np.asarray(solve_tof_dg1(g, flux, src))
         if args.limiter:

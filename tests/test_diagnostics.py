@@ -350,3 +350,91 @@ def test_dg_order_progression():
     assert errs[1] < 1e-6 * exact_mean[-1]     # DG(1) exact
     assert errs[2] < 1e-6 * exact_mean[-1]     # DG(2) exact
     assert errs[1] < errs[0] and errs[2] < errs[0]
+
+
+def test_dg1_tracer_line_drive():
+    """DG(1) tracer variant (TofDiscGalReorder tracer overload,
+    TofDiscGalReorder.hpp:96-115): a single injector head on a line
+    drive fills every downstream cell with concentration 1 and zero
+    slope."""
+    import numpy as np
+
+    from opm_tpu.diagnostics.tof import solve_tof_dg1_tracer
+    from opm_tpu.grid import cartesian_grid
+
+    g = cartesian_grid((16, 1, 1), (16.0, 1.0, 1.0), poro=0.25)
+    q = 2.0e-3
+    src = np.zeros(g.nc)
+    src[0] = q
+    src[-1] = -q
+    flux = np.full(g.nf, q)
+    tr = np.asarray(solve_tof_dg1_tracer(g, flux, src, [np.array([0])]))
+    assert tr.shape == (1, 16, 4)
+    assert np.allclose(tr[0, :, 0], 1.0, atol=1e-10)
+    assert np.abs(tr[0, :, 1:]).max() < 1e-10
+
+
+def test_dg1_tracer_partitions_two_injectors():
+    """Two opposed injectors, central producer: the tracer partitions
+    are in [0,1], sum to 1 in every swept cell, and split the line at
+    the midpoint — matching the FV tracer's partition
+    (solveTofTracer's role, here at DG(1))."""
+    import numpy as np
+
+    from opm_tpu.diagnostics.tof import (solve_tof_dg1_tracer,
+                                         solve_tof_tracer)
+    from opm_tpu.grid import cartesian_grid
+
+    nx = 21
+    g = cartesian_grid((nx, 1, 1), (float(nx), 1.0, 1.0), poro=0.25)
+    q = 1.0e-3
+    src = np.zeros(g.nc)
+    src[0] = q
+    src[-1] = q
+    src[nx // 2] = -2 * q
+    # x-face i sits between cells i, i+1; positive flux flows i -> i+1
+    flux = np.where(np.arange(nx - 1) < nx // 2, q, -q)
+    heads = [np.array([0]), np.array([nx - 1])]
+    tr = np.asarray(solve_tof_dg1_tracer(g, flux, src, heads))
+    means = tr[:, :, 0]
+    assert (means > -1e-9).all() and (means < 1.0 + 1e-9).all()
+    assert np.allclose(means.sum(axis=0), 1.0, atol=1e-9)
+    # left half is tracer 0, right half tracer 1, producer cell split
+    assert np.allclose(means[0, :nx // 2], 1.0, atol=1e-9)
+    assert np.allclose(means[1, nx // 2 + 1:], 1.0, atol=1e-9)
+    assert abs(means[0, nx // 2] - 0.5) < 1e-9
+    # agrees with the FV tracer partition
+    _, conc = solve_tof_tracer(g.face_cells, flux, g.pore_volume, src,
+                               tracer_heads=heads)
+    assert np.allclose(means, np.asarray(conc), atol=1e-9)
+
+
+def test_dg_unified_entry_with_tracer():
+    """solve_tof_dg(..., tracer_heads=...) returns the (tof, tracer)
+    pair at degrees 0 and 1 with consistent partitions."""
+    import numpy as np
+
+    from opm_tpu.diagnostics.tof import solve_tof_dg
+    from opm_tpu.grid import cartesian_grid
+
+    g = cartesian_grid((12, 1, 1), (12.0, 1.0, 1.0), poro=0.25)
+    q = 1.0e-3
+    src = np.zeros(g.nc)
+    src[0] = q
+    src[-1] = -q
+    flux = np.full(g.nf, q)
+    heads = [np.array([0])]
+    tof0, tr0 = solve_tof_dg(g, flux, src, degree=0, tracer_heads=heads,
+                             face_cells=g.face_cells)
+    tof1, tr1 = solve_tof_dg(g, flux, src, degree=1, tracer_heads=heads,
+                             limiter="average")
+    assert np.asarray(tr0).shape == (1, 12, 1)
+    assert np.asarray(tr1).shape == (1, 12, 4)
+    assert np.allclose(np.asarray(tr0)[0, :, 0], 1.0, atol=1e-9)
+    assert np.allclose(np.asarray(tr1)[0, :, 0], 1.0, atol=1e-9)
+    # the DG(1) mean is the exact linear field; the FV (degree-0) mean
+    # smears but integrates the same total residence volume
+    pv = g.pore_volume
+    assert (np.asarray(tof1)[:, 0] > 0).all()
+    assert abs((pv * np.asarray(tof0)[:, 0]).sum()
+               / (pv * np.asarray(tof1)[:, 0]).sum() - 1.0) < 0.35
