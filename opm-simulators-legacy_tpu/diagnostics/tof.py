@@ -318,7 +318,7 @@ def _dg1_nsweeps(grid, flux):
     return sched.nlevels + (30 if sched.max_scc > 1 else 1)
 
 
-def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
+def solve_tof_dg1(grid, flux, source, *, nsweeps=None, limiter=None):
     """Degree-1 discontinuous-Galerkin time-of-flight on a fully-active
     cartesian grid — the TofDiscGalReorder capability
     (/root/reference/opm/core/flowdiagnostics/TofDiscGalReorder.{hpp,cpp}:
@@ -326,6 +326,13 @@ def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
     in topological order). The serial reorder becomes wavefront sweeps of
     simultaneous per-cell 4x4 solves, with all face topology as static
     slices.
+
+    With limiter="face"/"average" the min-upwind limiter runs INSIDE
+    each sweep — the reference's limiter_usage=DuringComputations
+    (TofDiscGalReorder.cpp:300-305: each cell is limited as soon as it
+    is solved, so downstream cells see limited upstream traces). The
+    post-process usages are served by limiting the converged field
+    (dg1_limit_min_upwind, see solve_tof_dg).
 
     Returns (nc, 4): [mean tof, d-slope per unit cell width x/y/z].
     Exact (single sweep pass) for piecewise-linear TOF fields, e.g.
@@ -338,8 +345,13 @@ def solve_tof_dg1(grid, flux, source, *, nsweeps=None):
     def sweep(_, a):
         """a: (4, nz, ny, nx) coefficients."""
         b = _dg1_upstream_rhs(a, fpad, shape3).at[0].add(pv3)
-        return _solve4x4_t(M.reshape(4, 4, -1),
-                           b.reshape(4, -1)).reshape((4,) + shape3)
+        out = _solve4x4_t(M.reshape(4, 4, -1),
+                          b.reshape(4, -1)).reshape((4,) + shape3)
+        if limiter in ("face", "average"):
+            flat = jnp.moveaxis(out.reshape(4, -1), 0, -1)
+            flat = _dg1_limit_min_upwind(grid, flux, flat, method=limiter)
+            out = jnp.moveaxis(flat, -1, 0).reshape((4,) + shape3)
+        return out
 
     a0 = jnp.zeros((4,) + shape3)
     a = jax.lax.fori_loop(0, int(nsweeps), sweep, a0)
@@ -725,12 +737,20 @@ def _dg1_limit_min_upwind(grid, flux, a, *, method="face", threshold=1e-3):
 
 
 def solve_tof_dg(grid, flux, source, *, degree=1, limiter=None,
-                 nsweeps=None, face_cells=None, tracer_heads=None):
+                 limiter_usage="post", nsweeps=None, face_cells=None,
+                 tracer_heads=None):
     """Unified TofDiscGalReorder entry: DG time-of-flight at the given
     polynomial degree (the reference's degree parameter,
     TofDiscGalReorder.hpp:62-78 'Degree of polynomial used', supported
     0-2; limiterMethod MinUpwindFace/MinUpwindAverage applies to
     degree >= 1, here for degree 1).
+
+    limiter_usage mirrors the reference's LimiterUsage choice
+    (TofDiscGalReorder.hpp:129-133): "during" (DuringComputations —
+    limit inside each wavefront sweep so downstream cells consume
+    limited upstream traces), "post" (AsPostProcess — limit the
+    converged TOF field only) or "simultaneous"
+    (AsSimultaneousPostProcess — post-limit TOF and tracer together).
 
     degree 0 reduces to the FV scheme (a constant per cell IS the
     degree-0 DG solution with upstream face values) and is served by
@@ -756,12 +776,17 @@ def solve_tof_dg(grid, flux, source, *, degree=1, limiter=None,
                         nsweeps=nsweeps)
         return jnp.asarray(tof)[:, None]
     if degree == 1:
-        a = solve_tof_dg1(grid, flux, source, nsweeps=nsweeps)
-        if limiter in ("face", "average"):
+        during = limiter if limiter_usage == "during" else None
+        a = solve_tof_dg1(grid, flux, source, nsweeps=nsweeps,
+                          limiter=during)
+        if limiter in ("face", "average") and limiter_usage != "during":
             a = dg1_limit_min_upwind(grid, flux, a, method=limiter)
         if tracer_heads is not None:
+            tr_lim = (limiter if limiter_usage in ("during",
+                                                   "simultaneous")
+                      else None)
             tr = solve_tof_dg1_tracer(grid, flux, source, tracer_heads,
-                                      nsweeps=nsweeps, limiter=limiter)
+                                      nsweeps=nsweeps, limiter=tr_lim)
             return a, tr
         return a
     if degree == 2:

@@ -27,6 +27,11 @@ def main(argv=None):
     ap.add_argument("--limiter", choices=("face", "average"), default=None,
                     help="DG(1) slope limiter (MinUpwindFace/"
                     "MinUpwindAverage)")
+    ap.add_argument("--limiter-usage",
+                    choices=("during", "post", "simultaneous"),
+                    default="post",
+                    help="limiter usage (DuringComputations/AsPostProcess/"
+                    "AsSimultaneousPostProcess)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -79,6 +84,7 @@ def main(argv=None):
         from opm_tpu.diagnostics.tof import solve_tof_dg
         res = solve_tof_dg(g, flux, src, degree=args.dg_degree,
                            limiter=args.limiter,
+                           limiter_usage=args.limiter_usage,
                            face_cells=g.face_cells,
                            tracer_heads=inj_heads or None)
         a_d = np.asarray(res[0] if inj_heads else res)
